@@ -1,0 +1,173 @@
+"""Deterministic hashing kernels: stable 64-bit hashes, MinHash, SimHash,
+rolling-hash document fingerprints.
+
+All hashes are pure functions of their inputs (no process salt), so two runs
+at different parallelism levels produce identical keys — the determinism
+requirement the reference lacks (its seeds default to ``random.randint``,
+``/root/reference/splitters/KNN-Join/splitter.py:187``) and that the scaling
+comparison in BASELINE.md depends on.
+
+The base primitive is pandas' SipHash-1-3 with a fixed key
+(``pd.util.hash_array``), which is stable across processes and platforms.
+MinHash permutations are the standard ``(a*h + b) mod p`` family with
+coefficients drawn from a seeded NumPy generator, so signatures are
+reproducible given (num_perm, seed).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+_MERSENNE_P = np.uint64((1 << 61) - 1)
+_MAX_HASH = np.uint64((1 << 32) - 1)
+
+
+def stable_hash64(values) -> np.ndarray:
+    """Deterministic uint64 hash of an array of strings/bytes.
+
+    Unlike Python's builtin ``hash`` this is NOT salted per process, so it is
+    safe to use for partitioning keys, dedup keys and sampling decisions that
+    must agree across workers and across runs.
+    """
+    arr = np.asarray(values, dtype=object)
+    return pd.util.hash_array(arr, categorize=False)
+
+
+def hash_to_uint32(values) -> np.ndarray:
+    """Stable 32-bit hash (uint64 folded), for MinHash token ids."""
+    h = stable_hash64(values)
+    return ((h >> np.uint64(32)) ^ (h & _MAX_HASH)).astype(np.uint64) & _MAX_HASH
+
+
+def minhash_coeffs(num_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
+    """Permutation coefficients (a, b) for ``num_perm`` MinHash functions."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, int(_MERSENNE_P), size=num_perm, dtype=np.uint64)
+    b = rng.integers(0, int(_MERSENNE_P), size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def minhash_signatures(
+    token_lists: list[list[str]] | list[np.ndarray],
+    num_perm: int = 128,
+    seed: int = 7,
+    coeffs: tuple[np.ndarray, np.ndarray] | None = None,
+) -> np.ndarray:
+    """MinHash signatures for a batch of token sets → ``(n_docs, num_perm)`` uint64.
+
+    Vectorized: all tokens of the batch are hashed in one call, permuted in one
+    ``(total_tokens, num_perm)`` matmul-shaped broadcast, then reduced per doc
+    with ``np.minimum.reduceat``. Empty docs get the all-MAX signature.
+
+    This replaces the reference's in-memory pyjedai ``TopKJoin`` token index
+    (``/root/reference/splitters/KNN-Join/splitter.py:78-81``) with a
+    shuffle-friendly sketch: signatures → band keys → ``groupby(band_key)``.
+    """
+    a, b = coeffs if coeffs is not None else minhash_coeffs(num_perm, seed)
+    n = len(token_lists)
+    sig = np.full((n, num_perm), _MAX_HASH, dtype=np.uint64)
+    lengths = np.fromiter((len(t) for t in token_lists), dtype=np.int64, count=n)
+    total = int(lengths.sum())
+    if total == 0:
+        return sig
+    flat = np.concatenate([np.asarray(t, dtype=object) for t in token_lists if len(t)])
+    th = hash_to_uint32(flat)  # (total,)
+    # (total, num_perm) permuted hashes; uint64 mul wraps — use modular trick on 61-bit prime
+    perm = (th[:, None] * a[None, :] + b[None, :]) % _MERSENNE_P
+    perm &= _MAX_HASH
+    nonempty = lengths > 0
+    offsets = np.zeros(int(nonempty.sum()), dtype=np.int64)
+    np.cumsum(lengths[nonempty][:-1], out=offsets[1:])
+    mins = np.minimum.reduceat(perm, offsets, axis=0)
+    sig[nonempty] = mins
+    return sig
+
+
+def lsh_band_keys(
+    signatures: np.ndarray, num_bands: int, prefix: str = "mh"
+) -> list[np.ndarray]:
+    """Split ``(n, num_perm)`` signatures into bands and hash each band to a key.
+
+    Returns a list of ``num_bands`` string arrays of shape ``(n,)``; a pair of
+    docs sharing ANY band key becomes a blocking candidate. Key strings embed
+    the band index so different bands never collide.
+    """
+    n, num_perm = signatures.shape
+    assert num_perm % num_bands == 0, "num_perm must be divisible by num_bands"
+    rows = num_perm // num_bands
+    out = []
+    for bi in range(num_bands):
+        band = signatures[:, bi * rows : (bi + 1) * rows]
+        # hash the band by hashing its byte view row-wise (stable)
+        byte_view = np.ascontiguousarray(band).view(np.uint8).reshape(n, -1)
+        band_bytes = [byte_view[i].tobytes() for i in range(n)]
+        h = stable_hash64(band_bytes)
+        out.append(np.char.add(f"{prefix}{bi}:", h.astype("U20")))
+    return out
+
+
+def simhash64(token_lists, seed: int = 11) -> np.ndarray:
+    """64-bit SimHash per document: bit-vote over stable token hashes.
+
+    Near-duplicate docs land within small Hamming distance; used by the
+    simhash dedup stage (bucket on rotated prefixes).
+    """
+    n = len(token_lists)
+    out = np.zeros(n, dtype=np.uint64)
+    lengths = np.fromiter((len(t) for t in token_lists), dtype=np.int64, count=n)
+    if lengths.sum() == 0:
+        return out
+    flat = np.concatenate([np.asarray(t, dtype=object) for t in token_lists if len(t)])
+    th = stable_hash64(flat)
+    bits = ((th[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
+        np.int64
+    )
+    votes = bits * 2 - 1  # (total, 64) in {-1, +1}
+    offsets = np.zeros(int((lengths > 0).sum()), dtype=np.int64)
+    np.cumsum(lengths[lengths > 0][:-1], out=offsets[1:])
+    summed = np.add.reduceat(votes, offsets, axis=0)  # (n_nonempty, 64)
+    sign = (summed > 0).astype(np.uint64)
+    vals = (sign << np.arange(64, dtype=np.uint64)[None, :]).sum(axis=1, dtype=np.uint64)
+    out[lengths > 0] = vals
+    return out
+
+
+def hamming_distance64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Element-wise Hamming distance between uint64 arrays."""
+    x = a ^ b
+    # numpy >= 2 has bitwise_count; emulate for 1.26
+    cnt = np.zeros(x.shape, dtype=np.int64)
+    x = x.copy()
+    for _ in range(64):
+        cnt += (x & np.uint64(1)).astype(np.int64)
+        x >>= np.uint64(1)
+    return cnt
+
+
+def rolling_fingerprint(
+    texts: list[str], k: int = 8, window: int = 16
+) -> np.ndarray:
+    """Winnowing-style document fingerprint: min-of-window over k-gram hashes,
+    combined to one uint64 per document. Deterministic; near-identical texts
+    collide with high probability.
+    """
+    out = np.zeros(len(texts), dtype=np.uint64)
+    for i, t in enumerate(texts):
+        if len(t) < k:
+            out[i] = stable_hash64([t])[0]
+            continue
+        grams = [t[j : j + k] for j in range(len(t) - k + 1)]
+        h = stable_hash64(grams)
+        if len(h) <= window:
+            out[i] = h.min()
+            continue
+        # min over each sliding window, then xor-combine the selected mins
+        strides = np.lib.stride_tricks.sliding_window_view(h, window)
+        mins = strides.min(axis=1)
+        sel = np.unique(mins)
+        acc = np.uint64(0)
+        for v in sel:
+            acc ^= v
+        out[i] = acc
+    return out
