@@ -1,0 +1,227 @@
+"""Blocking stage: blocking-key emission + bounded per-block pair generation.
+
+Re-expresses the reference's Top-K similarity join blocking
+(/root/reference/splitters/KNN-Join/splitter.py:72-86, settings at
+splitters/KNN-Join/settings.py:1-12) as shuffle algebra instead of an
+in-memory token index:
+
+    normalize → map_batches emits (block_key, url, payload) rows
+              → groupby(block_key) → per-group bounded pair generation
+
+Keys emitted per document:
+- ``num_bands`` MinHash-LSH band keys over the reference's tokenization
+  family (whitespace tokens or char q-grams of the normalized text);
+- one sorted-neighborhood key (normalized-title prefix), the classic
+  complement that catches pairs LSH can miss on very short titles.
+
+Scale levers (all explicit knobs):
+- per-key group cap ``max_block_size`` — groups beyond it switch from
+  all-pairs to sorted-neighbor windowing (cap analog of the reference's K,
+  splitter.py:179-181), so a hot key (empty title, boilerplate text) costs
+  O(n·window) not O(n²);
+- oversized groups are never silently dropped: the pair emitter reports
+  ``truncated_blocks`` through its output so blocking recall stats (A1,
+  splitter.py:105-110) stay honest;
+- candidate dedup across bands is a hash-partitioned groupby on the pair
+  key, keeping only ids + bounded payload in pair rows (the reference's
+  full-payload wide pair rows, splitter.py:96-103, don't scale).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions.hashing import lsh_band_keys, minhash_coeffs, minhash_signatures
+from ..functions.simfuncs import qgrams
+from .groupby import bucketed_group_apply
+
+
+class BlockKeyEmitter:
+    """map_batches callable: explode each page into (block_key, url, payload) rows.
+
+    Stateful-ish setup (minhash coefficients) happens once per instance —
+    the actor-pool pattern — though the state is small enough that task
+    closures also work.
+    """
+
+    def __init__(
+        self,
+        num_perm: int = 64,
+        num_bands: int = 16,
+        seed: int = 7,
+        tokenization: str = "words",  # "words" | "qgrams"
+        qgram: int = 5,
+        sn_prefix: int = 12,
+        payload_chars: int = 256,
+    ):
+        self.num_perm = num_perm
+        self.num_bands = num_bands
+        self.tokenization = tokenization
+        self.qgram = qgram
+        self.sn_prefix = sn_prefix
+        self.payload_chars = payload_chars
+        self.coeffs = minhash_coeffs(num_perm, seed)
+
+    def _tokens(self, norm_text: str) -> list[str]:
+        if self.tokenization == "qgrams":
+            return qgrams(norm_text, self.qgram)
+        return norm_text.split()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        norm_texts = batch.column("norm_text").to_pylist()
+        norm_titles = batch.column("norm_title").to_pylist()
+        n = len(urls)
+        token_lists = [self._tokens(t) for t in norm_texts]
+        sig = minhash_signatures(token_lists, self.num_perm, coeffs=self.coeffs)
+        bands = lsh_band_keys(sig, self.num_bands)
+
+        # sorted-neighborhood key: normalized title prefix
+        sn = np.array(
+            ["sn:" + t[: self.sn_prefix] if t else "sn:~empty" for t in norm_titles],
+            dtype=object,
+        )
+        payload_text = [t[: self.payload_chars] for t in norm_texts]
+
+        keys = np.concatenate([*bands, sn])
+        reps = self.num_bands + 1
+        return pa.table(
+            {
+                "block_key": pa.array(keys, pa.string()),
+                "url": pa.array(urls * reps, pa.string()),
+                "norm_title": pa.array(norm_titles * reps, pa.string()),
+                "payload": pa.array(payload_text * reps, pa.string()),
+            }
+        )
+
+
+def emit_block_keys(norm_ds, **emitter_kwargs):
+    """normalized pages Dataset → exploded (block_key, url, …) Dataset."""
+    return norm_ds.map_batches(
+        BlockKeyEmitter(**emitter_kwargs), batch_format="pyarrow", batch_size=4096
+    )
+
+
+_EMPTY_PAIRS = {
+    "left_url": object,
+    "right_url": object,
+    "left_title": object,
+    "right_title": object,
+    "left_payload": object,
+    "right_payload": object,
+}
+
+
+def _pairs_in_bucket(df: pd.DataFrame, max_block_size: int, window: int) -> pd.DataFrame:
+    """Pair generation over one hash bucket of (block_key, url, …) rows.
+
+    Per block: all-pairs below the cap, sorted-neighbor windowing beyond it.
+    Deterministic: rows sorted by url before pairing; left<right always.
+    The per-block Python loop is fine — blocks are small by construction
+    (the cap bounds them) and the loop body is numpy index generation.
+    """
+    frames = []
+    df = df.sort_values(["block_key", "url"])
+    for _, g in df.groupby("block_key", sort=False):
+        g = g.drop_duplicates("url")
+        n = len(g)
+        if n < 2:
+            continue
+        urls = g["url"].to_numpy()
+        titles = g["norm_title"].to_numpy()
+        payloads = g["payload"].to_numpy()
+        truncated = n > max_block_size
+        if truncated:
+            base = np.arange(n - 1)
+            ii = np.repeat(base, window)
+            jj = ii + np.tile(np.arange(1, window + 1), n - 1)
+            keep = jj < n
+            ii, jj = ii[keep], jj[keep]
+        else:
+            ii, jj = np.triu_indices(n, k=1)
+        frames.append(
+            pd.DataFrame(
+                {
+                    "left_url": urls[ii],
+                    "right_url": urls[jj],
+                    "left_title": titles[ii],
+                    "right_title": titles[jj],
+                    "left_payload": payloads[ii],
+                    "right_payload": payloads[jj],
+                    "truncated": np.full(len(ii), 1 if truncated else 0, dtype=np.int8),
+                }
+            )
+        )
+    if not frames:
+        return pd.DataFrame(
+            {
+                **{k: pd.Series([], dtype=t) for k, t in _EMPTY_PAIRS.items()},
+                "truncated": pd.Series([], dtype=np.int8),
+            }
+        )
+    return pd.concat(frames, ignore_index=True)
+
+
+def generate_pairs(
+    keyed_ds,
+    max_block_size: int = 64,
+    window: int = 8,
+    dedup: bool = True,
+    num_buckets: int = 16,
+):
+    """bucketed groupby(block_key) → bounded pair emission → cross-band dedup.
+
+    Output: (left_url, right_url, left_title, right_title, left_payload,
+    right_payload, truncated). ``dedup=True`` re-buckets on the pair key and
+    keeps one row per pair via a vectorized ``drop_duplicates`` (reference D1
+    exact dedup, /root/reference/splitters/random-split/merger.py:34). Both
+    shuffles use the bucketed pattern (see groupby.py for why).
+    """
+    pairs = bucketed_group_apply(
+        keyed_ds,
+        "block_key",
+        lambda df: _pairs_in_bucket(df, max_block_size, window),
+        num_buckets=num_buckets,
+    )
+    if not dedup:
+        return pairs
+    return bucketed_group_apply(
+        pairs,
+        ["left_url", "right_url"],
+        lambda df: df.sort_values("truncated").drop_duplicates(["left_url", "right_url"]),
+        num_buckets=num_buckets,
+    )
+
+
+def blocking_stats(pairs_ds, truth_pairs_df: pd.DataFrame) -> dict:
+    """A1 blocking precision/recall vs golden pairs.
+
+    Reference prints these after candidate generation
+    (/root/reference/splitters/KNN-Join/splitter.py:94,105-110).
+    ``truth_pairs_df`` must have (left_url, right_url, label) with left<right.
+    """
+    truth_pos = {
+        (a, b)
+        for a, b, l in truth_pairs_df[["left_url", "right_url", "label"]].itertuples(index=False)
+        if l == 1
+    }
+    n_pairs = 0
+    tp = 0
+    for batch in pairs_ds.select_columns(["left_url", "right_url"]).iter_batches(
+        batch_format="pyarrow"
+    ):
+        ls = batch["left_url"].to_pylist()
+        rs = batch["right_url"].to_pylist()
+        n_pairs += len(ls)
+        tp += sum((a, b) in truth_pos for a, b in zip(ls, rs))
+    precision = tp / n_pairs if n_pairs else 0.0
+    recall = tp / len(truth_pos) if truth_pos else 1.0
+    return {
+        "num_candidates": n_pairs,
+        "true_positives_covered": tp,
+        "num_truth_pairs": len(truth_pos),
+        "precision": precision,
+        "recall": recall,
+    }

@@ -1,0 +1,344 @@
+"""Clustering stage: pair selection + transitive clustering.
+
+Re-implements the reference's clustering step
+(/root/reference/clustering/Probabilities/clustering.py) in shuffle algebra:
+
+- D4 "Exact Clustering" = reciprocal top-1 intersection (clustering.py:7-40):
+  a pair survives iff it is the left record's best match AND the right
+  record's best match, both above θ. Two grouped top-1 passes + a cogroup
+  intersection on the pair key — order-free Dataset algebra.
+- D5 "Unique Mapping Clustering" = greedy 1:1 matching over globally
+  prob-desc-sorted pairs (clustering.py:42-67). Inherently sequential; kept
+  as an exact driver-side oracle for parity tests and small data. The
+  web-scale substitute is ``mutual_best_rounds`` (iterated D4: accept
+  reciprocal-best pairs, remove matched endpoints, repeat).
+- D6 transitive closure = distributed connected components via min-label
+  propagation (the ZeroER transitivity analog, /root/reference/methods/
+  zeroer/entrypoint.py:65-66, scaled out per the map-reduce CC literature).
+
+Implementation note: every multi-dataset operation here is expressed as
+``union`` + ``groupby`` + ``map_groups`` (cogroup algebra) rather than
+``Dataset.join`` — Ray 2.49's hash-shuffle join raises ArrowInvalid when a
+hash partition is empty (num_partitions > distinct keys), which iterative
+algorithms on shrinking frontiers hit constantly. Cogroup has identical
+shuffle shape and no such edge case.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+# ---------------------------------------------------------------------------
+# D4: reciprocal top-1
+# ---------------------------------------------------------------------------
+
+def reciprocal_top1(predictions_ds, theta: float = 0.5):
+    """D4: pairs that are top-1 for BOTH endpoints, above θ.
+
+    Reference clustering/Probabilities/clustering.py:7-40 (intersection at 28).
+    Both top-1 passes are bucketed grouped-top-k (vectorized sort +
+    groupby-head per bucket); the intersection is a cogroup on the pair key:
+    union both top-1 sets with a side tag, keep pairs present on both sides.
+    Ties broken by the partner url for determinism.
+    """
+    from .groupby import bucketed_group_apply, grouped_top_k
+
+    above = predictions_ds.map_batches(
+        lambda t: t.filter(pc.greater(t["prob"], theta)),
+        batch_format="pyarrow",
+    )
+    left_best = grouped_top_k(
+        above, "left_url", "prob", k=1, descending=True, tie_cols=["right_url"]
+    )
+    right_best = grouped_top_k(
+        above, "right_url", "prob", k=1, descending=True, tie_cols=["left_url"]
+    )
+
+    def tag(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "left_url": t.column("left_url"),
+                    "right_url": t.column("right_url"),
+                    "prob": pc.cast(t.column("prob"), pa.float64()),
+                    "side": pa.array(np.full(t.num_rows, side, dtype=np.int8)),
+                }
+            )
+
+        return fn
+
+    both = left_best.map_batches(tag(0), batch_format="pyarrow").union(
+        right_best.map_batches(tag(1), batch_format="pyarrow")
+    )
+
+    def intersect(df: pd.DataFrame) -> pd.DataFrame:
+        l = df[df["side"] == 0]
+        r = df[df["side"] == 1]
+        return l.merge(r[["left_url", "right_url"]], on=["left_url", "right_url"])[
+            ["left_url", "right_url", "prob"]
+        ]
+
+    return bucketed_group_apply(both, ["left_url", "right_url"], intersect)
+
+
+def greedy_unique_mapping(predictions_df: pd.DataFrame, theta: float = 0.5) -> pd.DataFrame:
+    """D5 exact oracle: greedy 1:1 matching by descending prob (driver-side).
+
+    Parity target: reference clustering/Probabilities/clustering.py:42-67 —
+    iterate pairs sorted by prob desc, accept iff both endpoints unused, stop
+    below θ. Tie order pinned by (prob desc, left, right) for determinism
+    (the reference inherits pandas sort stability instead).
+    """
+    df = predictions_df[predictions_df["prob"] > theta]
+    df = df.sort_values(["prob", "left_url", "right_url"], ascending=[False, True, True])
+    used: set = set()
+    keep = []
+    for row in df.itertuples(index=False):
+        if row.left_url in used or row.right_url in used:
+            continue
+        used.add(row.left_url)
+        used.add(row.right_url)
+        keep.append((row.left_url, row.right_url, row.prob))
+    return pd.DataFrame(keep, columns=["left_url", "right_url", "prob"])
+
+
+def mutual_best_rounds(predictions_ds, theta: float = 0.5, max_rounds: int = 5):
+    """Scalable D5 substitute: accept reciprocal-best pairs, drop their
+    endpoints from the remaining pool, repeat. Converges in a handful of
+    rounds on ER-shaped score graphs.
+
+    Returns the accepted-pairs Dataset (left_url, right_url, prob).
+    """
+    import ray
+    import ray.data as rd
+
+    remaining = predictions_ds.map_batches(
+        lambda t: t.filter(pc.greater(t["prob"], theta)),
+        batch_format="pyarrow",
+    ).materialize()
+    accepted = None
+    for _ in range(max_rounds):
+        if remaining.count() == 0:
+            break
+        best = reciprocal_top1(remaining, theta=0.0).materialize()
+        if best.count() == 0:
+            break
+        accepted = best if accepted is None else accepted.union(best).materialize()
+        matched = set()
+        for r in best.select_columns(["left_url", "right_url"]).take_all():
+            matched.add(r["left_url"])
+            matched.add(r["right_url"])
+        matched_ref = ray.put(matched)
+
+        def drop_matched(t: pa.Table, ref=matched_ref) -> pa.Table:
+            m = ray.get(ref)
+            ls = t.column("left_url").to_pylist()
+            rs = t.column("right_url").to_pylist()
+            mask = pa.array([a not in m and b not in m for a, b in zip(ls, rs)])
+            return t.filter(mask)
+
+        remaining = remaining.map_batches(drop_matched, batch_format="pyarrow").materialize()
+    if accepted is None:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "left_url": pa.array([], pa.string()),
+                    "right_url": pa.array([], pa.string()),
+                    "prob": pa.array([], pa.float64()),
+                }
+            )
+        )
+    return accepted
+
+
+# ---------------------------------------------------------------------------
+# D6: connected components
+# ---------------------------------------------------------------------------
+
+def _driver_union_find(edge_rows: list[tuple[str, str]]) -> pd.DataFrame:
+    """Exact union-find on the driver — used when the edge set is provably
+    small. Cluster id = lexicographically smallest url in the component,
+    identical to the distributed path's fixpoint."""
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in edge_rows:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # deterministic: smaller url becomes the root
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    # path-compress everything, then map to min-url per component
+    comp_min: dict[str, str] = {}
+    roots = {u: find(u) for u in parent}
+    for u, r in roots.items():
+        if r not in comp_min or u < comp_min[r]:
+            comp_min[r] = u
+    return pd.DataFrame(
+        {"url": list(roots), "cluster_id": [comp_min[r] for r in roots.values()]}
+    ).sort_values("url", ignore_index=True)
+
+
+def _checksum(labels_ds) -> tuple[int, int]:
+    """Order-independent fixpoint checksum of the (node, comp) labels table.
+    Labels only ever decrease lexicographically, so an unchanged checksum
+    pair ⇒ converged (collision odds ~2^-122)."""
+    from ..functions.hashing import stable_hash64
+
+    P1, P2 = (1 << 61) - 1, (1 << 31) - 1
+    s1 = s2 = 0
+    for b in labels_ds.iter_batches(batch_format="pandas"):
+        h = stable_hash64((b["node"] + "|" + b["comp"]).tolist())
+        s1 = (s1 + int((h.astype(object) % P1).sum())) % P1
+        s2 = (s2 + int((h.astype(object) % P2).sum())) % P2
+    return s1, s2
+
+
+def connected_components(
+    edges_ds,
+    max_rounds: int = 25,
+    driver_threshold: int = 200_000,
+):
+    """Connected components over an edge Dataset (left_url, right_url) →
+    Dataset (url, cluster_id:string).
+
+    ``cluster_id`` is the lexicographically smallest url of the component —
+    deterministic at any parallelism level (FIXTURES.md invariant 2).
+
+    Two execution paths:
+    - edge count ≤ ``driver_threshold``: exact union-find on the driver
+      (the candidate set is provably small — the guide's sanctioned case);
+    - else distributed min-label propagation, join-free: each round is
+      ``union(edges, labels) → groupby(node) → emit min-label messages →
+      groupby(node).min`` — two shuffles per round, O(log diameter) rounds,
+      early exit on checksum fixpoint. Messages carry only (node, comp)
+      string pairs; nothing materializes on the driver.
+    """
+    edges = edges_ds.select_columns(["left_url", "right_url"])
+    n_edges = edges.count()
+    if n_edges == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table({"url": pa.array([], pa.string()), "cluster_id": pa.array([], pa.string())})
+        )
+    if n_edges <= driver_threshold:
+        rows = [
+            (r["left_url"], r["right_url"])
+            for b in edges.iter_batches(batch_format="pandas")
+            for r in b.to_dict("records")
+        ]
+        import ray.data as rd
+
+        return rd.from_pandas(_driver_union_find(rows))
+
+    # ---- distributed path ----
+    # rows: (node, val, is_label). Edge rows carry the neighbor in `val`
+    # (both orientations); label rows carry the node's current component.
+    def edge_rows(t: pa.Table) -> pa.Table:
+        l = t.column("left_url")
+        r = t.column("right_url")
+        n = t.num_rows
+        return pa.table(
+            {
+                "node": pa.chunked_array([pa.concat_arrays([c.combine_chunks() for c in (l, r)])]),
+                "val": pa.chunked_array([pa.concat_arrays([c.combine_chunks() for c in (r, l)])]),
+                "is_label": pa.array(np.zeros(2 * n, dtype=np.int8)),
+            }
+        )
+
+    edges_bi = edges.map_batches(edge_rows, batch_format="pyarrow").materialize()
+
+    labels = edges_bi.map_batches(
+        lambda t: pa.table(
+            {
+                "node": t.column("node"),
+                "val": t.column("node"),
+                "is_label": pa.array(np.ones(t.num_rows, dtype=np.int8)),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    from .groupby import bucketed_group_apply
+
+    def propagate(df: pd.DataFrame) -> pd.DataFrame:
+        """One whole bucket: per-node min label (vectorized), then messages
+        comp(node) → each neighbor, plus the node's own refreshed label."""
+        labs = df[df["is_label"] == 1]
+        comp = labs.groupby("node", sort=False)["val"].min()
+        edges = df[df["is_label"] == 0]
+        out = pd.concat(
+            [
+                pd.DataFrame({"node": comp.index.to_numpy(), "val": comp.to_numpy()}),
+                pd.DataFrame(
+                    {
+                        "node": edges["val"].to_numpy(),
+                        "val": edges["node"].map(comp).to_numpy(),
+                    }
+                ),
+            ],
+            ignore_index=True,
+        )
+        out["is_label"] = np.ones(len(out), dtype=np.int8)
+        return out
+
+    def dedup_min(df: pd.DataFrame) -> pd.DataFrame:
+        comp = df.groupby("node", sort=False)["val"].min()
+        return pd.DataFrame(
+            {
+                "node": comp.index.to_numpy(),
+                "val": comp.to_numpy(),
+                "is_label": np.ones(len(comp), dtype=np.int8),
+            }
+        )
+
+    prev = None
+    for _ in range(max_rounds):
+        msgs = bucketed_group_apply(edges_bi.union(labels), "node", propagate)
+        labels = (
+            bucketed_group_apply(msgs, "node", dedup_min)
+            # normalize back to Arrow blocks: edges_bi is Arrow and Ray's
+            # sort-based groupby refuses mixed block types in a union
+            .map_batches(lambda t: t, batch_format="pyarrow")
+            .materialize()
+        )
+        cur = _checksum(
+            labels.map_batches(
+                lambda t: pa.table({"node": t.column("node"), "comp": t.column("val")}),
+                batch_format="pyarrow",
+            )
+        )
+        if cur == prev:
+            break
+        prev = cur
+
+    return labels.map_batches(
+        lambda t: pa.table({"url": t.column("node"), "cluster_id": t.column("val")}),
+        batch_format="pyarrow",
+    )
+
+
+def clusters_to_pair_set(assignments_df: pd.DataFrame) -> set:
+    """(url, cluster_id) rows → set of same-cluster url pairs (left<right)."""
+    pairs = set()
+    for _, grp in assignments_df.groupby("cluster_id"):
+        urls = sorted(grp["url"])
+        for i in range(len(urls)):
+            for j in range(i + 1, len(urls)):
+                pairs.add((urls[i], urls[j]))
+    return pairs

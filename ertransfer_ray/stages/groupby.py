@@ -1,0 +1,199 @@
+"""Bucketed grouped execution — this engine's standard shuffle primitive.
+
+Why this exists (measured on Ray 2.49.2, 600k rows, 4 CPUs, this container):
+
+====================================================  =========
+``groupby(k).aggregate(Sum, Count)`` (6 groups)        228 s
+``groupby(k).map_groups`` (15k tiny groups)            minutes
+hash-bucket to 8 + vectorized pandas per bucket        0.49 s
+====================================================  =========
+
+Ray 2.49's builtin aggregate path accumulates **per row in Python**, and
+``map_groups`` pays a per-GROUP Python/pandas overhead (~1-2 ms), so any
+high-cardinality key is catastrophic. ``sort`` (0.5 s) and ``Dataset.join``
+(3 s) are fine — the pathology is specific to grouped aggregation.
+
+The fix is classic MapReduce shape and is also the right 100 TB design:
+
+1. add ``_bucket = stable_hash(key) % P`` per batch (vectorized, no shuffle)
+2. ``groupby("_bucket")`` — the shuffle moves every row ONCE into P
+   partitions (P ≈ cluster task slots, NOT key cardinality)
+3. inside each bucket run **vectorized pandas** (groupby-agg,
+   drop_duplicates, sort+head) over the whole partition at once.
+
+Per-group Python overhead is paid P times instead of |keys| times. Skewed
+keys still land whole in one bucket — callers with known-hot keys salt them
+first (see blocking.py).
+
+For small-result aggregations there's an even cheaper path with NO shuffle:
+per-batch pandas partial aggregates → combine on the driver
+(``partial_aggregate``). Use it whenever |keys| is bounded (metrics, stats,
+histograms) — this is the "pre-aggregate inside map_batches" rule.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions.hashing import stable_hash64
+
+BUCKET_COL = "_bucket"
+
+
+def _bucket_of(df: pd.DataFrame, keys: list[str], num_buckets: int) -> np.ndarray:
+    if len(keys) == 1:
+        raw = df[keys[0]].astype(str).to_numpy(dtype=object)
+    else:
+        raw = df[keys[0]].astype(str).str.cat([df[k].astype(str) for k in keys[1:]], sep="\x1f").to_numpy(dtype=object)
+    return (stable_hash64(raw) % np.uint64(num_buckets)).astype(np.int64)
+
+
+def add_bucket(ds, keys: str | list[str], num_buckets: int):
+    """Add the bucket column (vectorized stable hash of the key tuple)."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy(deep=False)
+        df[BUCKET_COL] = _bucket_of(df, keys, num_buckets)
+        return df
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def bucketed_group_apply(
+    ds,
+    keys: str | list[str],
+    fn: Callable[[pd.DataFrame], pd.DataFrame],
+    num_buckets: int = 16,
+):
+    """Apply ``fn`` to each hash bucket (ALL rows sharing a key land in the
+    same bucket). ``fn`` receives the whole bucket as one DataFrame and must
+    itself group by ``keys`` (vectorized: ``df.groupby``, ``drop_duplicates``,
+    ``sort_values`` + ``head``); the bucket column is already dropped.
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return fn(g.drop(columns=[BUCKET_COL]))
+
+    return (
+        add_bucket(ds, keys, num_buckets)
+        .groupby(BUCKET_COL)
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
+def distinct_rows(ds, keys: str | list[str], num_buckets: int = 16):
+    """Global dedup on a key tuple: keep the first row per key (sorted by the
+    remaining columns for determinism). Replaces ``groupby(k).map_groups(head(1))``."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(list(df.columns)).drop_duplicates(keys)
+
+    return bucketed_group_apply(ds, keys, fn, num_buckets)
+
+
+# ---------------------------------------------------------------------------
+# Aggregation specs: pandas named-agg per batch, algebraic combine
+# ---------------------------------------------------------------------------
+
+_COMBINE = {
+    "sum": "sum",
+    "count": "sum",
+    "min": "min",
+    "max": "max",
+}
+
+
+def _partial_agg(df: pd.DataFrame, keys: list[str], spec: dict) -> pd.DataFrame:
+    """spec: out_col -> (in_col, op) with op ∈ sum|count|min|max|mean.
+    mean decomposes to sum+count partials, finalized later."""
+    named = {}
+    for out, (col, op) in spec.items():
+        if op == "mean":
+            named[f"__{out}_sum"] = (col, "sum")
+            named[f"__{out}_cnt"] = (col, "count")
+        elif op == "count":
+            named[out] = (keys[0] if col is None else col, "size" if col is None else "count")
+        else:
+            named[out] = (col, op)
+    return df.groupby(keys, as_index=False, sort=False, dropna=False).agg(**named)
+
+
+def _combine_agg(df: pd.DataFrame, keys: list[str], spec: dict) -> pd.DataFrame:
+    named = {}
+    for out, (col, op) in spec.items():
+        if op == "mean":
+            named[f"__{out}_sum"] = (f"__{out}_sum", "sum")
+            named[f"__{out}_cnt"] = (f"__{out}_cnt", "sum")
+        else:
+            named[out] = (out, _COMBINE[op])
+    out_df = df.groupby(keys, as_index=False, sort=False, dropna=False).agg(**named)
+    for out, (col, op) in spec.items():
+        if op == "mean":
+            out_df[out] = out_df[f"__{out}_sum"] / out_df[f"__{out}_cnt"]
+            out_df = out_df.drop(columns=[f"__{out}_sum", f"__{out}_cnt"])
+    return out_df
+
+
+def partial_aggregate(ds, keys: str | list[str], spec: dict) -> pd.DataFrame:
+    """Shuffle-free grouped aggregate for bounded key cardinality:
+    per-batch pandas partials → single driver-side combine.
+
+    ``spec``: ``{out_col: (in_col, op)}``, op ∈ sum|count|min|max|mean
+    (count with in_col=None counts rows). Returns a pandas DataFrame sorted
+    by keys. The driver only ever sees |keys|·num_batches partial rows.
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    partials = ds.map_batches(
+        lambda df: _partial_agg(df, keys, spec), batch_format="pandas"
+    )
+    parts = [b for b in partials.iter_batches(batch_format="pandas")]
+    if not parts:
+        cols = keys + list(spec)
+        return pd.DataFrame({c: [] for c in cols})
+    allp = pd.concat(parts, ignore_index=True)
+    return _combine_agg(allp, keys, spec).sort_values(keys, ignore_index=True)
+
+
+def grouped_aggregate(
+    ds, keys: str | list[str], spec: dict, num_buckets: int = 16
+):
+    """Distributed grouped aggregate for unbounded key cardinality:
+    per-batch partials (big shrink) → bucketed combine. Returns a Dataset."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    partials = ds.map_batches(
+        lambda df: _partial_agg(df, keys, spec), batch_format="pandas"
+    )
+    return bucketed_group_apply(
+        partials, keys, lambda df: _combine_agg(df, keys, spec), num_buckets
+    )
+
+
+def grouped_top_k(
+    ds,
+    keys: str | list[str],
+    order_col: str,
+    k: int = 1,
+    descending: bool = True,
+    tie_cols: list[str] | None = None,
+    num_buckets: int = 16,
+):
+    """Per-key top-k (reference O1 per-entity top-k,
+    /root/reference/clustering/Probabilities/clustering.py:7-27): bucket on
+    key, then ONE vectorized sort + groupby-head per bucket."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    tie_cols = tie_cols or []
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            [order_col] + tie_cols, ascending=[not descending] + [True] * len(tie_cols)
+        )
+        return df.groupby(keys, sort=False, dropna=False).head(k)
+
+    return bucketed_group_apply(ds, keys, fn, num_buckets)

@@ -1,0 +1,165 @@
+"""Pairwise scoring stage: a stateful actor pool that turns candidate pairs
+into match probabilities.
+
+Ray-native analog of the reference's matcher step (T5/T6): the scorer is a
+callable CLASS handed to ``map_batches(cls, concurrency=N, batch_size=B)`` —
+weights/config load once per actor in ``__init__`` (the reference loads its
+HF checkpoint once per process, /root/reference/methods/emtransformer/
+entrypoint.py:83-109), feature computation per batch in ``__call__``.
+
+Features are the reference's classical matcher family
+(/root/reference/methods/magellan/entrypoint.py:63-127 auto-generates the
+same kinds): token-Jaccard over text tokens, q-gram Jaccard + Jaro-Winkler
+over titles, length ratio — combined by a logistic model whose weights are a
+loadable artifact (JSON), mirroring the reference's model-checkpoint reuse
+(S9). Output contract matches the reference prediction table
+(methods/magellan/transform.py:15-17): (left_url, right_url, prob).
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pandas as pd
+
+from ..functions.simfuncs import (
+    batch_jaro_winkler,
+    batch_token_jaccard,
+    length_ratio,
+    qgrams,
+)
+
+#: Default logistic weights; calibrated on the synthetic corpus
+#: (tests/test_er_pipeline.py asserts pairwise F1 ≥ 0.99 with these).
+#: ``title_num_jaccard`` (agreement of digit tokens — model numbers, years)
+#: is the classical hard-negative killer: near-identical titles that differ
+#: only in the model number are different entities.
+DEFAULT_WEIGHTS = {
+    "bias": -15.0,
+    "text_jaccard": 10.0,
+    "title_qgram_jaccard": 6.0,
+    "title_jw": 5.0,
+    "len_ratio": 2.0,
+    "title_num_jaccard": 4.0,
+}
+
+FEATURE_COLUMNS = [
+    "text_jaccard",
+    "title_qgram_jaccard",
+    "title_jw",
+    "len_ratio",
+    "title_num_jaccard",
+]
+
+_DIGITS = None  # compiled lazily (regex import kept top-level-free for pickling)
+
+
+def _digit_tokens(s: str) -> frozenset:
+    global _DIGITS
+    if _DIGITS is None:
+        import re
+
+        _DIGITS = re.compile(r"\d+")
+    return frozenset(_DIGITS.findall(s))
+
+
+def compute_pair_features(batch: pd.DataFrame) -> pd.DataFrame:
+    """Vectorized-per-batch feature kernel over candidate pair rows."""
+    lt = batch["left_payload"].tolist()
+    rt = batch["right_payload"].tolist()
+    ltt = batch["left_title"].tolist()
+    rtt = batch["right_title"].tolist()
+    out = pd.DataFrame(
+        {
+            "left_url": batch["left_url"].to_numpy(),
+            "right_url": batch["right_url"].to_numpy(),
+        }
+    )
+    out["text_jaccard"] = batch_token_jaccard(
+        [t.split() for t in lt], [t.split() for t in rt]
+    )
+    out["title_qgram_jaccard"] = batch_token_jaccard(
+        [qgrams(t, 3) for t in ltt], [qgrams(t, 3) for t in rtt]
+    )
+    out["title_jw"] = batch_jaro_winkler(ltt, rtt)
+    out["len_ratio"] = length_ratio(lt, rt)
+    out["title_num_jaccard"] = batch_token_jaccard(
+        [_digit_tokens(t) for t in ltt], [_digit_tokens(t) for t in rtt]
+    )
+    return out
+
+
+class PairScorer:
+    """Actor-pool scorer: features → logistic probability.
+
+    ``weights`` may be a dict, a JSON file path, or None (defaults). At 100 TB
+    the same class holds the real model: load it here, once per actor.
+    """
+
+    def __init__(self, weights: dict | str | None = None, keep_features: bool = False):
+        if isinstance(weights, str):
+            with open(weights) as f:
+                weights = json.load(f)
+        self.w = dict(DEFAULT_WEIGHTS if weights is None else weights)
+        self.keep_features = keep_features
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        feats = compute_pair_features(batch)
+        z = np.full(len(feats), self.w["bias"], dtype=np.float64)
+        for name in FEATURE_COLUMNS:
+            z += self.w[name] * feats[name].to_numpy()
+        prob = 1.0 / (1.0 + np.exp(-z))
+        cols = ["left_url", "right_url"] + (FEATURE_COLUMNS if self.keep_features else [])
+        out = feats[cols].copy()
+        out["prob"] = prob
+        return out
+
+
+def default_pool_size(requested: int | None = None, reserve: int = 2) -> int:
+    """Actor-pool size that leaves ``reserve`` CPUs for the read/shuffle/write
+    stages. A pool that reserves every CPU deadlocks the streaming executor:
+    upstream all-to-all tasks can never get a slot (observed on a 4-CPU
+    session with concurrency=4)."""
+    import ray
+
+    total = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+    cap = max(1, total - reserve)
+    return cap if requested is None else max(1, min(requested, cap))
+
+
+def score_pairs(
+    pairs_ds,
+    weights: dict | str | None = None,
+    concurrency: int | tuple[int, int] | None = None,
+    batch_size: int = 2048,
+    num_cpus: float = 1,
+    keep_features: bool = False,
+):
+    """pairs Dataset → predictions Dataset (left_url, right_url, prob)."""
+    if concurrency is None or isinstance(concurrency, int):
+        concurrency = default_pool_size(concurrency)
+    return pairs_ds.map_batches(
+        PairScorer,
+        fn_constructor_kwargs={"weights": weights, "keep_features": keep_features},
+        batch_format="pandas",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=num_cpus,
+    )
+
+
+def matcher_metrics(predictions_df: pd.DataFrame, truth_pos: set, theta: float = 0.5) -> dict:
+    """A2 global matcher metrics with the reference's zero-prediction guard
+    (/root/reference/methods/emtransformer/transform.py:81-92)."""
+    pred_pos = predictions_df[predictions_df["prob"] > theta]
+    n_pred = len(pred_pos)
+    tp = sum(
+        (a, b) in truth_pos
+        for a, b in pred_pos[["left_url", "right_url"]].itertuples(index=False)
+    )
+    precision = tp / n_pred if n_pred else 0.0
+    recall = tp / len(truth_pos) if truth_pos else 0.0
+    f1 = 2 * precision * recall / (precision + recall) if (precision + recall) else 0.0
+    return {"tp": tp, "predicted": n_pred, "truth": len(truth_pos),
+            "precision": precision, "recall": recall, "f1": f1}

@@ -1,0 +1,195 @@
+"""Windowed / stream-shaped aggregates over an ordered event table.
+
+Ray Data is a batch engine (the reference is batch-only too, SURVEY §2.9);
+stream-shaped workloads are expressed as: compute the window id per batch
+(vectorized timestamp floor — no shuffle), then aggregate with the bucketed
+grouped primitives (see groupby.py for why builtin ``aggregate`` is avoided).
+Sessionization shuffles each key's events into one hash bucket and windows
+them with one vectorized pandas pass — the documented partitioning contract.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .groupby import bucketed_group_apply, grouped_aggregate, partial_aggregate
+
+_UNIT = {"1h": "h", "1d": "D", "1min": "min", "30min": "30min"}
+
+
+def add_tumbling_window(ds, ts_col: str = "ts", window: str = "1h", out: str = "window_start"):
+    """Vectorized window-id column: floor(ts) to the window size."""
+    unit = _UNIT.get(window, window)
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy(deep=False)
+        df[out] = df[ts_col].dt.floor(unit)
+        return df
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def tumbling_window_agg(
+    ds,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    window: str = "1h",
+):
+    """Tumbling-window aggregate: count + sum(value) per (key, window_start).
+
+    Per-batch partial aggregation (the big shrink) happens inside
+    ``grouped_aggregate`` before any shuffle. Oracle SQL:
+    ``GROUP BY key, date_trunc('hour', ts)``.
+    """
+    windowed = add_tumbling_window(ds, ts_col, window)
+    return grouped_aggregate(
+        windowed,
+        [key_col, "window_start"],
+        {"n_events": (value_col, "count"), "sum_value": (value_col, "sum")},
+    )
+
+
+def sliding_window_agg(
+    ds,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+    window: str = "1h",
+    slide: str = "30min",
+):
+    """Sliding windows: each event explodes into window/slide rows (one per
+    covering window), then the same partial-then-bucketed aggregate."""
+    w = pd.Timedelta(window)
+    s = pd.Timedelta(slide)
+    n_windows = int(w / s)
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        base = df[ts_col].dt.floor(f"{int(s.total_seconds())}s")
+        frames = []
+        for i in range(n_windows):
+            ws = base - i * s
+            mask = (df[ts_col] >= ws) & (df[ts_col] < ws + w)
+            frames.append(
+                pd.DataFrame(
+                    {
+                        key_col: df[key_col][mask],
+                        "window_start": ws[mask],
+                        value_col: df[value_col][mask],
+                    }
+                )
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    exploded = ds.map_batches(explode, batch_format="pandas")
+    return grouped_aggregate(
+        exploded,
+        [key_col, "window_start"],
+        {"n_events": (value_col, "count"), "sum_value": (value_col, "sum")},
+    )
+
+
+def sessionize(
+    ds,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    gap: str = "30min",
+):
+    """Gap-based sessionization: per key, events sorted by ts; a new session
+    starts when the gap to the previous event exceeds ``gap``. Returns one
+    row per session: (key, session_start, session_end, n_events).
+
+    All events of one key land in one hash bucket; within the bucket a single
+    vectorized pandas pass (sort once, diff, cumsum) windows every key at
+    once. Oracle SQL: lag + cumulative sum of gap flags (window functions).
+    """
+    g = pd.Timedelta(gap)
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key_col, ts_col])
+        new_key = df[key_col] != df[key_col].shift()
+        gap_break = df[ts_col].diff() > g
+        session_id = (new_key | gap_break).cumsum()
+        out = df.groupby(session_id, sort=False).agg(
+            **{
+                key_col: (key_col, "first"),
+                "session_start": (ts_col, "min"),
+                "session_end": (ts_col, "max"),
+                "n_events": (ts_col, "size"),
+            }
+        )
+        return out.reset_index(drop=True)
+
+    return bucketed_group_apply(ds.select_columns([key_col, ts_col]), key_col, per_bucket)
+
+
+def global_histogram(
+    ds,
+    value_col: str,
+    bins: int = 100,
+    value_range: tuple[float, float] | None = None,
+    smoothing: str | None = None,
+    eps: float = 1e-12,
+) -> pd.DataFrame:
+    """A4: fixed-bin histogram with optional smoothing, as partial per-batch
+    counts merged in one driver-side reduce (reference methods/embeddings/
+    entrypoint.py:240-260: np.histogram(bins=100) + Laplace('LS') or
+    fixed-minimum('FM', eps) smoothing + normalize).
+
+    If ``value_range`` is None it is computed with one cheap partial-agg pass
+    first, matching np.histogram's default range semantics.
+    """
+    if value_range is None:
+        mm = partial_aggregate(
+            ds.map_batches(lambda df: df.assign(_one=1), batch_format="pandas"),
+            "_one",
+            {"lo": (value_col, "min"), "hi": (value_col, "max")},
+        )
+        value_range = (float(mm["lo"][0]), float(mm["hi"][0]))
+    lo, hi = float(value_range[0]), float(value_range[1])
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = np.asarray(t.column(value_col).to_pylist(), dtype=np.float64)
+        counts, _ = np.histogram(v, bins=bins, range=(lo, hi))
+        return pa.table(
+            {
+                "bin": pa.array(np.arange(bins, dtype=np.int64)),
+                "count": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    total = np.zeros(bins, dtype=np.int64)
+    for b in ds.map_batches(partial, batch_size=65536, batch_format="pyarrow").iter_batches(
+        batch_format="pandas"
+    ):
+        total[b["bin"].to_numpy()] += b["count"].to_numpy()
+
+    counts = total.astype(np.float64)
+    if smoothing == "LS":  # Laplace
+        counts = counts + 1.0
+    elif smoothing == "FM":  # fixed minimum
+        counts = np.maximum(counts, eps)
+    density = counts / counts.sum() if counts.sum() else counts
+    edges = np.linspace(lo, hi, bins + 1)
+    return pd.DataFrame(
+        {
+            "bin": np.arange(bins, dtype=np.int64),
+            "bin_lo": edges[:-1],
+            "bin_hi": edges[1:],
+            "count": total,
+            "density": density,
+        }
+    )
+
+
+def kl_divergence(p: np.ndarray, q: np.ndarray, eps: float = 1e-12) -> float:
+    """A5: KL(p‖q) between two normalized histograms (reference
+    methods/embeddings/entrypoint.py:263 via scipy.stats.entropy)."""
+    p = np.asarray(p, dtype=np.float64)
+    q = np.asarray(q, dtype=np.float64)
+    p = p / p.sum()
+    q = np.maximum(q / q.sum(), eps)
+    mask = p > 0
+    return float(np.sum(p[mask] * np.log(p[mask] / q[mask])))

@@ -1,0 +1,43 @@
+"""End-to-end conformance: the BASELINE.json headline metric —
+pairwise F1 ≥ 0.99 on labeled pairs of the synthetic corpus."""
+
+import pandas as pd
+import ray.data as rd
+
+from ertransfer_ray.pipelines.er_pipeline import ERConfig, run_er
+from ertransfer_ray.pipelines.metrics import clustering_f1, pairwise_f1, prf1, split_stats
+
+
+def test_metric_formula_parity():
+    # A2 with guard
+    assert prf1(0, 0, 5) == {"precision": 0.0, "recall": 0.0, "f1": 0.0}
+    m = prf1(3, 4, 6)
+    assert abs(m["f1"] - 2 * 0.75 * 0.5 / 1.25) < 1e-12
+    # A3: 2·TP/(candidates+GT)
+    assert clustering_f1(3, 4, 6) == 0.6
+    assert clustering_f1(0, 0, 0) == 0.0
+    # A1
+    s = split_stats(10, 4, 8)
+    assert s == {"num_entries": 10, "num_matches": 4, "precision": 0.4, "recall": 0.5}
+
+
+def test_end_to_end_pairwise_f1(pages_corpus):
+    pages = rd.from_arrow(pages_corpus["pages"])
+    res = run_er(pages, ERConfig())
+    assign = res["clusters"].to_pandas()
+    truth = pages_corpus["truth_pairs"].to_pandas()
+    m = pairwise_f1(assign, truth)
+    assert m["f1"] >= 0.99, m
+
+    # every url must be assignable (singletons simply absent from edges →
+    # treated as their own cluster by pairwise_f1's None handling)
+    urls = set(pages_corpus["pages"].column("url").to_pylist())
+    assert set(assign["url"]).issubset(urls)
+
+
+def test_pipeline_outputs_are_lazy_datasets(pages_corpus):
+    pages = rd.from_arrow(pages_corpus["pages"])
+    res = run_er(pages, ERConfig())
+    assert set(res) == {"normalized", "pairs", "predictions", "clusters"}
+    schema = res["predictions"].schema()
+    assert set(schema.names) == {"left_url", "right_url", "prob"}
