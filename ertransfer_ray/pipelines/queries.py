@@ -1,0 +1,533 @@
+"""The driver-facing query suite: one entry per implemented operator family
+(SURVEY.md §2), each paired with an ANSI-SQL oracle in ``oracle_sql()``
+run by DuckDB over the same parquet tables.
+
+Conventions that make the oracle comparison exact:
+- every computed/aggregate column is named identically in Ray and SQL;
+- float aggregates are rounded to 3 decimals on BOTH sides (sum order
+  differs between engines; 3dp absorbs the ~1e-10 relative error);
+- ties in sorts/top-k are broken by an explicit key column on both sides;
+- timestamps are converted to microsecond precision (DuckDB's native unit);
+- joins against dimension tables are broadcast (ray.put once, pandas merge
+  per batch) — no shuffle; large-side grouped work uses the bucketed
+  primitives from stages/groupby.py.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from ..functions.textstats import TextStats, token_count_batch
+from ..stages.dedup import (
+    exact_dedup_summary,
+    minhash_lsh_dedup_pairs,
+    simhash_dedup_pairs,
+)
+from ..stages.groupby import (
+    bucketed_group_apply,
+    distinct_rows,
+    grouped_aggregate,
+    grouped_top_k,
+    partial_aggregate,
+)
+from ..stages.joins import BroadcastHashJoin, BroadcastSemiJoin, keys_of, put_broadcast
+from ..stages.knn import brute_force_topk
+from ..stages.windows import sessionize, tumbling_window_agg
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None):
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _us(df: pd.DataFrame, cols: list[str]) -> pd.DataFrame:
+    for c in cols:
+        df[c] = df[c].astype("datetime64[us]")
+    return df
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-shaped queries (aggregate / join / sort / filter operator coverage)
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(sf_dir: str) -> pd.DataFrame:
+    """A2-family grouped aggregate with a filter (TPC-H Q1 shape):
+    vectorized revenue column per batch, partial agg, driver combine."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["l_quantity"] < 45].copy(deep=False)
+        df["disc_price"] = df["l_extendedprice"] * (1 - df["l_discount"])
+        return df
+
+    out = partial_aggregate(
+        ds.map_batches(prep, batch_format="pandas"),
+        ["l_returnflag", "l_linestatus"],
+        {
+            "sum_qty": ("l_quantity", "sum"),
+            "sum_base_price": ("l_extendedprice", "sum"),
+            "sum_disc_price": ("disc_price", "sum"),
+            "avg_qty": ("l_quantity", "mean"),
+            "count_order": (None, "count"),
+        },
+    )
+    for c in ["sum_qty", "sum_base_price", "sum_disc_price", "avg_qty"]:
+        out[c] = out[c].round(3)
+    return out
+
+
+def q_top_orders(sf_dir: str) -> pd.DataFrame:
+    """O2 global sort + limit, deterministic tie-break."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    top = ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
+    return top.to_pandas()
+
+
+def q_customer_order_stats(sf_dir: str) -> pd.DataFrame:
+    """J3 broadcast hash join (orders ⋈ customer) + grouped aggregate."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    ref = put_broadcast(cust.rename(columns={"c_custkey": "o_custkey"}))
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    joined = orders.map_batches(
+        BroadcastHashJoin(ref, on="o_custkey", how="inner"), batch_format="pandas"
+    )
+    out = partial_aggregate(
+        joined,
+        "c_mktsegment",
+        {"n_orders": (None, "count"), "sum_total": ("o_totalprice", "sum"),
+         "avg_total": ("o_totalprice", "mean")},
+    )
+    out["sum_total"] = out["sum_total"].round(3)
+    out["avg_total"] = out["avg_total"].round(3)
+    return out
+
+
+def q_region_customer_count(sf_dir: str) -> pd.DataFrame:
+    """Two chained broadcast joins (customer ⋈ nation ⋈ region) + count."""
+    nation = _read(sf_dir, "nation").to_pandas()
+    region = _read(sf_dir, "region").to_pandas()
+    dim = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")[
+        ["n_nationkey", "r_name"]
+    ].rename(columns={"n_nationkey": "c_nationkey"})
+    ref = put_broadcast(dim)
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    joined = cust.map_batches(
+        BroadcastHashJoin(ref, on="c_nationkey", how="inner"), batch_format="pandas"
+    )
+    return partial_aggregate(joined, "r_name", {"n_customers": (None, "count")})
+
+
+def q_filter_clicks(sf_dir: str) -> pd.DataFrame:
+    """M14 vectorized filter + projection (row-level output)."""
+    ev = _read(sf_dir, "events", ["event_id", "event_type", "user_id", "value"])
+    out = ev.map_batches(
+        lambda t: t.filter(
+            pa.compute.and_(
+                pa.compute.equal(t["event_type"], "click"),
+                pa.compute.greater(t["value"], 50.0),
+            )
+        ).select(["event_id", "user_id", "value"]),
+        batch_format="pyarrow",
+    )
+    df = out.to_pandas()
+    df["value"] = df["value"].round(3)
+    return df
+
+
+def q_distinct_event_types(sf_dir: str) -> pd.DataFrame:
+    """Distinct values (bucketed, not ds.unique — see groupby.py)."""
+    ev = _read(sf_dir, "events", ["event_type"])
+    return distinct_rows(ev, "event_type").to_pandas().sort_values(
+        "event_type", ignore_index=True
+    )
+
+
+def q_customers_without_orders(sf_dir: str) -> pd.DataFrame:
+    """J6 anti-join via broadcast key set."""
+    keys = set(keys_of(_read(sf_dir, "orders", ["o_custkey"]), "o_custkey"))
+    ref = put_broadcast(keys)
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    out = cust.map_batches(
+        BroadcastSemiJoin(ref, "c_custkey", anti=True), batch_format="pyarrow"
+    )
+    df = out.to_pandas()
+    if "c_custkey" not in df.columns:  # empty result datasets lose their schema
+        df = pd.DataFrame({"c_custkey": pd.Series([], dtype="int64")})
+    return df.sort_values("c_custkey", ignore_index=True)
+
+
+def q_customer_order_counts(sf_dir: str) -> pd.DataFrame:
+    """J5 semi-join flavor: per-customer order count (only customers with
+    orders), unbounded key cardinality → bucketed grouped aggregate."""
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+    out = grouped_aggregate(orders, "o_custkey", {"n_orders": (None, "count")})
+    return out.to_pandas().sort_values("o_custkey", ignore_index=True)
+
+
+def q_top1_order_per_customer(sf_dir: str) -> pd.DataFrame:
+    """O1 per-key top-1 (reference per-entity best match shape)."""
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+    out = grouped_top_k(
+        orders, "o_custkey", "o_totalprice", k=1, descending=True, tie_cols=["o_orderkey"]
+    )
+    return out.to_pandas().sort_values("o_custkey", ignore_index=True)
+
+
+# ---------------------------------------------------------------------------
+# Window / stream-shaped queries
+# ---------------------------------------------------------------------------
+
+def q_hourly_event_stats(sf_dir: str) -> pd.DataFrame:
+    ev = _read(sf_dir, "events", ["ts", "event_type", "value"])
+    out = tumbling_window_agg(ev, "ts", "event_type", "value", "1h").to_pandas()
+    out["sum_value"] = out["sum_value"].round(3)
+    return _us(out, ["window_start"]).sort_values(
+        ["event_type", "window_start"], ignore_index=True
+    )
+
+
+def q_user_sessions(sf_dir: str) -> pd.DataFrame:
+    ev = _read(sf_dir, "events", ["ts", "user_id"])
+    out = sessionize(ev, "ts", "user_id", gap="30min").to_pandas()
+    return _us(out, ["session_start", "session_end"]).sort_values(
+        ["user_id", "session_start"], ignore_index=True
+    )
+
+
+def q_value_histogram(sf_dir: str) -> pd.DataFrame:
+    """A4 fixed-bin histogram as per-batch partials + driver combine,
+    binning formula chosen for exact SQL parity (floor + clamp)."""
+    ev = _read(sf_dir, "events", ["value"])
+    mm = partial_aggregate(
+        ev.map_batches(lambda df: df.assign(_one=1), batch_format="pandas"),
+        "_one", {"lo": ("value", "min"), "hi": ("value", "max")},
+    )
+    lo, hi = float(mm["lo"][0]), float(mm["hi"][0])
+    bins = 100
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        b = np.minimum(
+            np.floor((df["value"].to_numpy() - lo) * bins / (hi - lo)), bins - 1
+        ).astype(np.int64)
+        u, c = np.unique(b, return_counts=True)
+        return pd.DataFrame({"bin": u, "count": c.astype(np.int64)})
+
+    out = partial_aggregate(
+        ev.map_batches(partial, batch_format="pandas"), "bin", {"count": ("count", "sum")}
+    )
+    return out
+
+
+def q_props_k_stats(sf_dir: str) -> pd.DataFrame:
+    """Scalar-function coverage: JSON field extraction + grouped agg."""
+    ev = _read(sf_dir, "events", ["event_type", "props"])
+    pat = re.compile(r'"k":\s*(-?\d+)')
+
+    def extract(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy(deep=False)
+        df["k"] = df["props"].str.extract(pat, expand=False).astype("int64")
+        return df[["event_type", "k"]]
+
+    return partial_aggregate(
+        ev.map_batches(extract, batch_format="pandas"),
+        "event_type",
+        {"sum_k": ("k", "sum"), "max_k": ("k", "max"), "n": (None, "count")},
+    )
+
+
+# ---------------------------------------------------------------------------
+# Documents / text-analysis queries
+# ---------------------------------------------------------------------------
+
+def q_doc_token_stats(sf_dir: str) -> pd.DataFrame:
+    """M4-family text kernel: whitespace token count, vectorized in Arrow."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_chars": t.column("n_chars"),
+                "token_count": pa.compute.cast(
+                    token_count_batch(t.column("text")), pa.int64()
+                ),
+            }
+        )
+
+    return docs.map_batches(fn, batch_format="pyarrow").to_pandas().sort_values(
+        "doc_id", ignore_index=True
+    )
+
+
+def q_doc_lang_counts(sf_dir: str) -> pd.DataFrame:
+    docs = _read(sf_dir, "documents", ["lang"])
+    return partial_aggregate(docs, "lang", {"n_docs": (None, "count")})
+
+
+def q_exact_dedup_docs(sf_dir: str) -> pd.DataFrame:
+    """D1 exact dedup summary: (keep_id, dup_count) per distinct text."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = exact_dedup_summary(docs, "doc_id", "text").to_pandas()
+    return out.sort_values("keep_id", ignore_index=True)
+
+
+def q_doc_quality(sf_dir: str) -> pd.DataFrame:
+    """Language-ID + quality scoring + fingerprint (deterministic heuristics;
+    rows-only driver check — not SQL-expressible)."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = docs.map_batches(
+        TextStats, fn_constructor_kwargs={"text_col": "text"},
+        batch_format="pyarrow", batch_size=2048, concurrency=2,
+    ).select_columns(["doc_id", "lang_pred", "token_count", "quality", "fingerprint"])
+    df = out.to_pandas()
+    df["quality"] = df["quality"].round(4)
+    return df.sort_values("doc_id", ignore_index=True)
+
+
+# ---------------------------------------------------------------------------
+# Embedding / similarity queries
+# ---------------------------------------------------------------------------
+
+def q_embedding_knn(sf_dir: str) -> pd.DataFrame:
+    """Brute-force cosine top-10 vs the vec_id=0 embedding (float64 accum)."""
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    q = None
+    for b in emb.iter_batches(batch_format="pandas"):
+        hit = b[b["vec_id"] == 0]
+        if len(hit):
+            q = np.asarray(list(hit["embedding"])[0], dtype=np.float64)
+            break
+    top = brute_force_topk(emb, q, k=10, id_col="vec_id", vec_col="embedding")
+    out = top[top["qid"] == 0][["vec_id", "cosine"]].copy()
+    out["cos_sim"] = out["cosine"].round(6)
+    return out[["vec_id", "cos_sim"]].reset_index(drop=True)
+
+
+def q_embedding_neardup_exact(sf_dir: str) -> pd.DataFrame:
+    """Exact all-pairs cosine ≥ 0.35 (single-bucket brute force — the
+    verification baseline for the LSH-bucketed variant)."""
+    from ..stages.dedup import embedding_neardup_pairs
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = embedding_neardup_pairs(
+        emb, cosine_threshold=0.35, num_buckets=1
+    ).to_pandas()
+    out["cosine"] = out["cosine"].round(6)
+    return out.sort_values(["left_id", "right_id"], ignore_index=True)
+
+
+# ---------------------------------------------------------------------------
+# Rows-only pipelines (not SQL-expressible; driver records row counts)
+# ---------------------------------------------------------------------------
+
+def q_minhash_neardup_pairs(sf_dir: str) -> pd.DataFrame:
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = minhash_lsh_dedup_pairs(docs, jaccard_threshold=0.5).to_pandas()
+    out["jaccard"] = out["jaccard"].round(6)
+    return out.sort_values(["left_id", "right_id"], ignore_index=True)
+
+
+def q_simhash_neardup_pairs(sf_dir: str) -> pd.DataFrame:
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = simhash_dedup_pairs(docs, max_hamming=8).to_pandas()
+    return out.sort_values(["left_id", "right_id"], ignore_index=True)
+
+
+def q_er_documents(sf_dir: str) -> pd.DataFrame:
+    """Flagship: the three-stage ER pipeline over the documents corpus.
+
+    Bulk-text configuration: word-shingle blocking + shingle-Jaccard
+    scoring (unigram sets saturate on bag-of-words text — see
+    scoring.DOCUMENTS_WEIGHTS). Returns non-singleton cluster assignments.
+    """
+    from ..pipelines.er_pipeline import ERConfig, run_er
+    from ..sources.pages import documents_as_pages
+    from ..stages.scoring import DOCUMENTS_WEIGHTS
+
+    pages = documents_as_pages(sf_dir)
+    cfg = ERConfig(tokenization="shingles", weights=DOCUMENTS_WEIGHTS)
+    res = run_er(pages, cfg, normalized=True)
+    return res["clusters"].to_pandas().sort_values("url", ignore_index=True)
+
+
+def build_queries() -> dict:
+    return {
+        "pricing_summary": q_pricing_summary,
+        "top_orders": q_top_orders,
+        "customer_order_stats": q_customer_order_stats,
+        "region_customer_count": q_region_customer_count,
+        "filter_clicks": q_filter_clicks,
+        "distinct_event_types": q_distinct_event_types,
+        "customers_without_orders": q_customers_without_orders,
+        "customer_order_counts": q_customer_order_counts,
+        "top1_order_per_customer": q_top1_order_per_customer,
+        "hourly_event_stats": q_hourly_event_stats,
+        "user_sessions": q_user_sessions,
+        "value_histogram": q_value_histogram,
+        "props_k_stats": q_props_k_stats,
+        "doc_token_stats": q_doc_token_stats,
+        "doc_lang_counts": q_doc_lang_counts,
+        "exact_dedup_docs": q_exact_dedup_docs,
+        "doc_quality": q_doc_quality,
+        "embedding_knn": q_embedding_knn,
+        "embedding_neardup_exact": q_embedding_neardup_exact,
+        "minhash_neardup_pairs": q_minhash_neardup_pairs,
+        "simhash_neardup_pairs": q_simhash_neardup_pairs,
+        "er_documents": q_er_documents,
+    }
+
+
+ORACLE_SQL: dict[str, str] = {
+    "pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 3)                          AS sum_qty,
+               round(sum(l_extendedprice), 3)                     AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 3)  AS sum_disc_price,
+               round(avg(l_quantity), 3)                          AS avg_qty,
+               count(*)                                           AS count_order
+        FROM lineitem WHERE l_quantity < 45
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    "top_orders": """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+    "customer_order_stats": """
+        SELECT c_mktsegment,
+               count(*)                    AS n_orders,
+               round(sum(o_totalprice), 3) AS sum_total,
+               round(avg(o_totalprice), 3) AS avg_total
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    "region_customer_count": """
+        SELECT r_name, count(*) AS n_customers
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name ORDER BY r_name
+    """,
+    "filter_clicks": """
+        SELECT event_id, user_id, round(value, 3) AS value
+        FROM events WHERE event_type = 'click' AND value > 50.0
+    """,
+    "distinct_event_types": """
+        SELECT DISTINCT event_type FROM events ORDER BY event_type
+    """,
+    "customers_without_orders": """
+        SELECT c_custkey FROM customer
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        ORDER BY c_custkey
+    """,
+    "customer_order_counts": """
+        SELECT o_custkey, count(*) AS n_orders
+        FROM orders GROUP BY o_custkey ORDER BY o_custkey
+    """,
+    "top1_order_per_customer": """
+        SELECT o_custkey, o_orderkey, o_totalprice FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   row_number() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey
+                   ) AS rn
+            FROM orders
+        ) WHERE rn = 1 ORDER BY o_custkey
+    """,
+    "hourly_event_stats": """
+        SELECT event_type,
+               date_trunc('hour', ts)  AS window_start,
+               count(*)                AS n_events,
+               round(sum(value), 3)    AS sum_value
+        FROM events GROUP BY event_type, date_trunc('hour', ts)
+        ORDER BY event_type, window_start
+    """,
+    "user_sessions": """
+        WITH o AS (
+            SELECT user_id, ts,
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS pts
+            FROM events
+        ), f AS (
+            SELECT user_id, ts,
+                   CASE WHEN pts IS NULL OR ts - pts > INTERVAL '30 minutes'
+                        THEN 1 ELSE 0 END AS brk
+            FROM o
+        ), s AS (
+            SELECT user_id, ts,
+                   sum(brk) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS sid
+            FROM f
+        )
+        SELECT user_id,
+               min(ts)  AS session_start,
+               max(ts)  AS session_end,
+               count(*) AS n_events
+        FROM s GROUP BY user_id, sid
+        ORDER BY user_id, session_start
+    """,
+    "value_histogram": """
+        WITH mm AS (SELECT min(value) AS lo, max(value) AS hi FROM events)
+        SELECT CAST(LEAST(FLOOR((value - lo) * 100 / (hi - lo)), 99) AS BIGINT) AS bin,
+               count(*) AS count
+        FROM events, mm GROUP BY 1 ORDER BY 1
+    """,
+    "props_k_stats": """
+        SELECT event_type,
+               sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+               max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+               count(*) AS n
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    "doc_token_stats": """
+        SELECT doc_id, n_chars,
+               CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+               END AS token_count
+        FROM documents ORDER BY doc_id
+    """,
+    "doc_lang_counts": """
+        SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang ORDER BY lang
+    """,
+    "exact_dedup_docs": """
+        SELECT min(doc_id) AS keep_id, count(*) AS dup_count
+        FROM documents GROUP BY text ORDER BY keep_id
+    """,
+    # NOTE: embeddings are float32 lists; DuckDB's list_cosine_similarity on
+    # FLOAT[] accumulates in float32 (~1e-6 error — enough to flip threshold
+    # membership), so both oracles cast to DOUBLE[] to match the engine's
+    # float64 accumulation.
+    "embedding_knn": """
+        WITH scored AS (
+            SELECT vec_id,
+                   list_cosine_similarity(
+                       CAST(embedding AS DOUBLE[]),
+                       (SELECT CAST(embedding AS DOUBLE[])
+                        FROM embeddings WHERE vec_id = 0)
+                   ) AS c
+            FROM embeddings
+        )
+        SELECT vec_id, round(c, 6) AS cos_sim
+        FROM scored ORDER BY c DESC, vec_id LIMIT 10
+    """,
+    "embedding_neardup_exact": """
+        WITH scored AS (
+            SELECT a.vec_id AS left_id, b.vec_id AS right_id,
+                   list_cosine_similarity(
+                       CAST(a.embedding AS DOUBLE[]),
+                       CAST(b.embedding AS DOUBLE[])
+                   ) AS c
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        )
+        SELECT left_id, right_id, round(c, 6) AS cosine
+        FROM scored WHERE c >= 0.35
+        ORDER BY left_id, right_id
+    """,
+}

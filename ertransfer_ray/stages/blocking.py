@@ -67,6 +67,14 @@ class BlockKeyEmitter:
     def _tokens(self, norm_text: str) -> list[str]:
         if self.tokenization == "qgrams":
             return qgrams(norm_text, self.qgram)
+        if self.tokenization == "shingles":
+            # word k-shingles: sequence-sensitive — required for bag-of-words
+            # corpora where unigram sets saturate (every doc covers the vocab)
+            ws = norm_text.split()
+            k = 3
+            if len(ws) <= k:
+                return [" ".join(ws)] if ws else []
+            return [" ".join(ws[i : i + k]) for i in range(len(ws) - k + 1)]
         return norm_text.split()
 
     def __call__(self, batch: pa.Table) -> pa.Table:

@@ -275,8 +275,9 @@ def embedding_neardup_pairs(
     """
     from ..functions.simfuncs import cosine_matrix
 
-    bits = max(1, int(np.log2(num_buckets)))
-    n_proj = 2
+    # num_buckets=1 → 0 hyperplane bits → everything in one bucket (exact)
+    bits = int(np.ceil(np.log2(num_buckets))) if num_buckets > 1 else 0
+    n_proj = 2 if bits else 1
 
     def emit(t: pa.Table) -> pa.Table:
         ids = t.column(id_col).to_pylist()
@@ -285,12 +286,15 @@ def embedding_neardup_pairs(
         rng = np.random.default_rng(seed)
         out_b, out_i, out_v = [], [], []
         for p in range(n_proj):
-            planes = rng.standard_normal((bits, dim))
-            if len(vecs):
-                sig = (vecs @ planes.T > 0).astype(np.int64)
-                codes = (sig * (1 << np.arange(bits))).sum(axis=1)
+            if bits:
+                planes = rng.standard_normal((bits, dim))
+                if len(vecs):
+                    sig = (vecs @ planes.T > 0).astype(np.int64)
+                    codes = (sig * (1 << np.arange(bits))).sum(axis=1)
+                else:
+                    codes = []
             else:
-                codes = []
+                codes = np.zeros(len(vecs), dtype=np.int64)
             out_b.extend([f"p{p}:{c}" for c in codes])
             out_i.extend(ids)
             out_v.extend(vecs.tolist())

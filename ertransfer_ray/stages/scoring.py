@@ -38,14 +38,29 @@ from ..functions.simfuncs import (
 DEFAULT_WEIGHTS = {
     "bias": -15.0,
     "text_jaccard": 10.0,
+    "text_shingle_jaccard": 0.0,
     "title_qgram_jaccard": 6.0,
     "title_jw": 5.0,
     "len_ratio": 2.0,
     "title_num_jaccard": 4.0,
 }
 
+#: Weights for bulk-text near-dup semantics (documents corpus): unigram sets
+#: saturate on bag-of-words text, so only the sequence-sensitive word-shingle
+#: Jaccard discriminates true near-duplicates from vocabulary overlap.
+DOCUMENTS_WEIGHTS = {
+    "bias": -6.0,
+    "text_jaccard": 0.0,
+    "text_shingle_jaccard": 12.0,
+    "title_qgram_jaccard": 0.0,
+    "title_jw": 0.0,
+    "len_ratio": 2.0,
+    "title_num_jaccard": 0.0,
+}
+
 FEATURE_COLUMNS = [
     "text_jaccard",
+    "text_shingle_jaccard",
     "title_qgram_jaccard",
     "title_jw",
     "len_ratio",
@@ -76,8 +91,17 @@ def compute_pair_features(batch: pd.DataFrame) -> pd.DataFrame:
             "right_url": batch["right_url"].to_numpy(),
         }
     )
-    out["text_jaccard"] = batch_token_jaccard(
-        [t.split() for t in lt], [t.split() for t in rt]
+    lt_words = [t.split() for t in lt]
+    rt_words = [t.split() for t in rt]
+    out["text_jaccard"] = batch_token_jaccard(lt_words, rt_words)
+
+    def shingles(ws: list[str]) -> list[str]:
+        if len(ws) <= 3:
+            return [" ".join(ws)] if ws else []
+        return [" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)]
+
+    out["text_shingle_jaccard"] = batch_token_jaccard(
+        [shingles(w) for w in lt_words], [shingles(w) for w in rt_words]
     )
     out["title_qgram_jaccard"] = batch_token_jaccard(
         [qgrams(t, 3) for t in ltt], [qgrams(t, 3) for t in rtt]
