@@ -1,0 +1,75 @@
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from ertransfer_ray.stages.dedup import (
+    embedding_neardup_pairs,
+    exact_dedup,
+    exact_dedup_summary,
+    minhash_lsh_dedup,
+    minhash_lsh_dedup_pairs,
+    simhash_dedup_pairs,
+)
+
+
+def _docs():
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = "the quick brown fox jumps over the lazy dog again and again yesterday"
+    other = "completely different content about databases and distributed systems design"
+    return rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                "text": pa.array([base, base, near, other, other + " extended"], pa.string()),
+            }
+        )
+    )
+
+
+def test_exact_dedup():
+    out = exact_dedup(_docs(), "doc_id").to_pandas().sort_values("doc_id")
+    # doc 2 is an exact dup of doc 1 → dropped; others unique
+    assert out["doc_id"].tolist() == [1, 3, 4, 5]
+
+
+def test_exact_dedup_summary():
+    out = exact_dedup_summary(_docs(), "doc_id").to_pandas().sort_values("keep_id")
+    assert out["keep_id"].tolist() == [1, 3, 4, 5]
+    assert out[out["keep_id"] == 1]["dup_count"].iloc[0] == 2
+
+
+def test_minhash_lsh_finds_near_dups():
+    pairs = minhash_lsh_dedup_pairs(_docs(), jaccard_threshold=0.4).to_pandas()
+    got = set(zip(pairs["left_id"], pairs["right_id"]))
+    assert (1, 2) in got  # exact dup
+    assert (1, 3) in got or (2, 3) in got  # near dup
+    assert not any({a, b} == {4, 1} for a, b in got)
+
+
+def test_minhash_lsh_dedup_groups():
+    out = minhash_lsh_dedup(_docs(), jaccard_threshold=0.4).to_pandas()
+    m = dict(zip(out["doc_id"], out["group_id"]))
+    assert m[1] == m[2] == 1
+    assert m.get(3, 1) == 1  # near-dup joins the group transitively
+
+
+def test_simhash_finds_near_dups():
+    pairs = simhash_dedup_pairs(_docs(), max_hamming=12).to_pandas()
+    got = set(zip(pairs["left_id"], pairs["right_id"]))
+    assert (1, 2) in got
+
+
+def test_embedding_neardup_exact_bucket():
+    emb = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array([1, 2, 3], pa.int64()),
+                "embedding": pa.array(
+                    [[1.0, 0.0], [0.99, 0.14], [0.0, 1.0]], pa.list_(pa.float32())
+                ),
+            }
+        )
+    )
+    pairs = embedding_neardup_pairs(emb, cosine_threshold=0.9, num_buckets=1).to_pandas()
+    got = set(zip(pairs["left_id"], pairs["right_id"]))
+    assert got == {(1, 2)}

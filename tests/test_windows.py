@@ -1,0 +1,74 @@
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from ertransfer_ray.stages.windows import (
+    global_histogram,
+    kl_divergence,
+    sessionize,
+    sliding_window_agg,
+    tumbling_window_agg,
+)
+
+
+def _events():
+    ts = pd.to_datetime(
+        [
+            "2024-01-01 00:05",
+            "2024-01-01 00:50",
+            "2024-01-01 01:10",
+            "2024-01-01 03:00",
+            "2024-01-01 03:10",
+        ]
+    )
+    return rd.from_pandas(
+        pd.DataFrame(
+            {"ts": ts, "event_type": ["a", "a", "a", "b", "b"],
+             "user_id": [1, 1, 1, 2, 2], "value": [1.0, 2.0, 3.0, 4.0, 5.0]}
+        )
+    )
+
+
+def test_tumbling():
+    out = tumbling_window_agg(_events()).to_pandas().sort_values(
+        ["event_type", "window_start"], ignore_index=True
+    )
+    assert out["n_events"].tolist() == [2, 1, 2]
+    assert out["sum_value"].tolist() == [3.0, 3.0, 9.0]
+
+
+def test_sessionize_gap():
+    out = sessionize(_events(), gap="30min").to_pandas().sort_values(
+        ["user_id", "session_start"], ignore_index=True
+    )
+    # user 1: 00:05 | 00:50-01:10 (gap 45min breaks, 20min keeps); user 2: one session
+    assert len(out) == 3
+    u1 = out[out["user_id"] == 1]
+    assert u1["n_events"].tolist() == [1, 2]
+    u2 = out[out["user_id"] == 2]
+    assert u2["n_events"].tolist() == [2]
+
+
+def test_sliding_window():
+    out = sliding_window_agg(_events(), key_col="event_type").to_pandas()
+    # every event appears in exactly 2 windows (1h window, 30min slide)
+    assert out["n_events"].sum() == 10
+
+
+def test_histogram_and_smoothing():
+    df = pd.DataFrame({"v": np.concatenate([np.zeros(10), np.ones(10) * 9.99, [10.0]])})
+    ds = rd.from_pandas(df)
+    h = global_histogram(ds, "v", bins=10, value_range=(0.0, 10.0))
+    assert h["count"].sum() == 21
+    assert h["count"].iloc[0] == 10
+    assert h["count"].iloc[9] == 11  # right edge inclusive, np.histogram semantics
+    hs = global_histogram(ds, "v", bins=10, value_range=(0.0, 10.0), smoothing="LS")
+    assert (hs["density"] > 0).all()
+    assert abs(hs["density"].sum() - 1.0) < 1e-9
+
+
+def test_kl_divergence():
+    p = np.array([0.5, 0.5, 0.0])
+    assert kl_divergence(p, p) < 1e-12
+    q = np.array([0.9, 0.05, 0.05])
+    assert kl_divergence(p, q) > 0.1
