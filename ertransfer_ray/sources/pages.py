@@ -204,23 +204,33 @@ def documents_as_pages(sf_dir: str):
     pages pipeline shape: url := doc-<id>, norm fields derived from text.
     Used by bench.py to run the ER pipeline over the bulk-text corpus.
     """
+    import pyarrow.compute as pc
+    import ray
     import ray.data as rd
 
-    from ..functions.textnorm import normalize_title, tokenize
-
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    # single-file inputs arrive as ONE block; split so downstream per-batch
+    # kernels (minhash, scoring) parallelize across the whole cluster
+    n_blocks = max(8, int(ray.cluster_resources().get("CPU", 8))) if ray.is_initialized() else 8
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text"],
+        override_num_blocks=n_blocks,
+    )
 
     def to_pages(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_pylist()
-        texts = batch.column("text").to_pylist()
-        first_line = [t.split("\n", 1)[0][:80] for t in texts]
+        # fully vectorized normalization: lowercase → non-word runs to one
+        # space → trim. Matches " ".join(tokenize(t)) for \w+ tokenization.
+        text = batch.column("text")
+        lower = pc.utf8_lower(text)
+        norm = pc.utf8_trim_whitespace(
+            pc.replace_substring_regex(lower, r"[^\w]+", " ")
+        )
+        title = pc.utf8_slice_codeunits(norm, 0, 80)
+        url = pc.binary_join_element_wise(
+            "doc-", pc.cast(batch.column("doc_id"), pa.string()), ""
+        )
         return pa.table(
-            {
-                "url": pa.array([f"doc-{i}" for i in ids], pa.string()),
-                "text": pa.array(texts, pa.string()),
-                "norm_text": pa.array([" ".join(tokenize(t)) for t in texts], pa.string()),
-                "norm_title": pa.array([normalize_title(t) for t in first_line], pa.string()),
-            }
+            {"url": url, "text": text, "norm_text": norm, "norm_title": title}
         )
 
     return ds.map_batches(to_pages, batch_format="pyarrow")

@@ -105,10 +105,15 @@ class BlockKeyEmitter:
         )
 
 
-def emit_block_keys(norm_ds, **emitter_kwargs):
-    """normalized pages Dataset → exploded (block_key, url, …) Dataset."""
+def emit_block_keys(norm_ds, batch_size: int = 1024, **emitter_kwargs):
+    """normalized pages Dataset → exploded (block_key, url, …) Dataset.
+
+    Smaller batches than usual: MinHash permutation is the most
+    compute-dense kernel in the pipeline (~num_perm ops per shingle), so
+    finer batches keep every core busy instead of two giant tasks.
+    """
     return norm_ds.map_batches(
-        BlockKeyEmitter(**emitter_kwargs), batch_format="pyarrow", batch_size=4096
+        BlockKeyEmitter(**emitter_kwargs), batch_format="pyarrow", batch_size=batch_size
     )
 
 
@@ -130,6 +135,9 @@ def _pairs_in_bucket(df: pd.DataFrame, max_block_size: int, window: int) -> pd.D
     The per-block Python loop is fine — blocks are small by construction
     (the cap bounds them) and the loop body is numpy index generation.
     """
+    # singleton keys (the vast majority of LSH band keys) can't form pairs —
+    # drop them vectorized BEFORE the per-key Python loop
+    df = df[df.duplicated("block_key", keep=False)]
     frames = []
     df = df.sort_values(["block_key", "url"])
     for _, g in df.groupby("block_key", sort=False):

@@ -130,6 +130,8 @@ def minhash_lsh_dedup_pairs(
     pair generation (capped) → n-gram Jaccard verify ≥ threshold → distinct
     pairs (left_id < right_id, with verified jaccard score).
     """
+    from .scoring import default_pool_size
+
     keyed = ds.map_batches(
         _ShingleMinHash,
         fn_constructor_kwargs=dict(
@@ -137,11 +139,12 @@ def minhash_lsh_dedup_pairs(
             num_bands=num_bands, shingle_words=shingle_words,
         ),
         batch_format="pyarrow",
-        batch_size=2048,
-        concurrency=2,
+        batch_size=1024,
+        concurrency=(1, default_pool_size()),
     )
 
     def pairs_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df.duplicated("band_key", keep=False)]  # singletons can't pair
         frames = []
         for _, g in df.groupby("band_key", sort=False):
             g = g.drop_duplicates("doc_id").sort_values("doc_id").head(max_block_size)
@@ -234,6 +237,7 @@ def simhash_dedup_pairs(
     keyed = ds.map_batches(emit, batch_format="pyarrow")
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df.duplicated("bucket", keep=False)]  # singletons can't pair
         frames = []
         for _, g in df.groupby("bucket", sort=False):
             g = g.drop_duplicates("doc_id").sort_values("doc_id")
@@ -309,6 +313,7 @@ def embedding_neardup_pairs(
     keyed = ds.map_batches(emit, batch_format="pyarrow")
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df.duplicated("bucket", keep=False)]  # singletons can't pair
         frames = []
         for _, g in df.groupby("bucket", sort=False):
             g = g.drop_duplicates("vec_id").sort_values("vec_id")

@@ -160,9 +160,13 @@ def score_pairs(
     num_cpus: float = 1,
     keep_features: bool = False,
 ):
-    """pairs Dataset → predictions Dataset (left_url, right_url, prob)."""
+    """pairs Dataset → predictions Dataset (left_url, right_url, prob).
+
+    Default pool is autoscaling (1, cpus - headroom): small inputs don't pay
+    a full pool's actor-spawn cost, large inputs still fan out.
+    """
     if concurrency is None or isinstance(concurrency, int):
-        concurrency = default_pool_size(concurrency)
+        concurrency = (1, default_pool_size(concurrency))
     return pairs_ds.map_batches(
         PairScorer,
         fn_constructor_kwargs={"weights": weights, "keep_features": keep_features},
