@@ -66,21 +66,37 @@ def minhash_signatures(
     """
     a, b = coeffs if coeffs is not None else minhash_coeffs(num_perm, seed)
     n = len(token_lists)
-    sig = np.full((n, num_perm), _MAX_HASH, dtype=np.uint64)
+    # uint32 signatures: halves the memory traffic of the (tokens × perms)
+    # intermediate — this kernel is bandwidth-bound, not FLOP-bound
+    sig = np.full((n, num_perm), np.uint32(_MAX_HASH), dtype=np.uint32)
     lengths = np.fromiter((len(t) for t in token_lists), dtype=np.int64, count=n)
     total = int(lengths.sum())
     if total == 0:
         return sig
     flat = np.concatenate([np.asarray(t, dtype=object) for t in token_lists if len(t)])
-    th = hash_to_uint32(flat)  # (total,)
-    # (total, num_perm) permuted hashes; uint64 mul wraps — use modular trick on 61-bit prime
-    perm = (th[:, None] * a[None, :] + b[None, :]) % _MERSENNE_P
-    perm &= _MAX_HASH
-    nonempty = lengths > 0
-    offsets = np.zeros(int(nonempty.sum()), dtype=np.int64)
-    np.cumsum(lengths[nonempty][:-1], out=offsets[1:])
-    mins = np.minimum.reduceat(perm, offsets, axis=0)
-    sig[nonempty] = mins
+    th = hash_to_uint32(flat)  # (total,) uint64 values < 2^32
+    nonempty_idx = np.nonzero(lengths > 0)[0]
+    ne_lengths = lengths[nonempty_idx]
+    offsets = np.zeros(len(ne_lengths), dtype=np.int64)
+    np.cumsum(ne_lengths[:-1], out=offsets[1:])
+    # process in cache-sized chunks of whole documents (~64k tokens): the
+    # full (total × num_perm) matrix would be hundreds of MB and thrash
+    CHUNK_TOKENS = 65536
+    d0 = 0
+    while d0 < len(ne_lengths):
+        d1 = d0
+        tok = 0
+        while d1 < len(ne_lengths) and (tok == 0 or tok + ne_lengths[d1] <= CHUNK_TOKENS):
+            tok += ne_lengths[d1]
+            d1 += 1
+        t0 = offsets[d0]
+        chunk = th[t0 : t0 + tok]
+        perm = (chunk[:, None] * a[None, :] + b[None, :]) % _MERSENNE_P
+        perm &= _MAX_HASH
+        rel_off = (offsets[d0:d1] - t0).astype(np.int64)
+        mins = np.minimum.reduceat(perm, rel_off, axis=0)
+        sig[nonempty_idx[d0:d1]] = mins.astype(np.uint32)
+        d0 = d1
     return sig
 
 
@@ -104,6 +120,28 @@ def lsh_band_keys(
         band_bytes = [byte_view[i].tobytes() for i in range(n)]
         h = stable_hash64(band_bytes)
         out.append(np.char.add(f"{prefix}{bi}:", h.astype("U20")))
+    return out
+
+
+def lsh_band_keys_u64(
+    signatures: np.ndarray, num_bands: int, salt: int = 0
+) -> list[np.ndarray]:
+    """Numeric variant of :func:`lsh_band_keys`: each band key is an int64
+    (band hash mixed with a per-band constant). Preferred in shuffles —
+    8-byte fixed keys sort and hash far cheaper than ~24-byte strings when
+    the key table is num_bands × corpus rows.
+    """
+    n, num_perm = signatures.shape
+    assert num_perm % num_bands == 0, "num_perm must be divisible by num_bands"
+    rows = num_perm // num_bands
+    out = []
+    for bi in range(num_bands):
+        band = np.ascontiguousarray(signatures[:, bi * rows : (bi + 1) * rows])
+        byte_view = band.view(np.uint8).reshape(n, -1)
+        band_bytes = [byte_view[i].tobytes() for i in range(n)]
+        h = stable_hash64(band_bytes)
+        mix = np.uint64((salt * 1_000_003 + bi) * 0x9E3779B97F4A7C15 & ((1 << 64) - 1))
+        out.append(((h ^ mix) >> np.uint64(1)).astype(np.int64))
     return out
 
 

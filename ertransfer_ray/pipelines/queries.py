@@ -351,7 +351,7 @@ def q_er_documents(sf_dir: str) -> pd.DataFrame:
     from ..stages.scoring import DOCUMENTS_WEIGHTS
 
     pages = documents_as_pages(sf_dir)
-    cfg = ERConfig(tokenization="shingles", weights=DOCUMENTS_WEIGHTS)
+    cfg = ERConfig(tokenization="shingles", weights=DOCUMENTS_WEIGHTS, sn_prefix=0)
     res = run_er(pages, cfg, normalized=True)
     return res["clusters"].to_pandas().sort_values("url", ignore_index=True)
 

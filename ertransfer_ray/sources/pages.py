@@ -199,10 +199,12 @@ def write_pages_corpus(out_dir: str, **kwargs) -> dict[str, str]:
     return paths
 
 
-def documents_as_pages(sf_dir: str):
-    """Adapt /root/testdata documents.parquet (doc_id,text,lang,…) to the
-    pages pipeline shape: url := doc-<id>, norm fields derived from text.
-    Used by bench.py to run the ER pipeline over the bulk-text corpus.
+def documents_as_pages(sf_dir: str, path: str | None = None):
+    """Adapt a documents-shaped parquet (doc_id,text,…) to the pages
+    pipeline shape: url := doc-<id>, norm fields derived from text.
+    Used by bench.py to run the ER pipeline over the bulk-text corpus;
+    ``path`` overrides the default ``{sf_dir}/documents.parquet`` (e.g. the
+    expanded scaling corpus).
     """
     import pyarrow.compute as pc
     import ray
@@ -212,7 +214,7 @@ def documents_as_pages(sf_dir: str):
     # kernels (minhash, scoring) parallelize across the whole cluster
     n_blocks = max(8, int(ray.cluster_resources().get("CPU", 8))) if ray.is_initialized() else 8
     ds = rd.read_parquet(
-        f"{sf_dir}/documents.parquet",
+        path or f"{sf_dir}/documents.parquet",
         columns=["doc_id", "text"],
         override_num_blocks=n_blocks,
     )

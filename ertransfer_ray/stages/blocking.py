@@ -33,7 +33,12 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from ..functions.hashing import lsh_band_keys, minhash_coeffs, minhash_signatures
+from ..functions.hashing import (
+    lsh_band_keys_u64,
+    minhash_coeffs,
+    minhash_signatures,
+    stable_hash64,
+)
 from ..functions.simfuncs import qgrams
 from .groupby import bucketed_group_apply
 
@@ -78,29 +83,40 @@ class BlockKeyEmitter:
         return norm_text.split()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        """Emit ID-ONLY (block_key, url) rows. Payloads do NOT travel through
+        the key shuffle — with num_bands+1 keys per doc the amplification is
+        ~17x, so carrying text here multiplies shuffle volume by the same
+        factor (measured ~500 MB on a 100k-doc corpus). Pair payloads are
+        re-attached after cross-band dedup via a bucketed cogroup join
+        (attach_pair_payloads), which moves each payload once."""
         urls = batch.column("url").to_pylist()
         norm_texts = batch.column("norm_text").to_pylist()
         norm_titles = batch.column("norm_title").to_pylist()
-        n = len(urls)
         token_lists = [self._tokens(t) for t in norm_texts]
         sig = minhash_signatures(token_lists, self.num_perm, coeffs=self.coeffs)
-        bands = lsh_band_keys(sig, self.num_bands)
+        # int64 band keys: 8-byte fixed keys shuffle far cheaper than the
+        # ~24-byte strings when key rows = num_bands × corpus
+        bands = lsh_band_keys_u64(sig, self.num_bands)
 
-        # sorted-neighborhood key: normalized title prefix
-        sn = np.array(
-            ["sn:" + t[: self.sn_prefix] if t else "sn:~empty" for t in norm_titles],
-            dtype=object,
-        )
-        payload_text = [t[: self.payload_chars] for t in norm_texts]
-
-        keys = np.concatenate([*bands, sn])
-        reps = self.num_bands + 1
+        if self.sn_prefix > 0:
+            # sorted-neighborhood key: normalized title prefix. Only
+            # meaningful when titles are real titles — on corpora where the
+            # "title" is just a text prefix it degenerates into huge hot
+            # buckets of vocabulary-mates (measured: 3.2M junk pairs on a
+            # 400k bag-of-words corpus); disable with sn_prefix=0 there.
+            sn_strings = [
+                "sn:" + t[: self.sn_prefix] if t else "sn:~empty" for t in norm_titles
+            ]
+            sn = (stable_hash64(sn_strings) >> np.uint64(1)).astype(np.int64)
+            keys = np.concatenate([*bands, sn])
+            reps = self.num_bands + 1
+        else:
+            keys = np.concatenate(bands)
+            reps = self.num_bands
         return pa.table(
             {
-                "block_key": pa.array(keys, pa.string()),
+                "block_key": pa.array(keys, pa.int64()),
                 "url": pa.array(urls * reps, pa.string()),
-                "norm_title": pa.array(norm_titles * reps, pa.string()),
-                "payload": pa.array(payload_text * reps, pa.string()),
             }
         )
 
@@ -120,10 +136,6 @@ def emit_block_keys(norm_ds, batch_size: int = 1024, **emitter_kwargs):
 _EMPTY_PAIRS = {
     "left_url": object,
     "right_url": object,
-    "left_title": object,
-    "right_title": object,
-    "left_payload": object,
-    "right_payload": object,
 }
 
 
@@ -146,8 +158,6 @@ def _pairs_in_bucket(df: pd.DataFrame, max_block_size: int, window: int) -> pd.D
         if n < 2:
             continue
         urls = g["url"].to_numpy()
-        titles = g["norm_title"].to_numpy()
-        payloads = g["payload"].to_numpy()
         truncated = n > max_block_size
         if truncated:
             base = np.arange(n - 1)
@@ -162,10 +172,6 @@ def _pairs_in_bucket(df: pd.DataFrame, max_block_size: int, window: int) -> pd.D
                 {
                     "left_url": urls[ii],
                     "right_url": urls[jj],
-                    "left_title": titles[ii],
-                    "right_title": titles[jj],
-                    "left_payload": payloads[ii],
-                    "right_payload": payloads[jj],
                     "truncated": np.full(len(ii), 1 if truncated else 0, dtype=np.int8),
                 }
             )
@@ -185,17 +191,21 @@ def generate_pairs(
     max_block_size: int = 64,
     window: int = 8,
     dedup: bool = True,
-    num_buckets: int = 16,
+    num_buckets: int | None = None,
 ):
     """bucketed groupby(block_key) → bounded pair emission → cross-band dedup.
 
-    Output: (left_url, right_url, left_title, right_title, left_payload,
-    right_payload, truncated). ``dedup=True`` re-buckets on the pair key and
+    Output: id-only (left_url, right_url, truncated). ``dedup=True``
+    re-buckets on the pair key and
     keeps one row per pair via a vectorized ``drop_duplicates`` (reference D1
     exact dedup, /root/reference/splitters/random-split/merger.py:34). Both
     shuffles use the bucketed pattern (see groupby.py for why).
     """
-    pairs = bucketed_group_apply(
+    from .groupby import exchange_group_apply
+
+    # the hottest shuffle in the pipeline (num_bands rows per doc) → raw-Ray
+    # hash exchange instead of Ray Data's sort-based groupby
+    pairs = exchange_group_apply(
         keyed_ds,
         "block_key",
         lambda df: _pairs_in_bucket(df, max_block_size, window),
@@ -209,6 +219,121 @@ def generate_pairs(
         lambda df: df.sort_values("truncated").drop_duplicates(["left_url", "right_url"]),
         num_buckets=num_buckets,
     )
+
+
+BROADCAST_PAYLOAD_LIMIT = 1 << 30  # 1 GiB of payload side per worker heap
+
+
+def attach_pair_payloads(
+    pairs_ds,
+    norm_ds,
+    payload_chars: int = 256,
+    num_buckets: int | None = None,
+    strategy: str = "auto",
+):
+    """J3: re-attach scoring payloads (title + truncated norm_text) to the
+    id-only pair rows. Each payload crosses the wire once either way —
+    instead of num_bands+1 times through the key shuffle.
+
+    Strategy (the classic small-side rule):
+    - ``broadcast`` — payload side fits a worker heap: ``ray.put`` the
+      (url → title, payload) frame ONCE, map-side merge per batch. Zero
+      shuffles. Chosen automatically below BROADCAST_PAYLOAD_LIMIT.
+    - ``join`` — two bucketed cogroup joins (left side, then right side).
+      Needed when the corpus payload no longer fits one heap (the 10^12-doc
+      regime); costs two all-to-all barriers, which is why it is not the
+      default at broadcastable sizes (measured: +57s on a 100k-doc corpus
+      purely from the extra barriers).
+    """
+    import pyarrow.compute as pc
+    import ray
+
+    from .joins import bucketed_join
+
+    if strategy == "auto":
+        try:
+            size = norm_ds.size_bytes()
+        except Exception:  # noqa: BLE001 — lazy datasets may not know
+            size = None
+        strategy = "broadcast" if size is not None and size < BROADCAST_PAYLOAD_LIMIT else "join"
+
+    if strategy == "broadcast":
+        # pairs are consumed twice below (semi-join scan + attach); pin them
+        pairs_ds = pairs_ds.materialize()
+        # SEMI-JOIN first: only urls actually referenced by pairs need
+        # payloads — typically a small fraction of the corpus (measured
+        # 200k of 1.6M). Filtering before the index build turns the
+        # per-actor index from O(corpus) (~12 s at 1.6M rows) into O(pairs).
+        needed: set = set()
+        for b in pairs_ds.select_columns(["left_url", "right_url"]).iter_batches(
+            batch_format="pyarrow"
+        ):
+            needed.update(b.column("left_url").to_pylist())
+            needed.update(b.column("right_url").to_pylist())
+        needed_ref = ray.put(needed)
+
+        def project_side(t: pa.Table) -> pa.Table:
+            urls = t.column("url").to_pylist()
+            want = ray.get(needed_ref)
+            mask = pa.array([u in want for u in urls])
+            t = t.filter(mask)
+            return pa.table(
+                {
+                    "url": t.column("url"),
+                    "title": t.column("norm_title"),
+                    "payload": pc.utf8_slice_codeunits(
+                        t.column("norm_text"), 0, payload_chars
+                    ),
+                }
+            )
+
+        # ship the payload side as BLOCK REFS: each attach actor assembles
+        # its own lookup index straight from the object store (parallel,
+        # zero-copy reads) instead of a serial driver to_pandas + re-put
+        side_refs = norm_ds.map_batches(
+            project_side, batch_format="pyarrow"
+        ).to_arrow_refs()
+
+        class AttachBoth:
+            def __init__(self):
+                side = pa.concat_tables(ray.get(side_refs)).to_pandas()
+                self.side = side.set_index("url")
+
+            def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+                df = df.copy(deep=False)
+                left = self.side.reindex(df["left_url"])
+                right = self.side.reindex(df["right_url"])
+                df["left_title"] = left["title"].to_numpy()
+                df["left_payload"] = left["payload"].to_numpy()
+                df["right_title"] = right["title"].to_numpy()
+                df["right_payload"] = right["payload"].to_numpy()
+                return df
+
+        # few, large batches and a small pool: each actor pays an O(corpus)
+        # index build in __init__ (measured ~12 s at 1.6M docs), so more
+        # actors = more redundant index builds, not more throughput
+        return pairs_ds.map_batches(
+            AttachBoth, batch_format="pandas", concurrency=(1, 2), batch_size=32768
+        )
+
+    def side(prefix: str):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    f"{prefix}_url": t.column("url"),
+                    f"{prefix}_title": t.column("norm_title"),
+                    f"{prefix}_payload": pc.utf8_slice_codeunits(
+                        t.column("norm_text"), 0, payload_chars
+                    ),
+                }
+            )
+
+        return fn
+
+    left_side = norm_ds.map_batches(side("left"), batch_format="pyarrow")
+    right_side = norm_ds.map_batches(side("right"), batch_format="pyarrow")
+    with_left = bucketed_join(pairs_ds, left_side, "left_url", num_buckets=num_buckets)
+    return bucketed_join(with_left, right_side, "right_url", num_buckets=num_buckets)
 
 
 def blocking_stats(pairs_ds, truth_pairs_df: pd.DataFrame) -> dict:

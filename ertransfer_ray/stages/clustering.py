@@ -237,11 +237,9 @@ def connected_components(
             pa.table({"url": pa.array([], pa.string()), "cluster_id": pa.array([], pa.string())})
         )
     if n_edges <= driver_threshold:
-        rows = [
-            (r["left_url"], r["right_url"])
-            for b in edges.iter_batches(batch_format="pandas")
-            for r in b.to_dict("records")
-        ]
+        rows: list[tuple[str, str]] = []
+        for b in edges.iter_batches(batch_format="pandas"):
+            rows.extend(zip(b["left_url"].tolist(), b["right_url"].tolist()))
         import ray.data as rd
 
         return rd.from_pandas(_driver_union_find(rows))

@@ -44,16 +44,32 @@ from ..functions.hashing import stable_hash64
 BUCKET_COL = "_bucket"
 
 
+def default_num_buckets() -> int:
+    """Bucket count sized to the cluster: ~2 buckets per CPU so every core
+    has grouped work, floor of 16."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return max(16, 2 * cpus)
+
+
 def _bucket_of(df: pd.DataFrame, keys: list[str], num_buckets: int) -> np.ndarray:
     if len(keys) == 1:
-        raw = df[keys[0]].astype(str).to_numpy(dtype=object)
+        col = df[keys[0]]
+        if pd.api.types.is_integer_dtype(col):
+            # fast path: hash fixed-width ints directly, no string conversion
+            h = pd.util.hash_array(col.to_numpy())
+            return (h % np.uint64(num_buckets)).astype(np.int64)
+        raw = col.astype(str).to_numpy(dtype=object)
     else:
         raw = df[keys[0]].astype(str).str.cat([df[k].astype(str) for k in keys[1:]], sep="\x1f").to_numpy(dtype=object)
     return (stable_hash64(raw) % np.uint64(num_buckets)).astype(np.int64)
 
 
-def add_bucket(ds, keys: str | list[str], num_buckets: int):
+def add_bucket(ds, keys: str | list[str], num_buckets: int | None = None):
     """Add the bucket column (vectorized stable hash of the key tuple)."""
+    if num_buckets is None:
+        num_buckets = default_num_buckets()
     keys = [keys] if isinstance(keys, str) else list(keys)
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
@@ -68,7 +84,7 @@ def bucketed_group_apply(
     ds,
     keys: str | list[str],
     fn: Callable[[pd.DataFrame], pd.DataFrame],
-    num_buckets: int = 16,
+    num_buckets: int | None = None,
 ):
     """Apply ``fn`` to each hash bucket (ALL rows sharing a key land in the
     same bucket). ``fn`` receives the whole bucket as one DataFrame and must
@@ -87,7 +103,7 @@ def bucketed_group_apply(
     )
 
 
-def distinct_rows(ds, keys: str | list[str], num_buckets: int = 16):
+def distinct_rows(ds, keys: str | list[str], num_buckets: int | None = None):
     """Global dedup on a key tuple: keep the first row per key (sorted by the
     remaining columns for determinism). Replaces ``groupby(k).map_groups(head(1))``."""
     keys = [keys] if isinstance(keys, str) else list(keys)
@@ -162,7 +178,7 @@ def partial_aggregate(ds, keys: str | list[str], spec: dict) -> pd.DataFrame:
 
 
 def grouped_aggregate(
-    ds, keys: str | list[str], spec: dict, num_buckets: int = 16
+    ds, keys: str | list[str], spec: dict, num_buckets: int | None = None
 ):
     """Distributed grouped aggregate for unbounded key cardinality:
     per-batch partials (big shrink) → bucketed combine. Returns a Dataset."""
@@ -175,6 +191,72 @@ def grouped_aggregate(
     )
 
 
+def exchange_group_apply(
+    ds,
+    keys: str | list[str],
+    fn: Callable[[pd.DataFrame], pd.DataFrame],
+    num_buckets: int | None = None,
+):
+    """Bucketed group apply via a raw-Ray two-phase HASH EXCHANGE — no sort.
+
+    Ray Data's sort-based groupby pays an O(n log n) sample+sort it doesn't
+    need for hash bucketing, scales sublinearly with CPUs, and the 2.49
+    hash-shuffle strategy hangs on map_groups. This is the classic exchange:
+
+      phase 1: one task per input block sorts rows by bucket id ONCE and
+               slices it into ``num_buckets`` arrow sub-tables;
+      phase 2: one task per bucket concatenates its slices and applies
+               ``fn`` to the whole bucket as a DataFrame.
+
+    Same contract as :func:`bucketed_group_apply`; materializes the input
+    (it must enumerate blocks). Use for the hottest shuffles; the Dataset
+    version remains for everything modest.
+    """
+    import ray
+    import ray.data as rd
+
+    if num_buckets is None:
+        num_buckets = default_num_buckets()
+    keys = [keys] if isinstance(keys, str) else list(keys)
+
+    block_refs = ds.to_arrow_refs()
+
+    @ray.remote(num_returns=num_buckets)
+    def split(block: pa.Table):
+        df = block.to_pandas()
+        b = _bucket_of(df, keys, num_buckets)
+        order = np.argsort(b, kind="stable")
+        sorted_tbl = block.take(pa.array(order))
+        sorted_b = b[order]
+        bounds = np.searchsorted(sorted_b, np.arange(num_buckets + 1))
+        out = [
+            sorted_tbl.slice(bounds[i], bounds[i + 1] - bounds[i])
+            for i in range(num_buckets)
+        ]
+        return out if num_buckets > 1 else out[0]
+
+    parts = [split.remote(ref) for ref in block_refs]
+
+    @ray.remote
+    def apply_bucket(*tables):
+        tbls = [t for t in tables if t.num_rows > 0]
+        if not tbls:
+            base = tables[0].to_pandas() if tables else pd.DataFrame()
+            out = fn(base)
+        else:
+            out = fn(pa.concat_tables(tbls).to_pandas())
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    if num_buckets == 1:
+        outs = [apply_bucket.remote(*parts)]
+    else:
+        outs = [
+            apply_bucket.remote(*[parts[i][j] for i in range(len(parts))])
+            for j in range(num_buckets)
+        ]
+    return rd.from_arrow_refs(outs)
+
+
 def grouped_top_k(
     ds,
     keys: str | list[str],
@@ -182,7 +264,7 @@ def grouped_top_k(
     k: int = 1,
     descending: bool = True,
     tie_cols: list[str] | None = None,
-    num_buckets: int = 16,
+    num_buckets: int | None = None,
 ):
     """Per-key top-k (reference O1 per-entity top-k,
     /root/reference/clustering/Probabilities/clustering.py:7-27): bucket on

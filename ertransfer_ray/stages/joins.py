@@ -103,3 +103,57 @@ def keys_of(ds, col: str) -> list:
     """Collect one small key column to the driver (for broadcast joins).
     Only valid when the column is known-small (dimension side)."""
     return [r[col] for r in ds.select_columns([col]).take_all()]
+
+
+def bucketed_join(
+    left,
+    right,
+    left_on: str,
+    right_on: str | None = None,
+    how: str = "inner",
+    num_buckets: int | None = None,
+):
+    """Large-large cogroup hash join built on the bucketed primitive:
+    union both sides with a side tag, bucket on the join key, pandas-merge
+    inside each bucket. Robust where ``Dataset.join`` is not (empty hash
+    partitions — see clustering.py) and shuffles each side exactly once.
+
+    Column sets of the two sides must be disjoint apart from the join key;
+    the join key is matched ``left_on`` = ``right_on``.
+    """
+    from .groupby import bucketed_group_apply
+
+    right_on = right_on or left_on
+    l_schema = left.schema().names
+    r_schema = right.schema().names
+    overlap = (set(l_schema) & set(r_schema)) - {left_on}
+    if overlap:
+        raise ValueError(f"bucketed_join: overlapping non-key columns {overlap}")
+
+    l_cols = list(l_schema)
+    r_cols = [c for c in r_schema if c != right_on]
+    # union requires one schema: superset of both sides' columns, absent
+    # side's columns filled with None
+    all_cols = l_cols + r_cols
+
+    def tag(side: int, key_col: str):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            out = pd.DataFrame({"_jk": df[key_col].astype(str), "_side": np.int8(side)})
+            for c in all_cols:
+                out[c] = df[c] if c in df.columns else None
+            return out
+
+        return fn
+
+    both = left.map_batches(tag(0, left_on), batch_format="pandas").union(
+        right.map_batches(tag(1, right_on), batch_format="pandas")
+    )
+
+    def merge_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        lpart = df[df["_side"] == 0][l_cols]
+        rpart = df[df["_side"] == 1][["_jk"] + r_cols]
+        lpart = lpart.assign(_jk=df.loc[df["_side"] == 0, "_jk"])
+        out = lpart.merge(rpart, on="_jk", how=how)
+        return out.drop(columns=["_jk"])
+
+    return bucketed_group_apply(both, "_jk", merge_bucket, num_buckets)

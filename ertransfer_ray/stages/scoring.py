@@ -79,37 +79,63 @@ def _digit_tokens(s: str) -> frozenset:
     return frozenset(_DIGITS.findall(s))
 
 
-def compute_pair_features(batch: pd.DataFrame) -> pd.DataFrame:
-    """Vectorized-per-batch feature kernel over candidate pair rows."""
+def compute_pair_features(
+    batch: pd.DataFrame, needed: set[str] | None = None
+) -> pd.DataFrame:
+    """Per-batch feature kernel over candidate pair rows.
+
+    ``needed`` limits computation to the listed features — the scorer passes
+    its non-zero-weight set, so e.g. the documents configuration (only
+    shingle Jaccard + length ratio) never pays for the O(len²) Jaro-Winkler
+    kernel. Unrequested features are emitted as 0.0 columns.
+    """
+    need = FEATURE_COLUMNS if needed is None else needed
     lt = batch["left_payload"].tolist()
     rt = batch["right_payload"].tolist()
     ltt = batch["left_title"].tolist()
     rtt = batch["right_title"].tolist()
+    n = len(lt)
     out = pd.DataFrame(
         {
             "left_url": batch["left_url"].to_numpy(),
             "right_url": batch["right_url"].to_numpy(),
         }
     )
-    lt_words = [t.split() for t in lt]
-    rt_words = [t.split() for t in rt]
-    out["text_jaccard"] = batch_token_jaccard(lt_words, rt_words)
+    lt_words = rt_words = None
+    if "text_jaccard" in need or "text_shingle_jaccard" in need:
+        lt_words = [t.split() for t in lt]
+        rt_words = [t.split() for t in rt]
 
-    def shingles(ws: list[str]) -> list[str]:
-        if len(ws) <= 3:
-            return [" ".join(ws)] if ws else []
-        return [" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)]
+    out["text_jaccard"] = (
+        batch_token_jaccard(lt_words, rt_words) if "text_jaccard" in need else 0.0
+    )
 
-    out["text_shingle_jaccard"] = batch_token_jaccard(
-        [shingles(w) for w in lt_words], [shingles(w) for w in rt_words]
+    if "text_shingle_jaccard" in need:
+
+        def shingles(ws: list[str]) -> list[str]:
+            if len(ws) <= 3:
+                return [" ".join(ws)] if ws else []
+            return [" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)]
+
+        out["text_shingle_jaccard"] = batch_token_jaccard(
+            [shingles(w) for w in lt_words], [shingles(w) for w in rt_words]
+        )
+    else:
+        out["text_shingle_jaccard"] = 0.0
+
+    out["title_qgram_jaccard"] = (
+        batch_token_jaccard([qgrams(t, 3) for t in ltt], [qgrams(t, 3) for t in rtt])
+        if "title_qgram_jaccard" in need
+        else 0.0
     )
-    out["title_qgram_jaccard"] = batch_token_jaccard(
-        [qgrams(t, 3) for t in ltt], [qgrams(t, 3) for t in rtt]
-    )
-    out["title_jw"] = batch_jaro_winkler(ltt, rtt)
-    out["len_ratio"] = length_ratio(lt, rt)
-    out["title_num_jaccard"] = batch_token_jaccard(
-        [_digit_tokens(t) for t in ltt], [_digit_tokens(t) for t in rtt]
+    out["title_jw"] = batch_jaro_winkler(ltt, rtt) if "title_jw" in need else 0.0
+    out["len_ratio"] = length_ratio(lt, rt) if "len_ratio" in need else 0.0
+    out["title_num_jaccard"] = (
+        batch_token_jaccard(
+            [_digit_tokens(t) for t in ltt], [_digit_tokens(t) for t in rtt]
+        )
+        if "title_num_jaccard" in need
+        else 0.0
     )
     return out
 
@@ -127,9 +153,11 @@ class PairScorer:
                 weights = json.load(f)
         self.w = dict(DEFAULT_WEIGHTS if weights is None else weights)
         self.keep_features = keep_features
+        # only compute features the model actually uses (zero weight → skip)
+        self.needed = {f for f in FEATURE_COLUMNS if self.w.get(f, 0.0) != 0.0}
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        feats = compute_pair_features(batch)
+        feats = compute_pair_features(batch, self.needed)
         z = np.full(len(feats), self.w["bias"], dtype=np.float64)
         for name in FEATURE_COLUMNS:
             z += self.w[name] * feats[name].to_numpy()
@@ -155,18 +183,36 @@ def default_pool_size(requested: int | None = None, reserve: int = 2) -> int:
 def score_pairs(
     pairs_ds,
     weights: dict | str | None = None,
-    concurrency: int | tuple[int, int] | None = None,
+    concurrency: int | tuple[int, int] | str | None = "tasks",
     batch_size: int = 2048,
     num_cpus: float = 1,
     keep_features: bool = False,
 ):
     """pairs Dataset → predictions Dataset (left_url, right_url, prob).
 
-    Default pool is autoscaling (1, cpus - headroom): small inputs don't pay
-    a full pool's actor-spawn cost, large inputs still fan out.
+    Execution modes:
+    - ``"tasks"`` (default): the scorer instance is built once on the driver
+      and shipped to stateless tasks — elastic scheduling, no CPU
+      reservations, shares the cluster perfectly with the shuffle stages.
+      Correct whenever scorer state is cheap to serialize (these logistic
+      weights). Measured: a FIXED pool of cpus-2 actors starved the
+      upstream all-to-all stages (170s vs 44s on a 100k-doc corpus).
+    - int → fixed actor pool of that size (clamped to leave shuffle
+      headroom), tuple → autoscaling pool. Use pools when per-actor setup
+      is expensive (real model weights, tokenizers — the T5 pattern), and
+      size them well below the CPU count.
     """
-    if concurrency is None or isinstance(concurrency, int):
-        concurrency = (1, default_pool_size(concurrency))
+    if concurrency == "tasks":
+        return pairs_ds.map_batches(
+            PairScorer(weights=weights, keep_features=keep_features),
+            batch_format="pandas",
+            batch_size=batch_size,
+            num_cpus=num_cpus,
+        )
+    if concurrency is None:
+        concurrency = (1, default_pool_size())
+    elif isinstance(concurrency, int):
+        concurrency = default_pool_size(concurrency)
     return pairs_ds.map_batches(
         PairScorer,
         fn_constructor_kwargs={"weights": weights, "keep_features": keep_features},

@@ -25,11 +25,12 @@ def test_emitter_explodes_rows():
     )
     em = BlockKeyEmitter(num_perm=32, num_bands=8)
     out = em(batch)
-    # 8 band keys + 1 sorted-neighborhood key per row
+    # 8 band keys + 1 sorted-neighborhood key per row, all int64
     assert out.num_rows == 2 * 9
-    keys = out.column("block_key").to_pylist()
-    assert any(k.startswith("sn:") for k in keys)
-    assert any(k.startswith("mh0:") for k in keys)
+    assert out.schema.field("block_key").type == "int64"
+    # sn key off → 8 keys per row
+    out_nosn = BlockKeyEmitter(num_perm=32, num_bands=8, sn_prefix=0)(batch)
+    assert out_nosn.num_rows == 2 * 8
     # deterministic
     out2 = BlockKeyEmitter(num_perm=32, num_bands=8)(batch)
     assert out.equals(out2)
