@@ -271,6 +271,140 @@ def run_splitter(
     }
 
 
+def sample_negative_pairs(
+    a_ids: list[int],
+    b_ids: list[int],
+    matches_df: pd.DataFrame,
+    limit: int = 10_000,
+    seed: int = 42,
+) -> pd.DataFrame:
+    """O4 deterministic negative sampling — the reference rejection-samples
+    uniform (a,b) pairs ∉ matches up to 10000 with a 1.5× skip budget
+    (/root/reference/splitters/random-split/splitter.py:35-49, assert at 40).
+
+    Here the sample is a pure function of (ids, seed): candidate pairs are
+    ranked by stable_hash64(f"{a}|{b}|{seed}") and the smallest-hash
+    non-match pairs win — the same distribution, reproducible at any
+    parallelism.
+    """
+    golden = set(zip(matches_df["tableA_id"], matches_df["tableB_id"]))
+    n_a, n_b = len(a_ids), len(b_ids)
+    want = min(limit, n_a * n_b - len(golden))
+    if want <= 0:
+        return pd.DataFrame({"tableA_id": pd.Series([], dtype="int64"),
+                             "tableB_id": pd.Series([], dtype="int64"),
+                             "label": pd.Series([], dtype="int32")})
+    # oversample by hash, reject matches, keep the `want` smallest hashes
+    rng_factor = 3
+    sample_n = min(n_a * n_b, want * rng_factor + len(golden))
+    a_arr = np.asarray(a_ids, dtype=np.int64)
+    b_arr = np.asarray(b_ids, dtype=np.int64)
+    # deterministic pseudo-uniform index pairs from a hash counter
+    idx = np.arange(sample_n, dtype=np.uint64)
+    h = stable_hash64([f"{seed}|{i}" for i in idx])
+    aa = a_arr[(h % np.uint64(n_a)).astype(np.int64)]
+    bb = b_arr[((h >> np.uint64(32)) % np.uint64(n_b)).astype(np.int64)]
+    cand = pd.DataFrame({"tableA_id": aa, "tableB_id": bb})
+    cand["rank"] = stable_hash64(
+        (cand["tableA_id"].astype(str) + "|" + cand["tableB_id"].astype(str) + f"|{seed}")
+        .to_numpy(dtype=object)
+    )
+    cand = cand.drop_duplicates(["tableA_id", "tableB_id"])
+    is_match = [
+        (a, b) in golden for a, b in zip(cand["tableA_id"], cand["tableB_id"])
+    ]
+    cand = cand[~np.asarray(is_match)]
+    out = cand.sort_values("rank").head(want)[["tableA_id", "tableB_id"]]
+    out = out.reset_index(drop=True)
+    out["label"] = np.int32(0)
+    return out
+
+
+def random_split(
+    table_a_df: pd.DataFrame,
+    table_b_df: pd.DataFrame,
+    matches_df: pd.DataFrame,
+    neg_pairs_limit: int = 10_000,
+    fractions: tuple[float, float, float] = (0.6, 0.2, 0.2),
+    seed: int = 42,
+) -> dict:
+    """The reference's random-split splitter (splitters/random-split/
+    splitter.py): positives = the golden matches verbatim (its assert at
+    :24-25 checks the round-trip), negatives = sampled non-matches (O4),
+    then the stratified split. Id referential integrity hard-fails (M11,
+    :93-101). Returns {"pairs": DataFrame, "stats": DataFrame}.
+    """
+    import ray.data as rd
+
+    a_ids = set(table_a_df["id"])
+    b_ids = set(table_b_df["id"])
+    bad_a = set(matches_df["tableA_id"]) - a_ids
+    bad_b = set(matches_df["tableB_id"]) - b_ids
+    if bad_a or bad_b:
+        raise ValueError(
+            f"matches reference missing ids: tableA {sorted(bad_a)[:5]} "
+            f"tableB {sorted(bad_b)[:5]}"
+        )
+    pos = matches_df[["tableA_id", "tableB_id"]].copy()
+    pos["label"] = np.int32(1)
+    neg = sample_negative_pairs(
+        sorted(a_ids), sorted(b_ids), matches_df, limit=neg_pairs_limit, seed=seed
+    )
+    pairs = pd.concat([pos, neg], ignore_index=True)
+    split_ds = stratified_split(rd.from_pandas(pairs), fractions=fractions, seed=seed)
+    stats = split_statistics(split_ds, n_matches=len(matches_df))
+    return {"pairs": split_ds.to_pandas(), "stats": stats}
+
+
+def threshold_grid_search(
+    predictions_df: pd.DataFrame,
+    truth_pos: set,
+    method: str = "greedy",
+    thetas: np.ndarray | None = None,
+) -> dict:
+    """A7: θ grid search over [0, 1) step 0.01 — the reference's clustering
+    tuner (/root/reference/clustering/Probabilities/clustering.py:70-102)
+    evaluated in ONE vectorized pass per θ family.
+
+    For ``method="threshold"`` all θ are evaluated from a single sorted
+    sweep (no per-θ re-clustering); for ``method in {"greedy","reciprocal"}``
+    the (cheap, driver-side) clustering runs per θ like the reference.
+    Returns {"best_theta", "best_f1", "per_theta"} with the reference's
+    clustering F1 = 2·TP/(candidates+GT) (clustering.py:31-40).
+    """
+    from .metrics import clustering_f1
+    from ..stages.clustering import greedy_unique_mapping
+
+    thetas = np.arange(0.0, 1.0, 0.01) if thetas is None else thetas
+    n_truth = len(truth_pos)
+    rows = []
+    if method == "threshold":
+        df = predictions_df.sort_values("prob", ascending=False, ignore_index=True)
+        is_pos = np.fromiter(
+            ((a, b) in truth_pos for a, b in zip(df["left_url"], df["right_url"])),
+            dtype=bool,
+            count=len(df),
+        )
+        cum_tp = np.cumsum(is_pos)
+        probs = df["prob"].to_numpy()
+        for t in thetas:
+            # strict prob > t, matching the reference's M14 predicate
+            k = int(np.searchsorted(-probs, -t, side="left"))
+            tp = int(cum_tp[k - 1]) if k else 0
+            rows.append((float(t), clustering_f1(tp, k, n_truth)))
+    else:
+        for t in thetas:
+            sel = greedy_unique_mapping(predictions_df, theta=float(t))
+            tp = sum(
+                (a, b) in truth_pos
+                for a, b in zip(sel["left_url"], sel["right_url"])
+            )
+            rows.append((float(t), clustering_f1(tp, len(sel), n_truth)))
+    per = pd.DataFrame(rows, columns=["theta", "f1"])
+    best = per.loc[per["f1"].idxmax()]
+    return {"best_theta": float(best["theta"]), "best_f1": float(best["f1"]), "per_theta": per}
+
+
 def merge_splits_to_matches(splits_ds) -> pd.DataFrame:
     """D2 merger: union splits → label==1 → project id pair → dedup → sort
     (reference splitters/random-split/merger.py:27-38)."""
