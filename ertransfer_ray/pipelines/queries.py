@@ -192,6 +192,43 @@ def q_hourly_event_stats(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_sliding_user_windows(sf_dir: str) -> pd.DataFrame:
+    """Sliding windows (1h window / 30min slide) per user: each event lands
+    in exactly two windows; explode per batch then partial-aggregate."""
+    from ..stages.windows import sliding_window_agg
+
+    ev = _read(sf_dir, "events", ["ts", "user_id", "value"])
+    out = sliding_window_agg(ev, "ts", "user_id", "value", "1h", "30min").to_pandas()
+    out["sum_value"] = out["sum_value"].round(3)
+    return _us(out, ["window_start"]).sort_values(
+        ["user_id", "window_start"], ignore_index=True
+    )
+
+
+def q_union_distinct_custkeys(sf_dir: str) -> pd.DataFrame:
+    """D2-shape: union two filtered key sets → distinct (bucketed)."""
+    big_orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+        lambda t: t.filter(pa.compute.greater(t["o_totalprice"], 400000.0)).select(
+            ["o_custkey"]
+        ),
+        batch_format="pyarrow",
+    )
+    machinery = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
+        lambda t: pa.table(
+            {
+                "o_custkey": t.filter(
+                    pa.compute.equal(t["c_mktsegment"], "MACHINERY")
+                ).column("c_custkey"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    out = distinct_rows(big_orders.union(machinery), "o_custkey").to_pandas()
+    return out.rename(columns={"o_custkey": "custkey"}).sort_values(
+        "custkey", ignore_index=True
+    )
+
+
 def q_user_sessions(sf_dir: str) -> pd.DataFrame:
     ev = _read(sf_dir, "events", ["ts", "user_id"])
     out = sessionize(ev, "ts", "user_id", gap="30min").to_pandas()
@@ -368,6 +405,8 @@ def build_queries() -> dict:
         "customer_order_counts": q_customer_order_counts,
         "top1_order_per_customer": q_top1_order_per_customer,
         "hourly_event_stats": q_hourly_event_stats,
+        "sliding_user_windows": q_sliding_user_windows,
+        "union_distinct_custkeys": q_union_distinct_custkeys,
         "user_sessions": q_user_sessions,
         "value_histogram": q_value_histogram,
         "props_k_stats": q_props_k_stats,
@@ -447,6 +486,33 @@ ORACLE_SQL: dict[str, str] = {
                round(sum(value), 3)    AS sum_value
         FROM events GROUP BY event_type, date_trunc('hour', ts)
         ORDER BY event_type, window_start
+    """,
+    "sliding_user_windows": """
+        WITH w AS (
+            SELECT user_id, value,
+                   date_trunc('hour', ts)
+                   + INTERVAL (CAST(30 * floor(minute(ts) / 30) AS INT)) MINUTE
+                   AS window_start
+            FROM events
+            UNION ALL
+            SELECT user_id, value,
+                   date_trunc('hour', ts)
+                   + INTERVAL (CAST(30 * floor(minute(ts) / 30) AS INT)) MINUTE
+                   - INTERVAL '30 minutes'
+            FROM events
+        )
+        SELECT user_id, window_start,
+               count(*) AS n_events,
+               round(sum(value), 3) AS sum_value
+        FROM w GROUP BY user_id, window_start
+        ORDER BY user_id, window_start
+    """,
+    "union_distinct_custkeys": """
+        SELECT DISTINCT custkey FROM (
+            SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 400000.0
+            UNION ALL
+            SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+        ) ORDER BY custkey
     """,
     "user_sessions": """
         WITH o AS (
