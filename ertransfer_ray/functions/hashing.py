@@ -41,10 +41,17 @@ def hash_to_uint32(values) -> np.ndarray:
 
 
 def minhash_coeffs(num_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
-    """Permutation coefficients (a, b) for ``num_perm`` MinHash functions."""
+    """Permutation coefficients (a, b) for ``num_perm`` MinHash functions.
+
+    a, b are drawn below 2^32 so that with token hashes h < 2^32 the product
+    ``a*h + b`` fits a uint64 EXACTLY (max (2^32-1)^2 + 2^32-1 < 2^64): the
+    subsequent ``% (2^61-1)`` reduction is exact modular arithmetic, not the
+    mod-2^64 wraparound a full-range ``a`` would silently introduce — which
+    would break the universal-family Jaccard-estimate guarantee.
+    """
     rng = np.random.default_rng(seed)
-    a = rng.integers(1, int(_MERSENNE_P), size=num_perm, dtype=np.uint64)
-    b = rng.integers(0, int(_MERSENNE_P), size=num_perm, dtype=np.uint64)
+    a = rng.integers(1, 1 << 32, size=num_perm, dtype=np.uint64)
+    b = rng.integers(0, 1 << 32, size=num_perm, dtype=np.uint64)
     return a, b
 
 
@@ -91,6 +98,7 @@ def minhash_signatures(
             d1 += 1
         t0 = offsets[d0]
         chunk = th[t0 : t0 + tok]
+        # exact: chunk < 2^32 and a,b < 2^32 ⇒ chunk*a + b < 2^64 (no wrap)
         perm = (chunk[:, None] * a[None, :] + b[None, :]) % _MERSENNE_P
         perm &= _MAX_HASH
         rel_off = (offsets[d0:d1] - t0).astype(np.int64)

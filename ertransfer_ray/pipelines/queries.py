@@ -547,7 +547,9 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "props_k_stats": """
         SELECT event_type,
-               sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+               -- DuckDB sum(BIGINT) widens to HUGEINT (→ float64 in pandas);
+               -- cast back so the dtype matches the engine's int64 sum
+               CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
                max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
                count(*) AS n
         FROM events GROUP BY event_type ORDER BY event_type

@@ -297,6 +297,14 @@ def attach_pair_payloads(
         class AttachBoth:
             def __init__(self):
                 side = pa.concat_tables(ray.get(side_refs)).to_pandas()
+                # normalization can collapse distinct raw urls onto one
+                # canonical url (fragment / trailing-slash variants) —
+                # reindex on a duplicated index raises. Keep one payload per
+                # url deterministically (smallest (title, payload) wins,
+                # independent of block arrival order).
+                side = side.sort_values(["url", "title", "payload"]).drop_duplicates(
+                    "url"
+                )
                 self.side = side.set_index("url")
 
             def __call__(self, df: pd.DataFrame) -> pd.DataFrame:

@@ -90,10 +90,12 @@ def greedy_unique_mapping(predictions_df: pd.DataFrame, theta: float = 0.5) -> p
 
     Parity target: reference clustering/Probabilities/clustering.py:42-67 —
     iterate pairs sorted by prob desc, accept iff both endpoints unused, stop
-    below θ. Tie order pinned by (prob desc, left, right) for determinism
-    (the reference inherits pandas sort stability instead).
+    below θ. The reference breaks only on ``prob < sim_threshold``
+    (clustering.py:49), so pairs exactly AT the threshold are accepted —
+    hence ``>=`` here. Tie order pinned by (prob desc, left, right) for
+    determinism (the reference inherits pandas sort stability instead).
     """
-    df = predictions_df[predictions_df["prob"] > theta]
+    df = predictions_df[predictions_df["prob"] >= theta]
     df = df.sort_values(["prob", "left_url", "right_url"], ascending=[False, True, True])
     used: set = set()
     keep = []
@@ -306,6 +308,7 @@ def connected_components(
         )
 
     prev = None
+    converged = False
     for _ in range(max_rounds):
         msgs = bucketed_group_apply(edges_bi.union(labels), "node", propagate)
         labels = (
@@ -322,8 +325,21 @@ def connected_components(
             )
         )
         if cur == prev:
+            converged = True
             break
         prev = cur
+    if not converged:
+        # exhausting the round budget without a checksum fixpoint means some
+        # component wider than the propagation horizon is still split across
+        # labels — silently returning would fragment clusters (ADVICE r1)
+        import warnings
+
+        warnings.warn(
+            f"connected_components: no fixpoint after {max_rounds} rounds — "
+            "labels may split wide components; raise max_rounds",
+            RuntimeWarning,
+            stacklevel=2,
+        )
 
     return labels.map_batches(
         lambda t: pa.table({"url": t.column("node"), "cluster_id": t.column("val")}),

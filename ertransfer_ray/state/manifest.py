@@ -37,20 +37,39 @@ def shard_filter(shard: int, num_shards: int, key_col: str):
     return fn
 
 
-def shard_done(out_dir: str, shard: int, input_fingerprint: str | None = None) -> bool:
+def shard_done(
+    out_dir: str,
+    shard: int,
+    input_fingerprint: str | None = None,
+    num_shards: int | None = None,
+) -> bool:
+    """A shard counts as done only if its manifest matches BOTH the input
+    fingerprint and (when given) the run's shard count — shard membership is
+    ``hash % num_shards``, so a shard computed under a different modulus
+    holds the wrong row set even for identical input."""
     mp = os.path.join(out_dir, f"shard={shard}", MANIFEST_NAME)
     if not os.path.exists(mp):
         return False
-    if input_fingerprint is None:
-        return True
     try:
         with open(mp) as f:
-            return json.load(f).get("input_fingerprint") == input_fingerprint
+            m = json.load(f)
     except (json.JSONDecodeError, OSError):
         return False
+    if input_fingerprint is not None and m.get("input_fingerprint") != input_fingerprint:
+        return False
+    if num_shards is not None and m.get("num_shards", num_shards) != num_shards:
+        return False
+    return True
 
 
-def write_shard(ds, out_dir: str, shard: int, input_fingerprint: str = "", extra: dict | None = None) -> dict:
+def write_shard(
+    ds,
+    out_dir: str,
+    shard: int,
+    input_fingerprint: str = "",
+    extra: dict | None = None,
+    num_shards: int | None = None,
+) -> dict:
     """Write one shard atomically: parquet into a temp dir, fsync manifest,
     rename into place. Returns the manifest dict."""
     final = os.path.join(out_dir, f"shard={shard}")
@@ -71,6 +90,7 @@ def write_shard(ds, out_dir: str, shard: int, input_fingerprint: str = "", extra
         "rows": n_rows,
         "input_fingerprint": input_fingerprint,
         "write_seconds": round(time.perf_counter() - t0, 3),
+        **({"num_shards": num_shards} if num_shards is not None else {}),
         **(extra or {}),
     }
     with open(os.path.join(tmp, MANIFEST_NAME), "w") as f:
@@ -94,13 +114,33 @@ def run_sharded(
     Returns {"completed": […], "skipped": […]}.
     """
     os.makedirs(out_dir, exist_ok=True)
+    # invalidate shards left by a run with a DIFFERENT shard count: their
+    # row sets were computed under another modulus, so keeping them would
+    # silently duplicate (or drop) rows in the combined output
+    for name in os.listdir(out_dir):
+        if not name.startswith("shard="):
+            continue
+        try:
+            k = int(name.split("=", 1)[1].removesuffix(".tmp"))
+        except ValueError:
+            continue
+        stale = k >= num_shards
+        mp = os.path.join(out_dir, name, MANIFEST_NAME)
+        if not stale and os.path.exists(mp):
+            try:
+                with open(mp) as f:
+                    stale = json.load(f).get("num_shards", num_shards) != num_shards
+            except (json.JSONDecodeError, OSError):
+                stale = True
+        if stale:
+            shutil.rmtree(os.path.join(out_dir, name))
     completed, skipped = [], []
     for shard in range(num_shards):
-        if shard_done(out_dir, shard, input_fingerprint):
+        if shard_done(out_dir, shard, input_fingerprint, num_shards):
             skipped.append(shard)
             continue
         ds = make_shard_ds(shard, num_shards)
-        write_shard(ds, out_dir, shard, input_fingerprint)
+        write_shard(ds, out_dir, shard, input_fingerprint, num_shards=num_shards)
         completed.append(shard)
     return {"completed": completed, "skipped": skipped}
 
