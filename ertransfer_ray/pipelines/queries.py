@@ -27,6 +27,7 @@ from ..functions.textstats import TextStats, token_count_batch
 from ..stages.dedup import (
     exact_dedup_summary,
     minhash_lsh_dedup_pairs,
+    ngram_jaccard_pairs,
     simhash_dedup_pairs,
 )
 from ..stages.groupby import (
@@ -314,6 +315,19 @@ def q_exact_dedup_docs(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("keep_id", ignore_index=True)
 
 
+def q_ngram_jaccard_pairs(sf_dir: str) -> pd.DataFrame:
+    """N-gram Jaccard near-dup (exact inverted-index blocking): pairs
+    sharing ≥1 non-hot word-3-shingle with char-3-gram Jaccard ≥ 0.5.
+    Fully SQL-expressible — the value-level oracle for the near-dup
+    verification kernel shared with minhash_lsh_dedup_pairs."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ngram_jaccard_pairs(
+        docs, jaccard_threshold=0.5, max_doc_freq=50
+    ).to_pandas()
+    out["jaccard"] = out["jaccard"].round(6)
+    return out.sort_values(["left_id", "right_id"], ignore_index=True)
+
+
 def q_doc_quality(sf_dir: str) -> pd.DataFrame:
     """Language-ID + quality scoring + fingerprint (deterministic heuristics;
     rows-only driver check — not SQL-expressible)."""
@@ -413,6 +427,7 @@ def build_queries() -> dict:
         "doc_token_stats": q_doc_token_stats,
         "doc_lang_counts": q_doc_lang_counts,
         "exact_dedup_docs": q_exact_dedup_docs,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "doc_quality": q_doc_quality,
         "embedding_knn": q_embedding_knn,
         "embedding_neardup_exact": q_embedding_neardup_exact,
@@ -567,6 +582,119 @@ ORACLE_SQL: dict[str, str] = {
     "exact_dedup_docs": """
         SELECT min(doc_id) AS keep_id, count(*) AS dup_count
         FROM documents GROUP BY text ORDER BY keep_id
+    """,
+    # near-dup verification oracle: word-3-shingle inverted-index blocking
+    # (hot shingles with doc-frequency > 50 dropped on both sides) + exact
+    # char-3-gram Jaccard ≥ 0.5. Tokenization mirrors the engine exactly:
+    # lowercase, whitespace-split (empty tokens filtered), shingles = word
+    # 3-grams (whole string when ≤ 3 words), grams = distinct char 3-grams
+    # of the space-rejoined string (whole string when < 3 chars).
+    "ngram_jaccard_pairs": """
+        WITH norm AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                               x -> x <> '') AS w
+            FROM documents
+        ), norm2 AS (
+            SELECT doc_id, w, array_to_string(w, ' ') AS s
+            FROM norm WHERE len(w) > 0
+        ), shingles AS (
+            SELECT DISTINCT doc_id, sh FROM (
+                SELECT doc_id,
+                       unnest(CASE WHEN len(w) <= 3 THEN [s]
+                              ELSE list_transform(range(1, len(w) - 1),
+                                                  i -> array_to_string(w[i:i+2], ' '))
+                              END) AS sh
+                FROM norm2
+            )
+        ), grams AS (
+            SELECT DISTINCT doc_id, g FROM (
+                SELECT doc_id,
+                       unnest(CASE WHEN length(s) < 3 THEN [s]
+                              ELSE list_transform(range(1, length(s) - 1),
+                                                  i -> substr(s, i, 3))
+                              END) AS g
+                FROM norm2
+            )
+        ), counts AS (
+            SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id
+        ), hot AS (
+            SELECT sh FROM shingles GROUP BY sh HAVING count(*) > 50
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id
+            FROM shingles a
+            JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            WHERE a.sh NOT IN (SELECT sh FROM hot)
+        ), inter AS (
+            SELECT c.left_id, c.right_id, count(*) AS c
+            FROM cand c
+            JOIN grams g1 ON g1.doc_id = c.left_id
+            JOIN grams g2 ON g2.doc_id = c.right_id AND g2.g = g1.g
+            GROUP BY 1, 2
+        )
+        SELECT i.left_id, i.right_id,
+               round(CAST(i.c AS DOUBLE) / (ca.n + cb.n - i.c), 6) AS jaccard
+        FROM inter i
+        JOIN counts ca ON ca.doc_id = i.left_id
+        JOIN counts cb ON cb.doc_id = i.right_id
+        WHERE CAST(i.c AS DOUBLE) / (ca.n + cb.n - i.c) >= 0.5
+        ORDER BY left_id, right_id
+    """,
+    # Flagship ER oracle — the semantic spec of the three-stage pipeline:
+    # edges = pairs whose documents-config score exceeds θ=0.5, i.e.
+    # -6 + 12·shingleJaccard(payload) + 2·lenRatio(payload) > 0 over the
+    # 256-char normalized payload (scoring.DOCUMENTS_WEIGHTS, exactly the
+    # engine's float64 expression); clusters = connected components with
+    # cluster_id = lexicographically smallest url (recursive CTE). The
+    # engine's MinHash-LSH blocking is an approximation of the all-pairs
+    # edge set; on this corpus its recall vs the exact edge set is 1.0
+    # (asserted by tests/test_queries_oracle.py), so engine == oracle.
+    "er_documents": r"""
+        WITH RECURSIVE norm AS (
+            SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS url,
+                   trim(regexp_replace(lower(text), '[^\w]+', ' ', 'g')) AS s
+            FROM documents
+        ), pay AS (
+            SELECT url, substr(s, 1, 256) AS p,
+                   length(substr(s, 1, 256)) AS plen
+            FROM norm
+        ), w AS (
+            SELECT url, plen,
+                   list_filter(regexp_split_to_array(p, ' '), x -> x <> '') AS w
+            FROM pay
+        ), sh AS (
+            SELECT DISTINCT url, sh FROM (
+                SELECT url,
+                       unnest(CASE WHEN len(w) = 0 THEN []
+                              WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
+                              ELSE list_transform(range(1, len(w) - 1),
+                                                  i -> array_to_string(w[i:i+2], ' '))
+                              END) AS sh
+                FROM w)
+        ), cnt AS (
+            SELECT url, count(*) AS n FROM sh GROUP BY url
+        ), inter AS (
+            SELECT a.url AS ul, b.url AS ur, count(*) AS c
+            FROM sh a JOIN sh b ON a.sh = b.sh AND a.url < b.url
+            GROUP BY 1, 2
+        ), edges AS (
+            SELECT i.ul, i.ur
+            FROM inter i
+            JOIN cnt ca ON ca.url = i.ul JOIN cnt cb ON cb.url = i.ur
+            JOIN pay pa ON pa.url = i.ul JOIN pay pb ON pb.url = i.ur
+            WHERE -6 + 12 * (CAST(i.c AS DOUBLE) / (ca.n + cb.n - i.c))
+                  + 2 * (CASE WHEN greatest(pa.plen, pb.plen) = 0 THEN 1.0
+                         ELSE CAST(least(pa.plen, pb.plen) AS DOUBLE)
+                              / greatest(pa.plen, pb.plen) END) > 0
+        ), bi AS (
+            SELECT ul AS a, ur AS b FROM edges UNION SELECT ur, ul FROM edges
+        ), reach(a, b) AS (
+            SELECT a, b FROM bi
+            UNION
+            SELECT r.a, e.b FROM reach r JOIN bi e ON e.a = r.b
+        )
+        SELECT a AS url, least(a, min(b)) AS cluster_id
+        FROM reach GROUP BY a ORDER BY url
     """,
     # NOTE: embeddings are float32 lists; DuckDB's list_cosine_similarity on
     # FLOAT[] accumulates in float32 (~1e-6 error — enough to flip threshold

@@ -10,11 +10,27 @@ embedding) column:
                    per component (the web-scale near-dup pipeline)
 - simhash        — 64-bit SimHash, bucket by rotated 16-bit prefixes,
                    verify by Hamming distance
-- ngram_jaccard  — n-gram shingle Jaccard verification over LSH candidates
-                   (exposed as the verifier of minhash_lsh; also standalone
-                   for candidate pair lists)
+- ngram_jaccard  — exact inverted-index blocking on word shingles +
+                   char-n-gram Jaccard verify (SQL-oracle-checkable; also
+                   the verifier kernel of minhash_lsh)
 - embedding near-dup — cosine ≥ τ over an embedding column via bucketed
                    brute-force (see knn.py for the ANN machinery)
+
+ALL SHUFFLES HERE ARE ID-ONLY. Band/bucket key rows carry (key, id) —
+never text or vectors — because keys amplify rows ×num_bands and payloads
+through that exchange amplify shuffle bytes by the same factor (the
+measured ~500 MB / 100k docs lesson of blocking.py:85-91). Verification
+payloads reach the grouped verify tasks one of two ways:
+
+- ``strategy="broadcast"`` (default): the (id → payload) side is published
+  once as object-store block refs; each worker assembles its lookup index
+  ONCE (process-level cache) and every bucket verifies against it. Zero
+  payload bytes in the shuffle. Requires the payload side to fit a worker
+  heap — the same envelope as blocking.attach_pair_payloads' broadcast arm.
+- ``strategy="join"``: candidate pairs are generated id-only, deduped
+  across bands, and payloads are re-attached per SURVIVING pair via two
+  bucketed cogroup joins. Each payload crosses the wire once per referenced
+  pair side; use beyond broadcastable corpus sizes.
 
 All keep-first decisions are deterministic: the survivor is the smallest id
 in the duplicate group.
@@ -25,10 +41,11 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import ray
 
 from ..functions.hashing import (
     hamming_distance64,
-    lsh_band_keys,
+    lsh_band_keys_u64,
     minhash_signatures,
     simhash64,
     stable_hash64,
@@ -37,6 +54,40 @@ from ..functions.simfuncs import jaccard, qgrams
 from .clustering import connected_components
 from .groupby import bucketed_group_apply, distinct_rows
 
+# ---------------------------------------------------------------------------
+# worker-side payload lookup (broadcast strategy)
+# ---------------------------------------------------------------------------
+
+#: per-worker-process cache of assembled payload lookups, keyed by the block
+#: ref set. Bounded: verification fans out over many grouped tasks in the
+#: same worker, and rebuilding the index per task would repeat the ray.get +
+#: concat cost |buckets| times.
+_SIDE_CACHE: dict[tuple, object] = {}
+_SIDE_CACHE_MAX = 4
+
+
+def _cached_side(refs: list, build):
+    key = tuple(r.hex() for r in refs)
+    hit = _SIDE_CACHE.get(key)
+    if hit is None:
+        if len(_SIDE_CACHE) >= _SIDE_CACHE_MAX:
+            _SIDE_CACHE.pop(next(iter(_SIDE_CACHE)))
+        hit = pa.concat_tables(ray.get(list(refs)))
+        hit = build(hit)
+        _SIDE_CACHE[key] = hit
+    return hit
+
+
+def _norm_shingle_set(text: str, q: int = 3) -> set:
+    """Char q-gram set of whitespace-normalized lowercase text — the exact
+    verification space (mirrors the reference's q-gram tokenization family,
+    /root/reference/splitters/KNN-Join/splitter.py:72-81)."""
+    return set(qgrams(" ".join(text.lower().split()), q)) if text else set()
+
+
+# ---------------------------------------------------------------------------
+# exact dedup (D1)
+# ---------------------------------------------------------------------------
 
 def add_content_hash(ds, text_col: str = "text", out: str = "content_hash"):
     """Vectorized stable content hash column (int64)."""
@@ -77,8 +128,17 @@ def exact_dedup_summary(ds, id_col: str, text_col: str = "text"):
     return bucketed_group_apply(hashed, "content_hash", summarize)
 
 
+# ---------------------------------------------------------------------------
+# MinHash-LSH near-dup
+# ---------------------------------------------------------------------------
+
 class _ShingleMinHash:
-    """Actor-pool stage: emit (band_key, id) rows for every document."""
+    """Actor-pool stage: emit ID-ONLY (band_key:int64, doc_id) rows.
+
+    The key shuffle amplifies rows ×num_bands; payloads never ride it (the
+    blocking.py:85-91 rule). Verification fetches text per bucket or per
+    surviving pair instead.
+    """
 
     def __init__(self, id_col: str, text_col: str, num_perm: int, num_bands: int,
                  shingle_words: int = 3, seed: int = 7):
@@ -103,15 +163,90 @@ class _ShingleMinHash:
         texts = t.column(self.text_col).to_pylist()
         sh = [self._shingles(x) for x in texts]
         sig = minhash_signatures(sh, self.num_perm, coeffs=self.coeffs)
-        bands = lsh_band_keys(sig, self.num_bands)
-        n = len(ids)
+        bands = lsh_band_keys_u64(sig, self.num_bands)
         return pa.table(
             {
-                "band_key": pa.array(np.concatenate(bands), pa.string()),
+                "band_key": pa.array(np.concatenate(bands), pa.int64()),
                 "doc_id": pa.array(ids * self.num_bands),
-                "text": pa.array(texts * self.num_bands, pa.string()),
             }
         )
+
+
+_EMPTY_JACCARD_PAIRS = {
+    "left_id": "int64",
+    "right_id": "int64",
+    "jaccard": "float64",
+}
+
+
+def _empty_frame(spec: dict) -> pd.DataFrame:
+    return pd.DataFrame({c: pd.Series([], dtype=t) for c, t in spec.items()})
+
+
+def _candidate_pairs_in_bucket(df: pd.DataFrame, key: str, id_col: str,
+                               max_block_size: int) -> pd.DataFrame:
+    """Id-only candidate pairs for one hash bucket of (key, id) rows:
+    per key group, dedup + deterministic cap, all-pairs indices."""
+    df = df[df.duplicated(key, keep=False)]  # singletons can't pair
+    frames = []
+    for _, g in df.groupby(key, sort=False):
+        g = g.drop_duplicates(id_col).sort_values(id_col).head(max_block_size)
+        n = len(g)
+        if n < 2:
+            continue
+        ids = g[id_col].to_numpy()
+        ii, jj = np.triu_indices(n, k=1)
+        frames.append(pd.DataFrame({"left_id": ids[ii], "right_id": ids[jj]}))
+    if not frames:
+        return _empty_frame({"left_id": "int64", "right_id": "int64"})
+    return pd.concat(frames, ignore_index=True)
+
+
+def _attach_and_verify_jaccard(cand_pairs, docs_ds, id_col, text_col,
+                               jaccard_threshold, num_buckets):
+    """Join-strategy verifier: re-attach text to id-only candidate pairs via
+    two bucketed cogroup joins (each payload moves once per referenced pair
+    side), then verify the char-3-gram Jaccard per pair."""
+    from .joins import bucketed_join
+
+    def side(prefix: str):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    f"{prefix}_id": t.column(id_col),
+                    f"{prefix}_text": t.column(text_col),
+                }
+            )
+
+        return fn
+
+    with_l = bucketed_join(
+        cand_pairs, docs_ds.map_batches(side("left"), batch_format="pyarrow"),
+        "left_id", num_buckets=num_buckets,
+    )
+    with_r = bucketed_join(
+        with_l, docs_ds.map_batches(side("right"), batch_format="pyarrow"),
+        "right_id", num_buckets=num_buckets,
+    )
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return _empty_frame(_EMPTY_JACCARD_PAIRS)
+        jac = np.fromiter(
+            (
+                jaccard(_norm_shingle_set(a), _norm_shingle_set(b))
+                for a, b in zip(df["left_text"], df["right_text"])
+            ),
+            dtype=np.float64,
+            count=len(df),
+        )
+        # the tagged-union join carries absent-side columns as None, which
+        # degrades int ids to object dtype — restore the schema here
+        out = df[["left_id", "right_id"]].astype("int64")
+        out["jaccard"] = jac
+        return out[jac >= jaccard_threshold]
+
+    return with_r.map_batches(verify, batch_format="pandas")
 
 
 def minhash_lsh_dedup_pairs(
@@ -123,12 +258,19 @@ def minhash_lsh_dedup_pairs(
     shingle_words: int = 3,
     jaccard_threshold: float = 0.8,
     max_block_size: int = 128,
+    strategy: str = "broadcast",
 ):
     """MinHash-LSH near-dup candidate pairs, Jaccard-verified.
 
-    Pipeline: shingle → minhash → band keys → groupby(band_key) → per-group
-    pair generation (capped) → n-gram Jaccard verify ≥ threshold → distinct
-    pairs (left_id < right_id, with verified jaccard score).
+    Pipeline: shingle → minhash → ID-ONLY band keys → groupby(band_key) →
+    per-group capped pair generation → char-3-gram Jaccard verify ≥
+    threshold → distinct pairs (left_id < right_id, with verified score).
+
+    ``strategy="broadcast"``: buckets verify in place against a
+    worker-cached (id → text) lookup built from object-store block refs —
+    no payload bytes in any shuffle. ``strategy="join"``: candidates are
+    deduped id-only first, then text joins back per surviving pair
+    (beyond-broadcast corpus sizes).
     """
     from .scoring import default_pool_size
 
@@ -143,8 +285,31 @@ def minhash_lsh_dedup_pairs(
         concurrency=(1, default_pool_size()),
     )
 
-    def pairs_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+    if strategy == "join":
+        cands = bucketed_group_apply(
+            keyed, "band_key",
+            lambda df: _candidate_pairs_in_bucket(df, "band_key", "doc_id", max_block_size),
+        )
+        cands = distinct_rows(cands, ["left_id", "right_id"])
+        return _attach_and_verify_jaccard(
+            cands, ds, id_col, text_col, jaccard_threshold, None
+        )
+
+    side_refs = ds.map_batches(
+        lambda t: pa.table({"id": t.column(id_col), "text": t.column(text_col)}),
+        batch_format="pyarrow",
+    ).to_arrow_refs()
+
+    def verify_bucket(df: pd.DataFrame) -> pd.DataFrame:
         df = df[df.duplicated("band_key", keep=False)]  # singletons can't pair
+        if df.empty:
+            return _empty_frame(_EMPTY_JACCARD_PAIRS)
+        texts = _cached_side(
+            side_refs,
+            lambda t: pd.Series(
+                t.column("text").to_pylist(), index=t.column("id").to_pylist()
+            ),
+        )
         frames = []
         for _, g in df.groupby("band_key", sort=False):
             g = g.drop_duplicates("doc_id").sort_values("doc_id").head(max_block_size)
@@ -152,9 +317,8 @@ def minhash_lsh_dedup_pairs(
             if n < 2:
                 continue
             ids = g["doc_id"].to_numpy()
-            texts = g["text"].tolist()
             shingle_sets = [
-                set(qgrams(" ".join(t.lower().split()), 3)) if t else set() for t in texts
+                _norm_shingle_set(t) for t in texts.reindex(ids).fillna("")
             ]
             ii, jj = np.triu_indices(n, k=1)
             jac = np.fromiter(
@@ -169,12 +333,10 @@ def minhash_lsh_dedup_pairs(
                 )
             )
         if not frames:
-            return pd.DataFrame({"left_id": [], "right_id": [], "jaccard": []}).astype(
-                {"left_id": "int64", "right_id": "int64", "jaccard": "float64"}
-            )
+            return _empty_frame(_EMPTY_JACCARD_PAIRS)
         return pd.concat(frames, ignore_index=True)
 
-    pairs = bucketed_group_apply(keyed, "band_key", pairs_in_bucket)
+    pairs = bucketed_group_apply(keyed, "band_key", verify_bucket)
     return distinct_rows(pairs, ["left_id", "right_id"])
 
 
@@ -205,6 +367,120 @@ def minhash_lsh_dedup(ds, id_col: str = "doc_id", text_col: str = "text", **kwar
     return cc.map_batches(back_to_ids, batch_format="pyarrow")
 
 
+# ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup (exact inverted-index blocking — oracle-checkable)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_words: int = 3,
+    jaccard_threshold: float = 0.5,
+    max_doc_freq: int = 50,
+    strategy: str = "broadcast",
+):
+    """Exact near-dup pairs: block on shared word-``shingle_words``-shingles
+    (inverted index as a shuffle), verify char-3-gram Jaccard ≥ threshold.
+
+    Unlike MinHash-LSH this is EXACT over its blocking predicate — the
+    output is precisely {pairs sharing ≥1 non-hot shingle with verified
+    Jaccard ≥ τ}, which an SQL oracle can reproduce (exploded shingle
+    self-join + set arithmetic; see queries.ORACLE_SQL["ngram_jaccard_pairs"]).
+
+    Hot shingles (document frequency > ``max_doc_freq``) are dropped on BOTH
+    sides — the cap keeps a boilerplate shingle from generating O(df²) pairs
+    AND stays SQL-expressible (HAVING count(*) <= F), unlike a silent
+    per-block truncation. Shuffle rows are (shingle_hash:int64, id): id-only.
+    """
+
+    def emit(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_pylist()
+        texts = t.column(text_col).to_pylist()
+        out_k: list[np.ndarray] = []
+        out_i: list[int] = []
+        for i, txt in enumerate(texts):
+            ws = txt.lower().split()
+            if len(ws) <= shingle_words:
+                sh = [" ".join(ws)] if ws else []
+            else:
+                sh = [
+                    " ".join(ws[j : j + shingle_words])
+                    for j in range(len(ws) - shingle_words + 1)
+                ]
+            if not sh:
+                continue
+            uniq = list(dict.fromkeys(sh))
+            out_k.append((stable_hash64(uniq) >> np.uint64(1)).astype(np.int64))
+            out_i.extend([ids[i]] * len(uniq))
+        if not out_k:
+            return pa.table(
+                {"shingle": pa.array([], pa.int64()), "doc_id": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "shingle": pa.array(np.concatenate(out_k), pa.int64()),
+                "doc_id": pa.array(out_i, pa.int64()),
+            }
+        )
+
+    keyed = ds.map_batches(emit, batch_format="pyarrow")
+
+    def pairs_under_cap(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df.duplicated("shingle", keep=False)]
+        frames = []
+        for _, g in df.groupby("shingle", sort=False):
+            g = g.drop_duplicates("doc_id").sort_values("doc_id")
+            n = len(g)
+            if n < 2 or n > max_doc_freq:
+                continue
+            ids = g["doc_id"].to_numpy()
+            ii, jj = np.triu_indices(n, k=1)
+            frames.append(pd.DataFrame({"left_id": ids[ii], "right_id": ids[jj]}))
+        if not frames:
+            return _empty_frame({"left_id": "int64", "right_id": "int64"})
+        return pd.concat(frames, ignore_index=True).drop_duplicates()
+
+    cands = bucketed_group_apply(keyed, "shingle", pairs_under_cap)
+    cands = distinct_rows(cands, ["left_id", "right_id"])
+
+    if strategy == "join":
+        return _attach_and_verify_jaccard(
+            cands, ds, id_col, text_col, jaccard_threshold, None
+        )
+
+    side_refs = ds.map_batches(
+        lambda t: pa.table({"id": t.column(id_col), "text": t.column(text_col)}),
+        batch_format="pyarrow",
+    ).to_arrow_refs()
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return _empty_frame(_EMPTY_JACCARD_PAIRS)
+        texts = _cached_side(
+            side_refs,
+            lambda t: pd.Series(
+                t.column("text").to_pylist(), index=t.column("id").to_pylist()
+            ),
+        )
+        lsets = [_norm_shingle_set(t) for t in texts.reindex(df["left_id"]).fillna("")]
+        rsets = [_norm_shingle_set(t) for t in texts.reindex(df["right_id"]).fillna("")]
+        jac = np.fromiter(
+            (jaccard(a, b) for a, b in zip(lsets, rsets)),
+            dtype=np.float64,
+            count=len(df),
+        )
+        out = df[["left_id", "right_id"]].copy()
+        out["jaccard"] = jac
+        return out[jac >= jaccard_threshold]
+
+    return cands.map_batches(verify, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup
+# ---------------------------------------------------------------------------
+
 def simhash_dedup_pairs(
     ds,
     id_col: str = "doc_id",
@@ -214,7 +490,8 @@ def simhash_dedup_pairs(
 ):
     """SimHash near-dup pairs: bucket on rotated 16-bit prefixes of the
     64-bit simhash (any pair within Hamming ≤ 3 shares at least one of the
-    4 rotated prefixes exactly — pigeonhole), verify by Hamming distance."""
+    4 rotated prefixes exactly — pigeonhole), verify by Hamming distance.
+    Shuffle rows are (bucket, id, simhash): 8-byte sketch, never text."""
 
     def emit(t: pa.Table) -> pa.Table:
         ids = t.column(id_col).to_pylist()
@@ -255,7 +532,7 @@ def simhash_dedup_pairs(
                 )
             )
         if not frames:
-            return pd.DataFrame({"left_id": [], "right_id": [], "hamming": []}).astype(
+            return _empty_frame(
                 {"left_id": "int64", "right_id": "int64", "hamming": "int64"}
             )
         return pd.concat(frames, ignore_index=True)
@@ -264,6 +541,10 @@ def simhash_dedup_pairs(
     return distinct_rows(pairs, ["left_id", "right_id"])
 
 
+# ---------------------------------------------------------------------------
+# Embedding near-dup
+# ---------------------------------------------------------------------------
+
 def embedding_neardup_pairs(
     ds,
     id_col: str = "vec_id",
@@ -271,11 +552,18 @@ def embedding_neardup_pairs(
     cosine_threshold: float = 0.95,
     num_buckets: int = 8,
     seed: int = 5,
+    strategy: str = "broadcast",
 ):
     """Embedding near-dup pairs via random-hyperplane LSH buckets +
     in-bucket brute-force cosine. A pair is emitted iff cosine ≥ threshold
     and the two vectors share a bucket (recall grows with bucket count
     via multiple projections; here 2 projections of log2(num_buckets) bits).
+
+    The bucket shuffle carries ID-ONLY (bucket:int64, vec_id) rows; the
+    float vectors never ride the exchange. In-bucket verification fetches
+    vectors from a worker-cached object-store lookup (``broadcast``) or,
+    beyond broadcastable sizes, candidate pairs are deduped id-only and
+    vectors join back per pair (``join``).
     """
     from ..functions.simfuncs import cosine_matrix
 
@@ -288,7 +576,8 @@ def embedding_neardup_pairs(
         vecs = np.asarray(t.column(vec_col).to_pylist(), dtype=np.float64)
         dim = vecs.shape[1] if len(vecs) else 1
         rng = np.random.default_rng(seed)
-        out_b, out_i, out_v = [], [], []
+        out_b: list[np.ndarray] = []
+        out_i: list = []
         for p in range(n_proj):
             if bits:
                 planes = rng.standard_normal((bits, dim))
@@ -296,24 +585,83 @@ def embedding_neardup_pairs(
                     sig = (vecs @ planes.T > 0).astype(np.int64)
                     codes = (sig * (1 << np.arange(bits))).sum(axis=1)
                 else:
-                    codes = []
+                    codes = np.zeros(0, dtype=np.int64)
             else:
                 codes = np.zeros(len(vecs), dtype=np.int64)
-            out_b.extend([f"p{p}:{c}" for c in codes])
+            # projection index folded into the numeric key: different
+            # projections never share buckets
+            out_b.append(codes + p * (1 << max(bits, 1)))
             out_i.extend(ids)
-            out_v.extend(vecs.tolist())
         return pa.table(
             {
-                "bucket": pa.array(out_b, pa.string()),
+                "bucket": pa.array(
+                    np.concatenate(out_b) if out_b else np.array([], dtype=np.int64),
+                    pa.int64(),
+                ),
                 "vec_id": pa.array(out_i),
-                "vec": pa.array(out_v, pa.list_(pa.float64())),
             }
         )
 
     keyed = ds.map_batches(emit, batch_format="pyarrow")
 
+    _EMPTY_COS = {"left_id": "int64", "right_id": "int64", "cosine": "float64"}
+
+    if strategy == "join":
+        cands = bucketed_group_apply(
+            keyed, "bucket",
+            lambda df: _candidate_pairs_in_bucket(df, "bucket", "vec_id", 1 << 62),
+        )
+        cands = distinct_rows(cands, ["left_id", "right_id"])
+        from .joins import bucketed_join
+
+        def side(prefix: str):
+            # vectors travel the pair join as fixed-width float64 blobs:
+            # binary columns survive the tagged-union cogroup (pandas
+            # extension tensor types don't) and pack tighter in the shuffle
+            def fn(t: pa.Table) -> pa.Table:
+                vecs = np.asarray(t.column(vec_col).to_pylist(), dtype=np.float64)
+                blobs = [v.tobytes() for v in vecs]
+                return pa.table(
+                    {
+                        f"{prefix}_id": t.column(id_col),
+                        f"{prefix}_vec": pa.array(blobs, pa.binary()),
+                    }
+                )
+
+            return fn
+
+        with_l = bucketed_join(cands, ds.map_batches(side("left"), batch_format="pyarrow"), "left_id")
+        with_r = bucketed_join(with_l, ds.map_batches(side("right"), batch_format="pyarrow"), "right_id")
+
+        def verify_pairs(df: pd.DataFrame) -> pd.DataFrame:
+            if df.empty:
+                return _empty_frame(_EMPTY_COS)
+            lv = np.vstack([np.frombuffer(b, dtype=np.float64) for b in df["left_vec"]])
+            rv = np.vstack([np.frombuffer(b, dtype=np.float64) for b in df["right_vec"]])
+            num = np.einsum("ij,ij->i", lv, rv)
+            den = np.linalg.norm(lv, axis=1) * np.linalg.norm(rv, axis=1)
+            cos = np.divide(num, den, out=np.zeros_like(num), where=den > 0)
+            out = df[["left_id", "right_id"]].astype("int64")
+            out["cosine"] = cos
+            return out[cos >= cosine_threshold]
+
+        return with_r.map_batches(verify_pairs, batch_format="pandas")
+
+    side_refs = ds.map_batches(
+        lambda t: pa.table({"id": t.column(id_col), "vec": t.column(vec_col)}),
+        batch_format="pyarrow",
+    ).to_arrow_refs()
+
+    def build_lookup(t: pa.Table):
+        ids = pd.Index(t.column("id").to_pylist())
+        mat = np.asarray(t.column("vec").to_pylist(), dtype=np.float64)
+        return ids, mat
+
     def verify(df: pd.DataFrame) -> pd.DataFrame:
         df = df[df.duplicated("bucket", keep=False)]  # singletons can't pair
+        if df.empty:
+            return _empty_frame(_EMPTY_COS)
+        index, mat = _cached_side(side_refs, build_lookup)
         frames = []
         for _, g in df.groupby("bucket", sort=False):
             g = g.drop_duplicates("vec_id").sort_values("vec_id")
@@ -321,7 +669,7 @@ def embedding_neardup_pairs(
             if n < 2:
                 continue
             ids = g["vec_id"].to_numpy()
-            vecs = np.asarray(g["vec"].tolist(), dtype=np.float64)
+            vecs = mat[index.get_indexer(ids)]
             cm = cosine_matrix(vecs, vecs)
             ii, jj = np.triu_indices(n, k=1)
             cos = cm[ii, jj]
@@ -332,9 +680,7 @@ def embedding_neardup_pairs(
                 )
             )
         if not frames:
-            return pd.DataFrame({"left_id": [], "right_id": [], "cosine": []}).astype(
-                {"left_id": "int64", "right_id": "int64", "cosine": "float64"}
-            )
+            return _empty_frame(_EMPTY_COS)
         return pd.concat(frames, ignore_index=True)
 
     pairs = bucketed_group_apply(keyed, "bucket", verify)
