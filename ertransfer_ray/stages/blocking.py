@@ -270,12 +270,13 @@ def attach_pair_payloads(
         ):
             needed.update(b.column("left_url").to_pylist())
             needed.update(b.column("right_url").to_pylist())
-        needed_ref = ray.put(needed)
+        needed_ref = ray.put(pa.array(sorted(needed), pa.string()))
 
         def project_side(t: pa.Table) -> pa.Table:
-            urls = t.column("url").to_pylist()
+            import pyarrow.compute as pc2
+
             want = ray.get(needed_ref)
-            mask = pa.array([u in want for u in urls])
+            mask = pc2.fill_null(pc2.is_in(t.column("url"), value_set=want), False)
             t = t.filter(mask)
             return pa.table(
                 {

@@ -32,23 +32,30 @@ class BroadcastSemiJoin:
 
     Reference M10 match-validity filter (splitter.py:167-170) and J6 anti-join.
     Used as ``ds.map_batches(BroadcastSemiJoin(ref, "k"), batch_format="pyarrow")``.
+    Membership is the Arrow ``is_in`` kernel over a value set built once per
+    task/actor — not a per-row Python loop.
     """
 
     def __init__(self, keys_ref, col: str, anti: bool = False):
         self._ref = keys_ref
         self.col = col
         self.anti = anti
-        self._keys: set | None = None
+        self._keys: pa.Array | None = None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         if self._keys is None:
             keys = ray.get(self._ref) if isinstance(self._ref, ray.ObjectRef) else self._ref
-            self._keys = set(keys)
-        col = batch.column(self.col).to_pylist()
-        mask = np.fromiter((v in self._keys for v in col), dtype=bool, count=len(col))
+            self._keys = keys if isinstance(keys, pa.Array) else pa.array(list(keys))
+        # null keys are never "in" the set (fill before invert so anti keeps
+        # null rows, matching Python `None in set` → False semantics)
+        mask = pc.fill_null(
+            pc.is_in(batch.column(self.col), value_set=self._keys), False
+        )
         if self.anti:
-            mask = ~mask
-        return batch.filter(pa.array(mask))
+            mask = pc.invert(mask)
+        return batch.filter(mask)
 
 
 class BroadcastHashJoin:
@@ -97,6 +104,53 @@ def dataset_hash_join(
         left_suffix=left_suffix,
         right_suffix=right_suffix,
     )
+
+
+def bucketed_anti_semi_join(
+    probe,
+    build,
+    probe_on: str,
+    build_on: str | None = None,
+    anti: bool = True,
+    num_buckets: int | None = None,
+):
+    """Distributed (anti-)semi-join with NO driver materialization: keep
+    probe rows whose key is absent from (``anti=True``) / present in the
+    build side. Both sides are tagged, bucketed on the key, and filtered
+    per bucket with a vectorized ``isin`` — one shuffle each, cogroup shape
+    (same rationale as ``bucketed_join``: Ray 2.49's hash join chokes on
+    empty partitions, which shrinking iterative frontiers hit constantly).
+    """
+    from .groupby import bucketed_group_apply
+
+    build_on = build_on or probe_on
+    probe_cols = list(probe.schema().names)
+
+    def tag_probe(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"_jk": df[probe_on].astype(str), "_side": np.int8(0)})
+        for c in probe_cols:
+            out[c] = df[c]
+        return out
+
+    def tag_build(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"_jk": df[build_on].astype(str), "_side": np.int8(1)})
+        for c in probe_cols:
+            out[c] = None
+        return out
+
+    both = probe.map_batches(tag_probe, batch_format="pandas").union(
+        build.map_batches(tag_build, batch_format="pandas")
+    )
+
+    def filter_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        present = df.loc[df["_side"] == 1, "_jk"].unique()
+        rows = df[df["_side"] == 0]
+        keep = rows["_jk"].isin(present)
+        if anti:
+            keep = ~keep
+        return rows.loc[keep, probe_cols]
+
+    return bucketed_group_apply(both, "_jk", filter_bucket, num_buckets)
 
 
 def keys_of(ds, col: str) -> list:
