@@ -57,6 +57,51 @@ def overlap_coefficient(a, b) -> float:
     return len(sa & sb) / m if m else 1.0
 
 
+def cosine_bag(a, b) -> float:
+    """Multiset (term-frequency vector) cosine — the reference's TopKJoin
+    'multiset' tokenization mode (settings.py 'multiset': True)."""
+    from collections import Counter
+
+    ca, cb = Counter(a), Counter(b)
+    if not ca and not cb:
+        return 1.0
+    if not ca or not cb:
+        return 0.0
+    dot = sum(v * cb[k] for k, v in ca.items() if k in cb)
+    na = np.sqrt(sum(v * v for v in ca.values()))
+    nb = np.sqrt(sum(v * v for v in cb.values()))
+    return dot / float(na * nb)
+
+
+def dice_bag(a, b) -> float:
+    """Multiset Dice: 2·Σ min(tf_a, tf_b) / (|a| + |b|) over token bags."""
+    from collections import Counter
+
+    ca, cb = Counter(a), Counter(b)
+    if not ca and not cb:
+        return 1.0
+    d = sum(ca.values()) + sum(cb.values())
+    inter = sum(min(v, cb[k]) for k, v in ca.items() if k in cb)
+    return 2.0 * inter / d if d else 0.0
+
+
+def set_metric(similarity: str = "cosine", multiset: bool = True):
+    """Resolve the reference's (similarity, multiset) setting pair
+    (splitters/KNN-Join/settings.py:1-12) to a token-list scoring kernel."""
+    table = {
+        ("cosine", True): cosine_bag,
+        ("cosine", False): cosine_set,
+        ("dice", True): dice_bag,
+        ("dice", False): dice,
+        ("jaccard", True): jaccard,
+        ("jaccard", False): jaccard,
+    }
+    try:
+        return table[(similarity, multiset)]
+    except KeyError:
+        raise ValueError(f"unknown similarity metric {similarity!r}") from None
+
+
 def jaro(a: str, b: str) -> float:
     """Jaro similarity (scalar). Short-string kernel for titles/names."""
     if a == b:

@@ -35,7 +35,7 @@ import pyarrow as pa
 import ray
 
 from ..functions.hashing import lsh_band_keys, minhash_coeffs, minhash_signatures, stable_hash64
-from ..functions.simfuncs import cosine_set, qgrams
+from ..functions.simfuncs import qgrams
 from ..functions.textnorm import ag_value, clean_text, coerce_strings
 from ..stages.groupby import bucketed_group_apply
 from ..stages.joins import BroadcastHashJoin, put_broadcast
@@ -101,17 +101,40 @@ def topk_similarity_join(
     qgram: int = 5,
     seed: int = 7,
     max_block_side: int = 256,
+    similarity: str = "cosine",
+    multiset: bool = True,
+    reverse: bool = False,
 ):
     """J1: approximate Top-K similarity join of B-records per A-record.
 
     Reference semantics (pyjedai TopKJoin, splitter.py:72-86): tokenize both
-    tables' agValues (char-5-gram default), score set-cosine, keep the K most
-    similar B records per A record. Here the token index becomes a shuffle:
+    tables' agValues (char q-grams, set or multiset), score
+    cosine/dice/jaccard per the per-dataset settings
+    (splitters/KNN-Join/settings.py:1-12), keep the K most similar B records
+    per A record; ``reverse`` swaps which side is indexed (K applies per
+    B-record, splitter.py:54-71). Here the token index becomes a shuffle:
     band keys co-locate likely-similar A/B rows, each bucket scores its
     A×B block exactly, and a final per-A top-K pass merges across buckets.
 
     Output: (tableA_id, tableB_id, score).
     """
+    if reverse:
+        out = topk_similarity_join(
+            table_b, table_a, k=k, num_perm=num_perm, num_bands=num_bands,
+            qgram=qgram, seed=seed, max_block_side=max_block_side,
+            similarity=similarity, multiset=multiset, reverse=False,
+        )
+        # un-swap: the real tableA ids came in as the (reversed) B side
+        return out.map_batches(
+            lambda df: df.rename(
+                columns={"tableA_id": "tableB_id", "tableB_id": "tableA_id"}
+            )[["tableA_id", "tableB_id", "score"]],
+            batch_format="pandas",
+        )
+
+    from ..functions.simfuncs import set_metric
+
+    score_fn = set_metric(similarity, multiset)
     ka = table_a.map_batches(
         _SideKeyEmitter, fn_constructor_kwargs=dict(
             side=0, num_perm=num_perm, num_bands=num_bands, qgram=qgram, seed=seed),
@@ -130,14 +153,14 @@ def topk_similarity_join(
             b = g[g["side"] == 1].drop_duplicates("id").head(max_block_side)
             if a.empty or b.empty:
                 continue
-            a_sets = [frozenset(qgrams(v, qgram)) for v in a["agValue"]]
-            b_sets = [frozenset(qgrams(v, qgram)) for v in b["agValue"]]
+            a_toks = [qgrams(v, qgram, multiset=multiset) for v in a["agValue"]]
+            b_toks = [qgrams(v, qgram, multiset=multiset) for v in b["agValue"]]
             rows_a, rows_b, scores = [], [], []
-            for i, (aid, sa) in enumerate(zip(a["id"].to_numpy(), a_sets)):
-                for j, (bid, sb) in enumerate(zip(b["id"].to_numpy(), b_sets)):
+            for aid, ta in zip(a["id"].to_numpy(), a_toks):
+                for bid, tb in zip(b["id"].to_numpy(), b_toks):
                     rows_a.append(aid)
                     rows_b.append(bid)
-                    scores.append(cosine_set(sa, sb))
+                    scores.append(score_fn(ta, tb))
             frames.append(
                 pd.DataFrame({"tableA_id": rows_a, "tableB_id": rows_b, "score": scores})
             )
@@ -269,6 +292,48 @@ def run_splitter(
         "stats": stats,
         "blocking_recall": blocking_recall,
     }
+
+
+def run_splitter_for_dataset(
+    table_a,
+    table_b,
+    matches_df: pd.DataFrame,
+    input_path: str,
+    recall: float = 0.90,
+    default: bool = False,
+    seed: int = 42,
+    **overrides,
+) -> dict:
+    """run_splitter with the reference's per-dataset settings selection
+    (splitters/KNN-Join/splitter.py:175-183 + settings.py): parse ``d<N>``
+    from the dataset path, look up (clean, reverse, qgram, multiset,
+    similarity, K) at the recall level, and run the splitter with them.
+    ``overrides`` win over registry values. The chosen settings are echoed
+    in the result under ``"settings"``.
+    """
+    from .settings import select_settings
+
+    a_rows = table_a.count() if default else None
+    b_rows = table_b.count() if default else None
+    settings = select_settings(
+        input_path, recall=recall, default=default,
+        table_a_rows=a_rows, table_b_rows=b_rows,
+    )
+    settings.update(overrides)
+    res = run_splitter(
+        table_a,
+        table_b,
+        matches_df,
+        k=settings["k"],
+        clean=settings["clean"],
+        seed=seed,
+        qgram=settings["qgram"],
+        similarity=settings["similarity"],
+        multiset=settings["multiset"],
+        reverse=settings["reverse"],
+    )
+    res["settings"] = settings
+    return res
 
 
 def sample_negative_pairs(
