@@ -41,6 +41,10 @@ class ERConfig:
     weights: dict | str | None = None
     scorer_concurrency: int | tuple | str | None = "tasks"
     scorer_batch_size: int = 2048
+    # optional GNEM-shape pre-clustering smoothing (em_matcher.propagate_scores):
+    # 0.0 disables; >0 mixes α of the neighbor-mean into each pair score
+    gnem_smooth_alpha: float = 0.0
+    gnem_smooth_rounds: int = 1
     # clustering
     theta: float = 0.5
     reciprocal: bool = False  # True → 1:1 semantics (D4) before closure
@@ -106,7 +110,14 @@ def score(pairs_ds, cfg: ERConfig):
 
 
 def cluster(predictions_ds, cfg: ERConfig):
-    """Stage 3: threshold (+optional reciprocal top-1) → connected components."""
+    """Stage 3: (optional GNEM smoothing) → threshold (+optional reciprocal
+    top-1) → connected components."""
+    if cfg.gnem_smooth_alpha > 0.0:
+        from ..stages.em_matcher import propagate_scores
+
+        predictions_ds = propagate_scores(
+            predictions_ds, alpha=cfg.gnem_smooth_alpha, rounds=cfg.gnem_smooth_rounds
+        )
     if cfg.reciprocal:
         edges = reciprocal_top1(predictions_ds, theta=cfg.theta)
     else:

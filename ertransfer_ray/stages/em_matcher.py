@@ -126,6 +126,71 @@ def em_score_pairs(
     return feats.map_batches(score, batch_format="pandas"), params
 
 
+def propagate_scores(predictions_ds, alpha: float = 0.5, rounds: int = 1):
+    """T8/GNEM dataflow: smooth each pair's score toward the mean score of
+    its pair-graph neighbors (pairs sharing an endpoint — the adjacency the
+    GNEM wrapper feeds its GCN, /root/reference/methods/gnem/transform.py:16-46;
+    the GCN itself lives in an absent fork, so this is the 1-layer
+    mean-aggregation round of that graph with a residual mix).
+
+    new_prob = (1-α)·prob + α·mean(neighbor probs); pairs without neighbors
+    keep their score. Distributed: per-endpoint (sum, count) via one grouped
+    aggregate, joined back per pair (each endpoint's own score subtracted),
+    so a round is two shuffles — no adjacency materialization.
+
+    Returns the smoothed predictions Dataset (left_url, right_url, prob).
+    """
+    from .groupby import grouped_aggregate
+    from .joins import bucketed_join
+
+    out = predictions_ds
+    for _ in range(rounds):
+        exploded = out.map_batches(
+            lambda df: pd.concat(
+                [
+                    pd.DataFrame({"node": df["left_url"], "p": df["prob"]}),
+                    pd.DataFrame({"node": df["right_url"], "p": df["prob"]}),
+                ],
+                ignore_index=True,
+            ),
+            batch_format="pandas",
+        )
+        stats = grouped_aggregate(
+            exploded, "node", {"nsum": ("p", "sum"), "ncnt": (None, "count")}
+        )
+        lstats = stats.map_batches(
+            lambda df: df.rename(
+                columns={"node": "left_url", "nsum": "lsum", "ncnt": "lcnt"}
+            ),
+            batch_format="pandas",
+        )
+        rstats = stats.map_batches(
+            lambda df: df.rename(
+                columns={"node": "right_url", "nsum": "rsum", "ncnt": "rcnt"}
+            ),
+            batch_format="pandas",
+        )
+        j = bucketed_join(out, lstats, "left_url")
+        j = bucketed_join(j, rstats, "right_url")
+
+        def smooth(df: pd.DataFrame, a=alpha) -> pd.DataFrame:
+            s = df["prob"].astype(np.float64).to_numpy()
+            cnt = (
+                df["lcnt"].astype(np.float64) + df["rcnt"].astype(np.float64) - 2
+            ).to_numpy()
+            tot = (
+                df["lsum"].astype(np.float64) + df["rsum"].astype(np.float64)
+            ).to_numpy() - 2 * s
+            mean = np.divide(tot, cnt, out=np.zeros_like(tot), where=cnt > 0)
+            new = np.where(cnt > 0, (1 - a) * s + a * mean, s)
+            out_df = df[["left_url", "right_url"]].copy()
+            out_df["prob"] = new
+            return out_df
+
+        out = j.map_batches(smooth, batch_format="pandas").materialize()
+    return out
+
+
 def neighbor_lists(pairs_ds, side: str = "left_url", max_neighbors: int = 64):
     """J7: per-entity neighbor lists over the candidate pair graph — the
     GNEM pair-graph adjacency (pairs sharing a record are neighbors,
