@@ -233,11 +233,13 @@ def connected_components(
     Two execution paths:
     - edge count ≤ ``driver_threshold``: exact union-find on the driver
       (the candidate set is provably small — the guide's sanctioned case);
-    - else distributed min-label propagation, join-free: each round is
-      ``union(edges, labels) → groupby(node) → emit min-label messages →
-      groupby(node).min`` — two shuffles per round, O(log diameter) rounds,
-      early exit on checksum fixpoint. Messages carry only (node, comp)
-      string pairs; nothing materializes on the driver.
+    - else distributed min-label propagation with pointer doubling: each
+      round is ``union(edges, labels) → groupby(node) → min-label messages
+      → groupby(node).min`` followed by a label-of-label shortcut cogroup
+      (label(v) ← label(label(v))) — four shuffles per round, O(log
+      diameter) rounds (one-hop propagation alone is O(diameter); round-1
+      advice), early exit on checksum fixpoint. Messages carry only
+      (node, comp) string pairs; nothing materializes on the driver.
     """
     edges = edges_ds.select_columns(["left_url", "right_url"])
     n_edges = edges.count()
@@ -316,14 +318,61 @@ def connected_components(
             }
         )
 
+    def pointer_double(labels_ds):
+        """Shortcut pass: label(v) ← min(label(v), label(label(v))).
+
+        Neighbor propagation alone moves a component's min label one hop
+        per round (O(diameter) rounds — the round-1 advice finding); this
+        label-of-label hop halves remaining pointer-chain depth each round,
+        giving the O(log d) convergence the CC literature's map-reduce
+        algorithms rely on. One cogroup shuffle keyed by the label value:
+        request rows (key=label, node) meet label rows (key=node, label)."""
+
+        def tag(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            node = t.column("node").combine_chunks()
+            val = t.column("val").combine_chunks()
+            return pa.table(
+                {
+                    "key": pa.chunked_array([pa.concat_arrays([val, node])]),
+                    "node": pa.chunked_array([pa.concat_arrays([node, val])]),
+                    "role": pa.array(
+                        np.concatenate(
+                            [np.zeros(n, dtype=np.int8), np.ones(n, dtype=np.int8)]
+                        )
+                    ),
+                }
+            )
+
+        tagged = labels_ds.map_batches(tag, batch_format="pyarrow")
+
+        def resolve(df: pd.DataFrame) -> pd.DataFrame:
+            lab = df[df["role"] == 1].groupby("key", sort=False)["node"].min()
+            req = df[df["role"] == 0]
+            return pd.DataFrame(
+                {
+                    "node": req["node"].to_numpy(),
+                    "val": req["key"].map(lab).fillna(req["key"]).to_numpy(),
+                    "is_label": np.ones(len(req), dtype=np.int8),
+                }
+            )
+
+        return bucketed_group_apply(tagged, "key", resolve)
+
     prev = None
     converged = False
     for _ in range(max_rounds):
         msgs = bucketed_group_apply(edges_bi.union(labels), "node", propagate)
-        labels = (
+        base = (
             bucketed_group_apply(msgs, "node", dedup_min)
             # normalize back to Arrow blocks: edges_bi is Arrow and Ray's
             # sort-based groupby refuses mixed block types in a union
+            .map_batches(lambda t: t, batch_format="pyarrow")
+            .materialize()
+        )
+        shortcut = pointer_double(base)
+        labels = (
+            bucketed_group_apply(base.union(shortcut), "node", dedup_min)
             .map_batches(lambda t: t, batch_format="pyarrow")
             .materialize()
         )

@@ -1,4 +1,5 @@
 import pandas as pd
+import pytest
 import pyarrow as pa
 import ray.data as rd
 
@@ -97,6 +98,30 @@ def test_cc_distributed_long_chain_converges():
     out = connected_components(_edges(chain), driver_threshold=0).to_pandas()
     assert set(out["cluster_id"]) == {"n00"}
     assert len(out) == 13
+
+
+def test_cc_pointer_doubling_beats_diameter():
+    # diameter-60 path must converge in far fewer than 60 rounds
+    # (pointer doubling: one-hop propagation + label-of-label shortcut);
+    # with one-hop propagation alone 10 rounds would split the chain
+    import warnings
+
+    chain = [(f"n{i:02d}", f"n{i+1:02d}") for i in range(60)]
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        out = connected_components(
+            _edges(chain), driver_threshold=0, max_rounds=10
+        ).to_pandas()
+    assert set(out["cluster_id"]) == {"n00"}
+    assert len(out) == 61
+
+
+def test_cc_nonconvergence_warns():
+    chain = [(f"n{i:02d}", f"n{i+1:02d}") for i in range(40)]
+    with pytest.warns(RuntimeWarning, match="no fixpoint"):
+        connected_components(
+            _edges(chain), driver_threshold=0, max_rounds=2
+        ).to_pandas()
 
 
 def test_cc_bridge_merges():
