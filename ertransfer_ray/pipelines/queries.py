@@ -385,8 +385,14 @@ def q_minhash_neardup_pairs(sf_dir: str) -> pd.DataFrame:
 
 
 def q_simhash_neardup_pairs(sf_dir: str) -> pd.DataFrame:
+    """SimHash near-dup at Hamming ≤ 3 — the radius where 4 rotated 16-bit
+    prefix buckets are pigeonhole-EXHAUSTIVE, so the output is exactly
+    {pairs: hamming(simhash64(a), simhash64(b)) ≤ 3}. SimHash itself is not
+    SQL-expressible (driver records rows-only); the exhaustiveness is
+    value-checked against brute-force all-pairs in
+    tests/test_queries_oracle.py."""
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
-    out = simhash_dedup_pairs(docs, max_hamming=8).to_pandas()
+    out = simhash_dedup_pairs(docs, max_hamming=3).to_pandas()
     return out.sort_values(["left_id", "right_id"], ignore_index=True)
 
 

@@ -142,6 +142,39 @@ def test_embedding_neardup_strategies_agree():
     np.testing.assert_allclose(a["cosine"], b["cosine"], atol=1e-12)
 
 
+@needs_testdata
+def test_simhash_pigeonhole_exhaustive_at_hamming3():
+    """At max_hamming=3 the 4 rotated 16-bit prefixes guarantee every
+    qualifying pair shares a bucket (3 flipped bits can touch at most 3 of
+    the 4 chunks), so the stage's output must equal brute-force all-pairs
+    Hamming ≤ 3 — the value-level check for a sketch SQL can't compute."""
+    import pyarrow.parquet as pq
+
+    from ertransfer_ray.functions.hashing import hamming_distance64, simhash64
+    from ertransfer_ray.stages.dedup import simhash_dedup_pairs
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    ids = np.asarray(t.column("doc_id").to_pylist())
+    sh = simhash64([x.lower().split() for x in t.column("text").to_pylist()])
+    ii, jj = np.triu_indices(len(ids), k=1)
+    hd = hamming_distance64(sh[ii], sh[jj])
+    keep = hd <= 3
+    order = np.lexsort((ids[jj[keep]], ids[ii[keep]]))
+    brute = pd.DataFrame(
+        {
+            "left_id": ids[ii[keep]][order],
+            "right_id": ids[jj[keep]][order],
+            "hamming": hd[keep][order].astype("int64"),
+        }
+    )
+    eng = (
+        simhash_dedup_pairs(rd.from_arrow(t), max_hamming=3)
+        .to_pandas()
+        .sort_values(["left_id", "right_id"], ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(eng, brute, check_dtype=False)
+
+
 def test_ngram_jaccard_basic():
     out = ngram_jaccard_pairs(_docs(), jaccard_threshold=0.4).to_pandas()
     got = set(zip(out["left_id"], out["right_id"]))
