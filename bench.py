@@ -98,10 +98,21 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     return {"timings": timings, "rows": rows}
 
 
-def docs_count(sf_dir: str) -> int:
+def _parquet_rows(path: str) -> int:
+    """Footer row count for a file OR a directory of parquet files."""
     import pyarrow.parquet as pq
 
-    return pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    if os.path.isdir(path):
+        return sum(
+            pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+    return pq.ParquetFile(path).metadata.num_rows
+
+
+def docs_count(sf_dir: str) -> int:
+    return _parquet_rows(f"{sf_dir}/documents.parquet")
 
 
 def main_plain():
@@ -151,10 +162,7 @@ def run_headline_on(path: str, num_cpus: int) -> dict:
     rows = _consume(res["clusters"])
     dt = round(time.perf_counter() - t0, 3)
     ray.shutdown()
-    import pyarrow.parquet as pq
-
-    n_docs = pq.ParquetFile(path).metadata.num_rows
-    return {"sec": dt, "docs": n_docs, "rows": rows, "num_cpus": num_cpus}
+    return {"sec": dt, "docs": _parquet_rows(path), "rows": rows, "num_cpus": num_cpus}
 
 
 def _fresh_headline(ncpu: int, path: str) -> dict:

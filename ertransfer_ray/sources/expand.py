@@ -45,12 +45,16 @@ def expand_documents(
     factor: int = 20,
     seed: int = 13,
 ) -> str:
-    """Write the expanded corpus (doc_id:int64, text:string); cached —
-    regenerated only when source fingerprint/factor/seed change."""
+    """Write the expanded corpus (doc_id:int64, text:string) as a DIRECTORY
+    of 32 parquet files — a single file makes the benchmark read+decode a
+    one-task serial stage (measured ~2 s of the high-CPU leg); multiple
+    files parallelize the scan naturally, exactly as a real corpus would be
+    laid out. Cached — regenerated only when fingerprint/factor/seed change.
+    """
     meta_path = out_parquet + ".meta.json"
     st = os.stat(src_parquet)
-    fingerprint = f"{src_parquet}:{st.st_size}:{int(st.st_mtime)}:{factor}:{seed}:v1"
-    if os.path.exists(out_parquet) and os.path.exists(meta_path):
+    fingerprint = f"{src_parquet}:{st.st_size}:{int(st.st_mtime)}:{factor}:{seed}:v2"
+    if os.path.isdir(out_parquet) and os.path.exists(meta_path):
         with open(meta_path) as f:
             if json.load(f).get("fingerprint") == fingerprint:
                 return out_parquet
@@ -68,9 +72,27 @@ def expand_documents(
     tbl = pa.table(
         {"doc_id": pa.array(out_ids, pa.int64()), "text": pa.array(out_texts, pa.string())}
     )
-    os.makedirs(os.path.dirname(out_parquet), exist_ok=True)
+    os.makedirs(os.path.dirname(out_parquet) or ".", exist_ok=True)
     tmp = out_parquet + ".tmp"
-    pq.write_table(tbl, tmp)
+    if os.path.exists(tmp):
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
+    n_files = 32
+    n = tbl.num_rows
+    step = (n + n_files - 1) // n_files
+    for i in range(n_files):
+        part = tbl.slice(i * step, step)
+        if part.num_rows:
+            pq.write_table(part, os.path.join(tmp, f"part-{i:04d}.parquet"))
+    if os.path.isdir(out_parquet) or os.path.isfile(out_parquet):
+        import shutil
+
+        if os.path.isdir(out_parquet):
+            shutil.rmtree(out_parquet)
+        else:
+            os.remove(out_parquet)
     os.replace(tmp, out_parquet)
     with open(meta_path, "w") as f:
         json.dump({"fingerprint": fingerprint, "rows": len(out_ids)}, f)

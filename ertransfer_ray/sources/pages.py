@@ -211,12 +211,14 @@ def documents_as_pages(sf_dir: str, path: str | None = None):
     import ray.data as rd
 
     # single-file inputs arrive as ONE block; split so downstream per-batch
-    # kernels (minhash, scoring) parallelize across the whole cluster
-    n_blocks = max(8, int(ray.cluster_resources().get("CPU", 8))) if ray.is_initialized() else 8
+    # kernels (minhash, scoring) parallelize across the whole cluster.
+    # FIXED count (not CPU-derived): both scaling legs then execute the
+    # identical plan, and 64 tasks load-balance the compute-dense minhash
+    # stage far better than one-block-per-core at high CPU counts
     ds = rd.read_parquet(
         path or f"{sf_dir}/documents.parquet",
         columns=["doc_id", "text"],
-        override_num_blocks=n_blocks,
+        override_num_blocks=64,
     )
 
     def to_pages(batch: pa.Table) -> pa.Table:
@@ -231,8 +233,9 @@ def documents_as_pages(sf_dir: str, path: str | None = None):
         url = pc.binary_join_element_wise(
             "doc-", pc.cast(batch.column("doc_id"), pa.string()), ""
         )
-        return pa.table(
-            {"url": url, "text": text, "norm_text": norm, "norm_title": title}
-        )
+        # no raw `text` passthrough: the ER stages consume only the norm
+        # columns, and the raw bytes would double the materialized
+        # normalized table (and its plasma traffic) for nothing
+        return pa.table({"url": url, "norm_text": norm, "norm_title": title})
 
     return ds.map_batches(to_pages, batch_format="pyarrow")

@@ -250,20 +250,15 @@ def attach_pair_payloads(
 
     from .joins import bucketed_join
 
-    if strategy == "auto":
-        try:
-            size = norm_ds.size_bytes()
-        except Exception:  # noqa: BLE001 — lazy datasets may not know
-            size = None
-        strategy = "broadcast" if size is not None and size < BROADCAST_PAYLOAD_LIMIT else "join"
-
-    if strategy == "broadcast":
+    if strategy != "join":
+        # The broadcast side is NOT the corpus — it is the semi-join-filtered
+        # projection (urls referenced by pairs only, O(pairs) rows), so the
+        # broadcast-vs-join decision must be made on the PROJECTED size.
+        # Round-1 checked the full corpus size here, which flipped 1.6M-doc
+        # runs onto the join path and its two extra all-to-all barriers — a
+        # single-threaded 13 s Sort inside Ray's groupby at any CPU count.
         # pairs are consumed twice below (semi-join scan + attach); pin them
         pairs_ds = pairs_ds.materialize()
-        # SEMI-JOIN first: only urls actually referenced by pairs need
-        # payloads — typically a small fraction of the corpus (measured
-        # 200k of 1.6M). Filtering before the index build turns the
-        # per-actor index from O(corpus) (~12 s at 1.6M rows) into O(pairs).
         needed: set = set()
         for b in pairs_ds.select_columns(["left_url", "right_url"]).iter_batches(
             batch_format="pyarrow"
@@ -291,38 +286,51 @@ def attach_pair_payloads(
         # ship the payload side as BLOCK REFS: each attach actor assembles
         # its own lookup index straight from the object store (parallel,
         # zero-copy reads) instead of a serial driver to_pandas + re-put
-        side_refs = norm_ds.map_batches(
+        projected = norm_ds.map_batches(
             project_side, batch_format="pyarrow"
-        ).to_arrow_refs()
+        ).materialize()
+        if strategy == "auto":
+            try:
+                size = projected.size_bytes()
+            except Exception:  # noqa: BLE001
+                size = None
+            strategy = (
+                "broadcast"
+                if size is not None and size < BROADCAST_PAYLOAD_LIMIT
+                else "join"
+            )
+        side_refs = projected.to_arrow_refs()
 
-        class AttachBoth:
-            def __init__(self):
-                side = pa.concat_tables(ray.get(side_refs)).to_pandas()
-                # normalization can collapse distinct raw urls onto one
-                # canonical url (fragment / trailing-slash variants) —
-                # reindex on a duplicated index raises. Keep one payload per
-                # url deterministically (smallest (title, payload) wins,
-                # independent of block arrival order).
-                side = side.sort_values(["url", "title", "payload"]).drop_duplicates(
-                    "url"
-                )
-                self.side = side.set_index("url")
+    if strategy == "broadcast":
+        from .joins import cached_side
 
-            def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-                df = df.copy(deep=False)
-                left = self.side.reindex(df["left_url"])
-                right = self.side.reindex(df["right_url"])
-                df["left_title"] = left["title"].to_numpy()
-                df["left_payload"] = left["payload"].to_numpy()
-                df["right_title"] = right["title"].to_numpy()
-                df["right_payload"] = right["payload"].to_numpy()
-                return df
+        def build_index(t: pa.Table) -> pd.DataFrame:
+            side = t.to_pandas()
+            # normalization can collapse distinct raw urls onto one
+            # canonical url (fragment / trailing-slash variants) —
+            # reindex on a duplicated index raises. Keep one payload per
+            # url deterministically (smallest (title, payload) wins,
+            # independent of block arrival order).
+            side = side.sort_values(["url", "title", "payload"]).drop_duplicates("url")
+            return side.set_index("url")
 
-        # few, large batches and a small pool: each actor pays an O(corpus)
-        # index build in __init__ (measured ~12 s at 1.6M docs), so more
-        # actors = more redundant index builds, not more throughput
+        # stateless tasks + worker-level cached index: the O(referenced-urls)
+        # build is paid once per worker PROCESS (not per actor or per batch),
+        # with none of an actor pool's startup latency or CPU reservations —
+        # the same measured rationale as the scorer (scoring.py)
+        def attach_both(df: pd.DataFrame) -> pd.DataFrame:
+            side = cached_side(side_refs, build_index)
+            df = df.copy(deep=False)
+            left = side.reindex(df["left_url"])
+            right = side.reindex(df["right_url"])
+            df["left_title"] = left["title"].to_numpy()
+            df["left_payload"] = left["payload"].to_numpy()
+            df["right_title"] = right["title"].to_numpy()
+            df["right_payload"] = right["payload"].to_numpy()
+            return df
+
         return pairs_ds.map_batches(
-            AttachBoth, batch_format="pandas", concurrency=(1, 2), batch_size=32768
+            attach_both, batch_format="pandas", batch_size=16384
         )
 
     def side(prefix: str):

@@ -58,24 +58,7 @@ from .groupby import bucketed_group_apply, distinct_rows
 # worker-side payload lookup (broadcast strategy)
 # ---------------------------------------------------------------------------
 
-#: per-worker-process cache of assembled payload lookups, keyed by the block
-#: ref set. Bounded: verification fans out over many grouped tasks in the
-#: same worker, and rebuilding the index per task would repeat the ray.get +
-#: concat cost |buckets| times.
-_SIDE_CACHE: dict[tuple, object] = {}
-_SIDE_CACHE_MAX = 4
-
-
-def _cached_side(refs: list, build):
-    key = tuple(r.hex() for r in refs)
-    hit = _SIDE_CACHE.get(key)
-    if hit is None:
-        if len(_SIDE_CACHE) >= _SIDE_CACHE_MAX:
-            _SIDE_CACHE.pop(next(iter(_SIDE_CACHE)))
-        hit = pa.concat_tables(ray.get(list(refs)))
-        hit = build(hit)
-        _SIDE_CACHE[key] = hit
-    return hit
+from .joins import cached_side as _cached_side  # worker-level payload cache
 
 
 def _norm_shingle_set(text: str, q: int = 3) -> set:

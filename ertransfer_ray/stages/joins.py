@@ -27,6 +27,27 @@ def put_broadcast(obj) -> "ray.ObjectRef":
     return ray.put(obj)
 
 
+#: per-worker-process cache of assembled broadcast lookups, keyed by the
+#: block-ref set. Stateless tasks reuse worker processes, so the build cost
+#: (ray.get + concat + index) is paid once per worker — the actor-pool
+#: benefit without actor startup latency or CPU reservations.
+_SIDE_CACHE: dict[tuple, object] = {}
+_SIDE_CACHE_MAX = 4
+
+
+def cached_side(refs: list, build):
+    """Assemble-once-per-worker lookup from object-store block refs.
+    ``build(pa.Table) -> lookup`` runs on the concatenated blocks."""
+    key = tuple(r.hex() for r in refs)
+    hit = _SIDE_CACHE.get(key)
+    if hit is None:
+        if len(_SIDE_CACHE) >= _SIDE_CACHE_MAX:
+            _SIDE_CACHE.pop(next(iter(_SIDE_CACHE)))
+        hit = build(pa.concat_tables(ray.get(list(refs))))
+        _SIDE_CACHE[key] = hit
+    return hit
+
+
 class BroadcastSemiJoin:
     """Keep rows whose key is in a broadcast key set (semi) or not (anti).
 
