@@ -33,9 +33,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL for each oracle-expressible query; pipelines
-    built on deterministic heuristics (minhash/simhash/ER clustering/quality
-    scoring) are intentionally absent → driver records rows-only checks."""
+    """DuckDB-runnable ANSI SQL for each oracle-expressible query — including
+    the flagship ``er_documents`` (score-graph + recursive-CTE connected
+    components) and ``ngram_jaccard_pairs`` (exploded-shingle set
+    arithmetic). Only pipelines built on hash sketches SQL cannot compute
+    (minhash/simhash banding, quality heuristics) are absent → driver
+    records rows-only checks there; their exactness is pinned by pytest
+    (tests/test_queries_oracle.py) instead."""
     from ertransfer_ray.pipelines.queries import ORACLE_SQL
 
     return dict(ORACLE_SQL)

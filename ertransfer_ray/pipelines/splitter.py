@@ -245,6 +245,37 @@ def split_statistics(split_ds, n_matches: int) -> pd.DataFrame:
     return pd.DataFrame(rows).sort_values("split", ignore_index=True)
 
 
+def write_split_statistics(
+    path: str,
+    n_table_a: int,
+    n_table_b: int,
+    n_matches: int,
+    blocking_time: float,
+    stats_df: pd.DataFrame,
+) -> None:
+    """S4: the reference's ``split_statistics.txt`` byte format
+    (/root/reference/splitters/KNN-Join/splitter.py:198-207): dataset sizes,
+    blocking time, then one tab-separated row per split of
+    (name, Num Entries, Num Matches, Precision, Recall)."""
+    lines = [
+        "Dataset statistics:",
+        f"Entries Table A: {n_table_a}; Entries Table B: {n_table_b}",
+        f"Num Matches: {n_matches}",
+        f"Blocking time: {blocking_time}",
+        "Split Statistics:",
+        "\t".join(["", "Num Entries", "Num Matches", "Precision", "Recall"]),
+    ]
+    for r in stats_df.itertuples(index=False):
+        lines.append(
+            "\t".join(
+                str(v)
+                for v in (r.split, r.num_entries, r.num_matches, r.precision, r.recall)
+            )
+        )
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
 def attach_payloads(pairs_ds, table_a_df: pd.DataFrame, table_b_df: pd.DataFrame):
     """J3: re-attach full records to id-only pair rows via broadcast lookup,
     producing the reference's wide pair row (tableA_*, tableB_*, label).

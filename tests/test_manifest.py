@@ -71,6 +71,30 @@ def test_run_sharded_resumes(tmp_path, pages_corpus):
     assert back == ds.count()
 
 
+def test_run_sharded_invalidates_on_num_shards_change(tmp_path, pages_corpus):
+    """Round-1 advice: rerunning with a different num_shards must not keep
+    shards computed under the old modulus (their row sets are wrong) —
+    stale shard dirs are invalidated, and the combined output holds every
+    row exactly once."""
+    ds = _pages_ds(pages_corpus)
+    out = str(tmp_path / "out3")
+
+    def make(shard, num_shards):
+        return ds.map_batches(
+            shard_filter(shard, num_shards, "url"), batch_format="pyarrow"
+        )
+
+    run_sharded(make, out, 2, input_fingerprint="fpA")
+    r2 = run_sharded(make, out, 4, input_fingerprint="fpA")
+    assert r2["completed"] == [0, 1, 2, 3]  # old-modulus shards recomputed
+    assert r2["skipped"] == []
+    back = rd.read_parquet(out, file_extensions=["parquet"]).count()
+    assert back == ds.count()
+    # rerun at the same count skips everything
+    r3 = run_sharded(make, out, 4, input_fingerprint="fpA")
+    assert r3["skipped"] == [0, 1, 2, 3]
+
+
 def test_fingerprint_changes_with_input(tmp_path):
     p = tmp_path / "a.parquet"
     pa_table = pa.table({"x": [1, 2, 3]})

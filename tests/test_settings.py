@@ -90,6 +90,33 @@ def test_reverse_join_swaps_indexed_side_not_columns():
     assert rev.groupby("tableB_id").size().max() <= 2
 
 
+def test_write_split_statistics_format(tmp_path):
+    from ertransfer_ray.pipelines.splitter import write_split_statistics
+
+    stats = pd.DataFrame(
+        {
+            "split": ["test", "train"],
+            "num_entries": [40, 120],
+            "num_matches": [10, 30],
+            "precision": [0.25, 0.25],
+            "recall": [0.5, 1.5],
+        }
+    )
+    p = str(tmp_path / "split_statistics.txt")
+    write_split_statistics(p, 100, 200, 30, 1.25, stats)
+    expected = (
+        "Dataset statistics:\n"
+        "Entries Table A: 100; Entries Table B: 200\n"
+        "Num Matches: 30\n"
+        "Blocking time: 1.25\n"
+        "Split Statistics:\n"
+        "\tNum Entries\tNum Matches\tPrecision\tRecall\n"
+        "test\t40\t10\t0.25\t0.5\n"
+        "train\t120\t30\t0.25\t1.5\n"
+    )
+    assert open(p).read() == expected
+
+
 def test_run_splitter_for_dataset_applies_registry():
     a, b, matches = _tables(n=30)
     res = run_splitter_for_dataset(a, b, matches, "/data/d2_abt_buy")
