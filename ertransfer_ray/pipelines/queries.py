@@ -396,6 +396,34 @@ def q_simhash_neardup_pairs(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["left_id", "right_id"], ignore_index=True)
 
 
+def q_deepblocker_topk(sf_dir: str) -> pd.DataFrame:
+    """T3/T4 for real: DeepBlocker-shaped candidate generation over documents
+    (hashed-ngram encode → corpus-trained linear autoencoder → IVF top-K
+    join; reference splitters/DeepBlocker/splitter.py:62-73). Self-join of
+    the documents table: top-2 neighbours per doc, excluding self. Trained
+    model + approximate join → not SQL-expressible (driver records
+    rows-only); geometry and recall are value-checked in
+    tests/test_encoders.py."""
+    from ..stages.encoders import deepblocker_topk
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        lambda t: t.rename_columns(["id", "agValue"]), batch_format="pyarrow"
+    )
+    pairs = deepblocker_topk(
+        docs, docs, k=3, dim=256, dim_out=16, num_buckets=8, nprobe=3
+    ).to_pandas()
+    pairs = pairs[pairs["tableA_id"] != pairs["tableB_id"]]
+    out = (
+        pairs.sort_values(["tableA_id", "score", "tableB_id"],
+                          ascending=[True, False, True])
+        .groupby("tableA_id", sort=True)
+        .head(2)
+        .reset_index(drop=True)
+    )
+    out["score"] = out["score"].round(6)
+    return out
+
+
 def q_er_documents(sf_dir: str) -> pd.DataFrame:
     """Flagship: the three-stage ER pipeline over the documents corpus.
 
@@ -439,6 +467,7 @@ def build_queries() -> dict:
         "embedding_neardup_exact": q_embedding_neardup_exact,
         "minhash_neardup_pairs": q_minhash_neardup_pairs,
         "simhash_neardup_pairs": q_simhash_neardup_pairs,
+        "deepblocker_topk": q_deepblocker_topk,
         "er_documents": q_er_documents,
     }
 

@@ -1,0 +1,391 @@
+"""Real text encoders + trained autoencoder (T3/T4) and the KNN join they feed.
+
+Round-1 status for T3/T4 was "actor-pool pattern with deterministic fake
+encoder" because torch/fastText are absent. This module closes the gap with
+implementations that are REAL (trained on the corpus, meaningful geometry)
+while staying pure-numpy:
+
+- :class:`HashedNgramEncoder` — vocabulary-free sentence encoder via signed
+  feature hashing of character n-grams (Weinberger et al. 2009 "Feature
+  Hashing for Large Scale Multitask Learning"; the same subword-hashing trick
+  fastText uses, Bojanowski et al. 2017). Deterministic and stateless, so
+  every node computes identical vectors with nothing shipped — the correct
+  100 TB property for an embedding stage.
+- :func:`fit_linear_autoencoder` — a TRAINED dimensionality reducer: the
+  optimal linear autoencoder under squared reconstruction loss is exactly PCA
+  (Baldi & Hornik 1989), so training is a one-pass distributed second-moment
+  computation: ``map_batches`` emits per-batch ``(count, sum, XᵀX)``
+  partials, the driver reduces a handful of (d×d) matrices and
+  eigendecomposes. One pass over the data, NO shuffle, O(d²) driver memory —
+  at 100 TB this is a single streaming scan.
+- :func:`ivf_knn_join` — top-K-by-cosine join where BOTH sides are large
+  (``knn.brute_force_topk`` broadcasts the query side, which is only right
+  when queries are few): coarse centroids from a seeded sample, B rows
+  hash to their nearest centroid bucket, A rows replicate to their
+  ``nprobe`` nearest buckets, one exchange co-locates them, each bucket
+  scores its block exactly, and a per-A top-K merge finishes. The shuffle
+  carries (id, dim_out floats) — a small FIXED payload (~128 B at
+  dim_out=32), unlike text-through-shuffle which blocking.py:85-91 bans.
+- :func:`deepblocker_topk` — the DeepBlocker candidate generator re-expressed
+  on the above (reference splitters/DeepBlocker/splitter.py:62-73:
+  AutoEncoderTupleEmbedding + ExactTopKVectorPairing over agValues).
+
+Output contract matches the reference blocker: (tableA_id, tableB_id, score).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions.hashing import stable_hash64
+from .groupby import exchange_group_apply, grouped_top_k
+
+
+# --------------------------------------------------------------------------
+# T4: hashed char-n-gram sentence encoder
+# --------------------------------------------------------------------------
+
+
+class HashedNgramEncoder:
+    """Signed feature-hashing of character n-grams → unit-norm float32 vector.
+
+    Stateless and deterministic: the "model" is the hash function, so actors
+    need no weights and two nodes always agree. ``__call__`` is the actor-pool
+    batch stage (adds ``embedding`` next to the id column)."""
+
+    def __init__(
+        self,
+        dim: int = 256,
+        ngram: int = 3,
+        seed: int = 13,
+        text_col: str = "agValue",
+        id_col: str = "id",
+    ):
+        self.dim = dim
+        self.ngram = ngram
+        self.seed = seed
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def encode(self, texts: list[str]) -> np.ndarray:
+        """Batch encode: one hashing pass over ALL n-grams of the batch, then
+        a vectorized scatter-add — no per-text numpy calls."""
+        q = self.ngram
+        grams: list[str] = []
+        offsets = np.empty(len(texts) + 1, dtype=np.int64)
+        offsets[0] = 0
+        for i, t in enumerate(texts):
+            s = f" {t or ''} "  # pad so short strings still emit a gram
+            grams.extend(s[j : j + q] for j in range(len(s) - q + 1))
+            offsets[i + 1] = len(grams)
+        out = np.zeros((len(texts), self.dim), dtype=np.float64)
+        if grams:
+            h = stable_hash64(grams)
+            # fold the seed in (splitmix64-style mix; uint64 wraps are intended)
+            mix = np.uint64((self.seed * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF)
+            with np.errstate(over="ignore"):
+                h = (h ^ mix) * np.uint64(0xBF58476D1CE4E5B9)
+            col = (h % np.uint64(self.dim)).astype(np.int64)
+            sign = 1.0 - 2.0 * ((h >> np.uint64(32)) & np.uint64(1)).astype(np.float64)
+            doc = np.repeat(
+                np.arange(len(texts), dtype=np.int64), np.diff(offsets)
+            )
+            np.add.at(out, (doc, col), sign)
+        norms = np.linalg.norm(out, axis=1, keepdims=True)
+        return (out / np.maximum(norms, 1e-12)).astype(np.float32)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        texts = t.column(self.text_col).to_pylist()
+        emb = self.encode(texts)
+        return pa.table(
+            {
+                self.id_col: t.column(self.id_col),
+                "embedding": pa.array(emb.tolist(), pa.list_(pa.float32())),
+            }
+        )
+
+
+def encode_texts(
+    ds,
+    text_col: str = "agValue",
+    id_col: str = "id",
+    dim: int = 256,
+    ngram: int = 3,
+    seed: int = 13,
+    batch_size: int = 2048,
+    concurrency: int | tuple = 2,
+):
+    """(id, text) Dataset → (id, embedding) Dataset via the encoder stage."""
+    return ds.map_batches(
+        HashedNgramEncoder,
+        fn_constructor_kwargs=dict(
+            dim=dim, ngram=ngram, seed=seed, text_col=text_col, id_col=id_col
+        ),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+# --------------------------------------------------------------------------
+# T3: trained linear autoencoder (closed-form optimum = PCA)
+# --------------------------------------------------------------------------
+
+
+@dataclass
+class LinearAutoencoder:
+    """Encoder/decoder pair from the distributed PCA fit.
+
+    ``components`` is (d_in, d_out) column-orthonormal; the decoder is its
+    transpose (the tied-weights optimum). ``explained`` is the captured
+    variance fraction — a training diagnostic the reference prints too."""
+
+    mean: np.ndarray
+    components: np.ndarray
+    explained: float
+
+    def encode(self, x: np.ndarray) -> np.ndarray:
+        return (np.asarray(x, dtype=np.float64) - self.mean) @ self.components
+
+    def decode(self, z: np.ndarray) -> np.ndarray:
+        return np.asarray(z, dtype=np.float64) @ self.components.T + self.mean
+
+    def reconstruction_error(self, x: np.ndarray) -> float:
+        x = np.asarray(x, dtype=np.float64)
+        r = x - self.decode(self.encode(x))
+        return float(np.mean(np.sum(r * r, axis=1)))
+
+
+def fit_linear_autoencoder(
+    ds,
+    vec_col: str = "embedding",
+    dim_out: int = 32,
+) -> LinearAutoencoder:
+    """Train the optimal linear autoencoder with ONE streaming pass.
+
+    Distributed sufficient statistics: each batch contributes
+    ``(n, Σx, XᵀX)`` — d + d² floats regardless of batch size — so the
+    driver reduction is over per-batch partials, never rows. Eigh of the
+    d×d covariance then yields the encoder. Eigenvector signs are fixed
+    (largest-|component| coordinate positive) so the fit is deterministic
+    across block orders and parallelism."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = np.asarray(t.column(vec_col).to_pylist(), dtype=np.float64)
+        if x.size == 0:
+            return pa.table({"n": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.list_(pa.float64())),
+                             "xtx": pa.array([], pa.list_(pa.float64()))})
+        return pa.table(
+            {
+                "n": pa.array([x.shape[0]], pa.int64()),
+                "s": pa.array([x.sum(axis=0).tolist()], pa.list_(pa.float64())),
+                "xtx": pa.array([(x.T @ x).ravel().tolist()], pa.list_(pa.float64())),
+            }
+        )
+
+    n_total, s_total, xtx_total = 0, None, None
+    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for n, s, xtx in zip(
+            b.column("n").to_pylist(), b.column("s").to_pylist(), b.column("xtx").to_pylist()
+        ):
+            n_total += n
+            s = np.asarray(s)
+            xtx = np.asarray(xtx)
+            s_total = s if s_total is None else s_total + s
+            xtx_total = xtx if xtx_total is None else xtx_total + xtx
+    if n_total == 0:
+        raise ValueError("cannot fit autoencoder on an empty dataset")
+    d = s_total.shape[0]
+    mean = s_total / n_total
+    cov = xtx_total.reshape(d, d) / n_total - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][:dim_out]
+    comps = evecs[:, order]
+    # deterministic sign: make the largest-magnitude coordinate positive
+    flip = np.sign(comps[np.argmax(np.abs(comps), axis=0), np.arange(comps.shape[1])])
+    flip[flip == 0] = 1.0
+    comps = comps * flip
+    total_var = float(np.clip(np.trace(cov), 1e-12, None))
+    explained = float(np.clip(evals[order].sum() / total_var, 0.0, 1.0))
+    return LinearAutoencoder(mean=mean, components=comps, explained=explained)
+
+
+def project_embeddings(
+    ds,
+    ae: LinearAutoencoder,
+    vec_col: str = "embedding",
+    id_col: str = "id",
+):
+    """Apply the trained encoder: (id, embedding_d) → (id, embedding_k).
+    Weights ride the closure once per task (d×k floats — tiny)."""
+    mean, comps = ae.mean, ae.components
+
+    def fn(t: pa.Table) -> pa.Table:
+        x = np.asarray(t.column(vec_col).to_pylist(), dtype=np.float64)
+        z = (x - mean) @ comps if len(x) else np.zeros((0, comps.shape[1]))
+        return pa.table(
+            {
+                id_col: t.column(id_col),
+                vec_col: pa.array(
+                    z.astype(np.float32).tolist(), pa.list_(pa.float32())
+                ),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# Both-sides-large KNN join (IVF-bucketed exchange)
+# --------------------------------------------------------------------------
+
+
+def _unit(x: np.ndarray) -> np.ndarray:
+    return x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+
+
+def ivf_knn_join(
+    table_a,
+    table_b,
+    k: int = 5,
+    id_col: str = "id",
+    vec_col: str = "embedding",
+    num_buckets: int = 16,
+    nprobe: int = 4,
+    seed: int = 5,
+):
+    """Approximate top-K B-neighbours per A row by cosine, both sides large.
+
+    B rows go to their single nearest-centroid bucket; A rows replicate to
+    their ``nprobe`` nearest buckets (bounded ×nprobe amplification of the
+    SMALL fixed-width vector payload, never text); one hash exchange
+    co-locates each bucket; the per-bucket kernel is one matmul + argpartition
+    per A row; a final per-A top-K merges across the nprobe buckets.
+    Returns a Dataset (tableA_id, tableB_id, score)."""
+    from .knn import _sample_centroids
+
+    cents = _sample_centroids(table_b, vec_col, num_buckets, seed)
+
+    def emit(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            ids = t.column(id_col).to_pylist()
+            x = np.asarray(t.column(vec_col).to_pylist(), dtype=np.float64)
+            if len(ids) == 0:
+                return pa.table({"bucket": pa.array([], pa.int64()),
+                                 "side": pa.array([], pa.int8()),
+                                 "rid": pa.array([], pa.int64()),
+                                 "vec": pa.array([], pa.list_(pa.float32()))})
+            sims = _unit(x) @ cents.T  # (n, num_buckets)
+            if side == 1:
+                buckets = np.argmax(sims, axis=1)[:, None]  # B: nearest only
+            else:
+                buckets = np.argsort(-sims, axis=1)[:, :nprobe]  # A: probes
+            reps = buckets.shape[1]
+            return pa.table(
+                {
+                    "bucket": pa.array(buckets.ravel().tolist(), pa.int64()),
+                    "side": pa.array([side] * (len(ids) * reps), pa.int8()),
+                    "rid": pa.array(np.repeat(ids, reps).tolist(), pa.int64()),
+                    "vec": pa.array(
+                        np.repeat(x.astype(np.float32), reps, axis=0).tolist(),
+                        pa.list_(pa.float32()),
+                    ),
+                }
+            )
+
+        return fn
+
+    keyed = table_a.map_batches(emit(0), batch_format="pyarrow").union(
+        table_b.map_batches(emit(1), batch_format="pyarrow")
+    )
+
+    def score_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        a = df[df["side"] == 0]
+        b = df[df["side"] == 1]
+        if a.empty or b.empty:
+            return pd.DataFrame(
+                {"tableA_id": pd.Series([], dtype="int64"),
+                 "tableB_id": pd.Series([], dtype="int64"),
+                 "score": pd.Series([], dtype="float64")}
+            )
+        av = _unit(np.asarray(a["vec"].tolist(), dtype=np.float64))
+        bv = _unit(np.asarray(b["vec"].tolist(), dtype=np.float64))
+        sims = av @ bv.T
+        kk = min(k, sims.shape[1])
+        top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        rows = np.repeat(a["rid"].to_numpy(), kk)
+        cols = b["rid"].to_numpy()[top.ravel()]
+        vals = np.take_along_axis(sims, top, axis=1).ravel()
+        return pd.DataFrame({"tableA_id": rows, "tableB_id": cols, "score": vals})
+
+    per_bucket = exchange_group_apply(keyed, "bucket", score_bucket,
+                                      num_buckets=num_buckets)
+    # merge across probes: per-A top-k (dedup same pair seen in 2 buckets)
+    def dedup(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(subset=["tableA_id", "tableB_id"], keep="first")
+
+    merged = grouped_top_k(
+        per_bucket.map_batches(dedup, batch_format="pandas"),
+        keys="tableA_id",
+        order_col="score",
+        k=k,
+        descending=True,
+        tie_cols=["tableB_id"],
+    )
+    return merged
+
+
+# --------------------------------------------------------------------------
+# DeepBlocker candidate generation (reference splitter.py:62-73)
+# --------------------------------------------------------------------------
+
+
+def deepblocker_topk(
+    table_a,
+    table_b,
+    k: int = 5,
+    dim: int = 256,
+    dim_out: int = 32,
+    ngram: int = 3,
+    seed: int = 13,
+    num_buckets: int = 16,
+    nprobe: int = 4,
+    id_col: str = "id",
+    text_col: str = "agValue",
+    reverse: bool = False,
+):
+    """DeepBlocker-shaped blocking: encode agValues, train the autoencoder on
+    the UNION of both tables (reference trains the AE on the concatenated
+    tuple embeddings), project, then exact-within-probed-buckets top-K per A
+    record. ``reverse`` indexes the other side (K per B record), like the
+    reference's reverse setting. Returns (tableA_id, tableB_id, score)."""
+    if reverse:
+        out = deepblocker_topk(
+            table_b, table_a, k=k, dim=dim, dim_out=dim_out, ngram=ngram,
+            seed=seed, num_buckets=num_buckets, nprobe=nprobe,
+            id_col=id_col, text_col=text_col, reverse=False,
+        )
+        return out.map_batches(
+            lambda df: df.rename(
+                columns={"tableA_id": "tableB_id", "tableB_id": "tableA_id"}
+            )[["tableA_id", "tableB_id", "score"]],
+            batch_format="pandas",
+        )
+    ea = encode_texts(table_a, text_col=text_col, id_col=id_col,
+                      dim=dim, ngram=ngram, seed=seed)
+    eb = encode_texts(table_b, text_col=text_col, id_col=id_col,
+                      dim=dim, ngram=ngram, seed=seed)
+    ae = fit_linear_autoencoder(ea.union(eb), vec_col="embedding", dim_out=dim_out)
+    pa_ds = project_embeddings(ea, ae, id_col=id_col)
+    pb_ds = project_embeddings(eb, ae, id_col=id_col)
+    return ivf_knn_join(
+        pa_ds, pb_ds, k=k, id_col=id_col, vec_col="embedding",
+        num_buckets=num_buckets, nprobe=nprobe, seed=seed,
+    )
