@@ -396,6 +396,27 @@ def q_simhash_neardup_pairs(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["left_id", "right_id"], ignore_index=True)
 
 
+def q_doc_quality_features(sf_dir: str) -> pd.DataFrame:
+    """The quality-filter SIGNALS (length/token/punct/stopword/upper/digit
+    ratios, functions/textstats.py:77) as a value-level oracled query — the
+    composite ``quality`` score and fingerprint stay in ``doc_quality``
+    (rows-only), but every input feature is checked against DuckDB here."""
+    from ..functions.textstats import quality_features
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        feats = quality_features(df["text"].tolist())
+        feats.insert(0, "doc_id", df["doc_id"].to_numpy())
+        for c in ("mean_word_len", "punct_ratio", "stopword_ratio",
+                  "upper_ratio", "digit_ratio"):
+            feats[c] = feats[c].round(6)
+        return feats
+
+    out = docs.map_batches(fn, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id", ignore_index=True)
+
+
 def q_deepblocker_topk(sf_dir: str) -> pd.DataFrame:
     """T3/T4 for real: DeepBlocker-shaped candidate generation over documents
     (hashed-ngram encode → corpus-trained linear autoencoder → IVF top-K
@@ -463,6 +484,7 @@ def build_queries() -> dict:
         "exact_dedup_docs": q_exact_dedup_docs,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "doc_quality": q_doc_quality,
+        "doc_quality_features": q_doc_quality_features,
         "embedding_knn": q_embedding_knn,
         "embedding_neardup_exact": q_embedding_neardup_exact,
         "minhash_neardup_pairs": q_minhash_neardup_pairs,
@@ -613,6 +635,33 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "doc_lang_counts": """
         SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang ORDER BY lang
+    """,
+    # quality-filter signals; corpus is ASCII/space-only so char-class
+    # regexes agree exactly with the Python kernels
+    "doc_quality_features": """
+        WITH f AS (
+            SELECT doc_id,
+                   length(text) AS n_chars,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                   END AS n_tokens,
+                   length(regexp_replace(text, '\\s', '', 'g')) AS word_chars,
+                   length(regexp_replace(text, '[^.,;:!?"''()\\[\\]{}]', '', 'g')) AS punct_chars,
+                   length(regexp_replace(text, '[^A-Z]', '', 'g')) AS upper_chars,
+                   length(regexp_replace(text, '[^0-9]', '', 'g')) AS digit_chars,
+                   CASE WHEN trim(text) = '' THEN 0 ELSE
+                     len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                         x -> x IN ('the','and','of','to','in','is','that','it','for','with')))
+                   END AS stop_hits
+            FROM documents
+        )
+        SELECT doc_id, n_chars, n_tokens,
+               round(CASE WHEN n_tokens = 0 THEN 0 ELSE word_chars * 1.0 / n_tokens END, 6) AS mean_word_len,
+               round(CASE WHEN n_chars = 0 THEN 0 ELSE punct_chars * 1.0 / n_chars END, 6) AS punct_ratio,
+               round(CASE WHEN n_tokens = 0 THEN 0 ELSE stop_hits * 1.0 / n_tokens END, 6) AS stopword_ratio,
+               round(CASE WHEN n_chars = 0 THEN 0 ELSE upper_chars * 1.0 / n_chars END, 6) AS upper_ratio,
+               round(CASE WHEN n_chars = 0 THEN 0 ELSE digit_chars * 1.0 / n_chars END, 6) AS digit_ratio
+        FROM f ORDER BY doc_id
     """,
     "exact_dedup_docs": """
         SELECT min(doc_id) AS keep_id, count(*) AS dup_count
