@@ -42,6 +42,25 @@ DEFAULT_SETTINGS = dict(
     clean=True, reverse=False, qgram=5, multiset=True, similarity="cosine", k=5
 )
 
+#: DeepBlocker per-dataset table (reference splitters/DeepBlocker/
+#: settings.py:1-13, verbatim values; K there counts embedding-KNN
+#: neighbours, no q-gram/similarity knobs).
+DEEPBLOCKER_SETTINGS: dict[float, dict[str, dict]] = {
+    0.90: {
+        "d1": dict(clean=False, reverse=False, k=1),
+        "d2": dict(clean=True, reverse=True, k=35),
+        "d3": dict(clean=True, reverse=True, k=180),
+        "d4": dict(clean=True, reverse=True, k=1),
+        "d5": dict(clean=True, reverse=False, k=31),
+        "d6": dict(clean=False, reverse=False, k=63),
+        "d7": dict(clean=True, reverse=True, k=1),
+        "d8": dict(clean=True, reverse=False, k=17),
+        "d9": dict(clean=True, reverse=False, k=5),
+    }
+}
+
+DEEPBLOCKER_DEFAULT = dict(clean=True, reverse=False, k=5)
+
 
 def dataset_key_from_path(input_path: str) -> str:
     """'…/d8_amazon_walmart[/]' → 'd8' (reference splitter.py:175-178)."""
@@ -60,21 +79,26 @@ def select_settings(
     default: bool = False,
     table_a_rows: int | None = None,
     table_b_rows: int | None = None,
+    method: str = "knn",
 ) -> dict:
     """Resolve the splitter settings for a dataset directory.
 
     ``default=True`` → stock config, with ``reverse`` enabled when A is the
     smaller table (splitter.py:179-183). Otherwise the registry row for the
     parsed ``d<N>`` key at the requested recall level; unknown datasets fall
-    back to the default rule rather than failing.
-    """
+    back to the default rule rather than failing. ``method`` picks the
+    registry: "knn" (Top-K q-gram join) or "deepblocker" (embedding KNN)."""
+    registry, default_row = {
+        "knn": (DATASET_SETTINGS, DEFAULT_SETTINGS),
+        "deepblocker": (DEEPBLOCKER_SETTINGS, DEEPBLOCKER_DEFAULT),
+    }[method]
     if not default:
         try:
             key = dataset_key_from_path(input_path)
-            return dict(DATASET_SETTINGS[recall][key])
+            return dict(registry[recall][key])
         except (KeyError, ValueError):
             pass
-    settings = dict(DEFAULT_SETTINGS)
+    settings = dict(default_row)
     if (
         table_a_rows is not None
         and table_b_rows is not None

@@ -297,17 +297,28 @@ def run_splitter(
     k: int = 5,
     clean: bool = True,
     seed: int = 42,
+    method: str = "knn",
     **join_kwargs,
 ) -> dict:
     """The full splitter step. Returns dict with lazy Datasets + stats:
-    ``{"pairs", "splits", "stats", "blocking_recall"}``."""
+    ``{"pairs", "splits", "stats", "blocking_recall"}``.
+
+    ``method`` selects the candidate generator: "knn" (Top-K q-gram
+    similarity join, reference splitters/KNN-Join) or "deepblocker"
+    (hashed-ngram + trained-autoencoder embedding KNN, reference
+    splitters/DeepBlocker/splitter.py:62-73)."""
     a_prep = prepare_entity_table(table_a, clean=clean).materialize()
     b_prep = prepare_entity_table(table_b, clean=clean).materialize()
     a_ids = {r["id"] for r in a_prep.select_columns(["id"]).take_all()}
     b_ids = {r["id"] for r in b_prep.select_columns(["id"]).take_all()}
     matches_df = filter_valid_matches(matches_df, a_ids, b_ids)
 
-    pairs = topk_similarity_join(a_prep, b_prep, k=k, **join_kwargs)
+    if method == "deepblocker":
+        from ..stages.encoders import deepblocker_topk
+
+        pairs = deepblocker_topk(a_prep, b_prep, k=k, **join_kwargs)
+    else:
+        pairs = topk_similarity_join(a_prep, b_prep, k=k, **join_kwargs)
     labeled = label_pairs(pairs, matches_df).materialize()
 
     n_pos = sum(
@@ -333,14 +344,16 @@ def run_splitter_for_dataset(
     recall: float = 0.90,
     default: bool = False,
     seed: int = 42,
+    method: str = "knn",
     **overrides,
 ) -> dict:
     """run_splitter with the reference's per-dataset settings selection
     (splitters/KNN-Join/splitter.py:175-183 + settings.py): parse ``d<N>``
     from the dataset path, look up (clean, reverse, qgram, multiset,
     similarity, K) at the recall level, and run the splitter with them.
-    ``overrides`` win over registry values. The chosen settings are echoed
-    in the result under ``"settings"``.
+    ``overrides`` win over registry values; ``method`` picks the registry
+    and candidate generator (knn | deepblocker). The chosen settings are
+    echoed in the result under ``"settings"``.
     """
     from .settings import select_settings
 
@@ -348,9 +361,15 @@ def run_splitter_for_dataset(
     b_rows = table_b.count() if default else None
     settings = select_settings(
         input_path, recall=recall, default=default,
-        table_a_rows=a_rows, table_b_rows=b_rows,
+        table_a_rows=a_rows, table_b_rows=b_rows, method=method,
     )
     settings.update(overrides)
+    # everything beyond the named knobs goes to the candidate generator
+    # (qgram/similarity/multiset for knn; dim/dim_out/num_buckets/nprobe
+    # for deepblocker; any ad-hoc override too)
+    join_kwargs = {
+        k_: v for k_, v in settings.items() if k_ not in ("k", "clean", "reverse")
+    }
     res = run_splitter(
         table_a,
         table_b,
@@ -358,10 +377,9 @@ def run_splitter_for_dataset(
         k=settings["k"],
         clean=settings["clean"],
         seed=seed,
-        qgram=settings["qgram"],
-        similarity=settings["similarity"],
-        multiset=settings["multiset"],
+        method=method,
         reverse=settings["reverse"],
+        **join_kwargs,
     )
     res["settings"] = settings
     return res

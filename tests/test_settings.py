@@ -117,6 +117,28 @@ def test_write_split_statistics_format(tmp_path):
     assert open(p).read() == expected
 
 
+def test_deepblocker_registry_rows():
+    d2 = select_settings("/data/d2_abt_buy", method="deepblocker")
+    assert d2 == dict(clean=True, reverse=True, k=35)
+    d6 = select_settings("/data/d6_x", method="deepblocker")
+    assert d6 == dict(clean=False, reverse=False, k=63)
+    # unknown dataset falls back to the deepblocker default, no qgram keys
+    s = select_settings("/data/d99_y", method="deepblocker")
+    assert s == dict(clean=True, reverse=False, k=5)
+
+
+def test_run_splitter_deepblocker_method():
+    a, b, matches = _tables(n=30)
+    res = run_splitter_for_dataset(
+        a, b, matches, "/data/d99_unknown", method="deepblocker",
+        k=2, dim=128, dim_out=8, num_buckets=4, nprobe=2,
+    )
+    assert res["settings"]["k"] == 2 and "qgram" not in res["settings"]
+    assert res["blocking_recall"] >= 0.8
+    cols = set(res["pairs"].schema().names)
+    assert {"tableA_id", "tableB_id", "label"} <= cols
+
+
 def test_run_splitter_for_dataset_applies_registry():
     a, b, matches = _tables(n=30)
     res = run_splitter_for_dataset(a, b, matches, "/data/d2_abt_buy")
