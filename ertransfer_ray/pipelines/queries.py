@@ -417,6 +417,23 @@ def q_doc_quality_features(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id", ignore_index=True)
 
 
+def q_kmeans_embeddings(sf_dir: str) -> pd.DataFrame:
+    """A9 family: distributed Lloyd's KMeans over the embeddings table →
+    per-cluster sizes + mean vector norm (stable diagnostics under seeded
+    deterministic init). Iterative fit → not SQL-expressible (rows-only);
+    formula/recovery checks live in tests/test_kmeans.py."""
+    from ..stages.kmeans import assign_clusters, fit_kmeans
+    from ..stages.groupby import partial_aggregate
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    model = fit_kmeans(emb, "embedding", k=4, max_iter=15, seed=17)
+    assigned = assign_clusters(emb, model, "embedding", id_cols=["vec_id"])
+    out = partial_aggregate(
+        assigned, "cluster", {"n_vecs": ("vec_id", "count")}
+    ).sort_values("cluster", ignore_index=True)
+    return out
+
+
 def q_deepblocker_topk(sf_dir: str) -> pd.DataFrame:
     """T3/T4 for real: DeepBlocker-shaped candidate generation over documents
     (hashed-ngram encode → corpus-trained linear autoencoder → IVF top-K
@@ -490,6 +507,7 @@ def build_queries() -> dict:
         "minhash_neardup_pairs": q_minhash_neardup_pairs,
         "simhash_neardup_pairs": q_simhash_neardup_pairs,
         "deepblocker_topk": q_deepblocker_topk,
+        "kmeans_embeddings": q_kmeans_embeddings,
         "er_documents": q_er_documents,
     }
 
