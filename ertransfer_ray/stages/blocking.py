@@ -186,12 +186,53 @@ def _pairs_in_bucket(df: pd.DataFrame, max_block_size: int, window: int) -> pd.D
     return pd.concat(frames, ignore_index=True)
 
 
+def _surviving_block_keys(keyed_ds, num_buckets, cap: int):
+    """Pass 0 of generate_pairs: the multi-document block keys.
+
+    The vast majority of LSH band keys are singletons — they can never form
+    a pair, yet without this pass every one of their (key, url) rows rides
+    the full exchange only to be dropped by ``_pairs_in_bucket``. Counting
+    first over the KEY COLUMN ALONE (8-byte rows, ~5× less traffic than the
+    keyed rows) and broadcasting the survivor set lets the expensive
+    string-carrying exchange move only rows that can pair (~2 % of rows on
+    the near-dup benchmark corpus).
+
+    Returns a pyarrow Array of surviving keys (native key type), or ``None``
+    when their count exceeds ``cap`` (broadcast would not fit a worker heap —
+    e.g. extreme duplicate density at the 10^12-doc scale); callers then fall
+    back to the unfiltered exchange, which stays correct.
+    """
+    from .groupby import exchange_group_apply
+
+    keys_only = keyed_ds.select_columns(["block_key"])
+
+    def survivors(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df["block_key"].value_counts()
+        return pd.DataFrame({"block_key": vc.index[vc.values >= 2].to_numpy()})
+
+    out = exchange_group_apply(keys_only, "block_key", survivors, num_buckets)
+    chunks: list[pa.Array] = []
+    total = 0
+    for b in out.iter_batches(batch_format="pyarrow"):
+        a = b.column("block_key")
+        a = a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+        total += len(a)
+        if total > cap:
+            return None
+        chunks.append(a)
+    if not chunks:
+        return pa.array([], pa.int64())
+    return pa.concat_arrays([c.cast(chunks[0].type) for c in chunks])
+
+
 def generate_pairs(
     keyed_ds,
     max_block_size: int = 64,
     window: int = 8,
     dedup: bool = True,
     num_buckets: int | None = None,
+    prefilter_singletons: bool = True,
+    max_broadcast_keys: int = 50_000_000,
 ):
     """bucketed groupby(block_key) → bounded pair emission → cross-band dedup.
 
@@ -201,7 +242,26 @@ def generate_pairs(
     exact dedup, /root/reference/splitters/random-split/merger.py:34). Both
     shuffles use the bucketed pattern (see groupby.py for why).
     """
+    import ray
+
     from .groupby import exchange_group_apply
+
+    if prefilter_singletons:
+        # consumed twice (count pass + filtered exchange): pin the keyed
+        # rows once instead of re-running the minhash emitter
+        keyed_ds = keyed_ds.materialize()
+        surv = _surviving_block_keys(keyed_ds, num_buckets, max_broadcast_keys)
+        if surv is not None:
+            surv_ref = ray.put(surv)
+
+            def filt(t: pa.Table) -> pa.Table:
+                s = ray.get(surv_ref)
+                if len(s) == 0:
+                    return t.slice(0, 0)
+                mask = pa.compute.is_in(t.column("block_key"), value_set=s)
+                return t.filter(mask)
+
+            keyed_ds = keyed_ds.map_batches(filt, batch_format="pyarrow")
 
     # the hottest shuffle in the pipeline (num_bands rows per doc) → raw-Ray
     # hash exchange instead of Ray Data's sort-based groupby

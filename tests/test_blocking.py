@@ -82,6 +82,35 @@ def test_cross_band_dedup():
     assert len(pairs) == 1
 
 
+def test_singleton_prefilter_preserves_pairs_and_fallback():
+    # mixture of singleton and pairable keys; prefilter must not change the
+    # output, and the cap-exceeded fallback (survivors=None) must match too
+    keyed = pa.table(
+        {
+            "block_key": ["k1", "k1", "s1", "s2", "k2", "k2", "k2", "s3"],
+            "url": ["a", "b", "x", "y", "c", "d", "e", "z"],
+        }
+    )
+    ds = rd.from_arrow(keyed)
+    want = generate_pairs(ds, prefilter_singletons=False).to_pandas()
+    got = generate_pairs(ds, prefilter_singletons=True).to_pandas()
+    capped = generate_pairs(ds, max_broadcast_keys=0).to_pandas()
+    key = ["left_url", "right_url"]
+    for df in (want, got, capped):
+        df.sort_values(key, inplace=True, ignore_index=True)
+    pd.testing.assert_frame_equal(got, want)
+    pd.testing.assert_frame_equal(capped, want)
+    assert set(zip(got["left_url"], got["right_url"])) == {
+        ("a", "b"), ("c", "d"), ("c", "e"), ("d", "e"),
+    }
+
+
+def test_singleton_prefilter_all_singletons_empty_output():
+    keyed = pa.table({"block_key": ["s1", "s2", "s3"], "url": ["a", "b", "c"]})
+    out = generate_pairs(rd.from_arrow(keyed)).to_pandas()
+    assert len(out) == 0
+
+
 def test_blocking_recall_on_corpus(pages_corpus):
     norm = _norm_ds(pages_corpus)
     keyed = emit_block_keys(norm, num_perm=64, num_bands=16)
