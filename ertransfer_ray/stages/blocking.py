@@ -231,8 +231,9 @@ def generate_pairs(
     window: int = 8,
     dedup: bool = True,
     num_buckets: int | None = None,
-    prefilter_singletons: bool = True,
+    prefilter_singletons: bool | str = "auto",
     max_broadcast_keys: int = 50_000_000,
+    prefilter_min_rows: int = 2_000_000,
 ):
     """bucketed groupby(block_key) → bounded pair emission → cross-band dedup.
 
@@ -246,10 +247,16 @@ def generate_pairs(
 
     from .groupby import exchange_group_apply
 
-    if prefilter_singletons:
+    if prefilter_singletons == "auto" or prefilter_singletons:
         # consumed twice (count pass + filtered exchange): pin the keyed
         # rows once instead of re-running the minhash emitter
         keyed_ds = keyed_ds.materialize()
+        # "auto": the count pass only pays for itself when the exchange is
+        # big — below ~2M key rows it is pure added latency (measured +1-2 s
+        # on the 5k-doc sf0.1 table vs -2.9 s/CPU-leg on the 3.2M-doc run)
+        if prefilter_singletons == "auto" and keyed_ds.count() < prefilter_min_rows:
+            prefilter_singletons = False
+    if prefilter_singletons:
         surv = _surviving_block_keys(keyed_ds, num_buckets, max_broadcast_keys)
         if surv is not None:
             surv_ref = ray.put(surv)

@@ -94,7 +94,9 @@ def test_singleton_prefilter_preserves_pairs_and_fallback():
     ds = rd.from_arrow(keyed)
     want = generate_pairs(ds, prefilter_singletons=False).to_pandas()
     got = generate_pairs(ds, prefilter_singletons=True).to_pandas()
-    capped = generate_pairs(ds, max_broadcast_keys=0).to_pandas()
+    capped = generate_pairs(
+        ds, prefilter_singletons=True, max_broadcast_keys=0
+    ).to_pandas()
     key = ["left_url", "right_url"]
     for df in (want, got, capped):
         df.sort_values(key, inplace=True, ignore_index=True)
@@ -107,7 +109,9 @@ def test_singleton_prefilter_preserves_pairs_and_fallback():
 
 def test_singleton_prefilter_all_singletons_empty_output():
     keyed = pa.table({"block_key": ["s1", "s2", "s3"], "url": ["a", "b", "c"]})
-    out = generate_pairs(rd.from_arrow(keyed)).to_pandas()
+    out = generate_pairs(
+        rd.from_arrow(keyed), prefilter_singletons=True
+    ).to_pandas()
     assert len(out) == 0
 
 
