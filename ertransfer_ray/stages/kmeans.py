@@ -58,6 +58,8 @@ def _init_centroids(ds, cols: list[str], k: int, seed: int, sample_rows: int = 4
         sample.append(_matrix(b, cols))
         if sum(len(s) for s in sample) >= sample_rows:
             break
+    if not sample or sum(len(s) for s in sample) == 0:
+        raise ValueError("cannot fit kmeans on an empty dataset")
     x = np.vstack(sample)[:sample_rows]
     rng = np.random.default_rng(seed)
     cents = [x[int(rng.integers(0, len(x)))]]

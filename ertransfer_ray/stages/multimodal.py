@@ -118,6 +118,105 @@ def decode_images(
     )
 
 
+class ResizeImage:
+    """Image resize stage shape: decoded feature rows → fixed target dims.
+
+    Real implementation holds the resampling kernel per actor; the stub
+    recomputes the deterministic fake features at the target size so the
+    contract (dims change, keys/checksum carried, embedding dim preserved)
+    is fully testable."""
+
+    def __init__(self, width: int, height: int, fake: bool = True):
+        if not fake:
+            raise NotImplementedError("no image codec in this environment")
+        self.width = width
+        self.height = height
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        out = {c: batch.column(c) for c in batch.column_names}
+        out["width"] = pa.array([self.width] * n, pa.int32())
+        out["height"] = pa.array([self.height] * n, pa.int32())
+        return pa.table(out)
+
+
+def resize_images(ds, width: int, height: int, batch_size: int = 64,
+                  concurrency: int | tuple = (1, 4)):
+    return ds.map_batches(
+        ResizeImage,
+        fn_constructor_kwargs={"width": width, "height": height},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+AUDIO_FEATURE_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("mime", pa.string()),
+        ("n_bytes", pa.int64()),
+        ("duration_ms", pa.int64()),
+        ("checksum", pa.int64()),
+        ("features", pa.list_(pa.float32())),
+    ]
+)
+
+
+class DecodeAudio:
+    """Audio decode/feature stage shape (url, mime, payload) →
+    AUDIO_FEATURE_SCHEMA. Real path would hold the codec + feature model
+    (e.g. an MFCC pipeline) per actor; the stub derives a deterministic
+    duration estimate and a unit-norm feature vector from the payload bytes
+    so batch sizing and schema are exercised for real."""
+
+    def __init__(self, fake: bool = False, n_features: int = 13,
+                 bytes_per_ms: int = 32):
+        self.n_features = n_features
+        self.bytes_per_ms = bytes_per_ms
+        if not fake:
+            # real path: import soundfile / torchaudio / ffmpeg here, once
+            raise NotImplementedError(
+                "no audio codec available in this environment; construct "
+                "with fake=True for the deterministic stub"
+            )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload").to_pylist()
+        n = len(payloads)
+        sizes = np.fromiter((len(p) for p in payloads), dtype=np.int64, count=n)
+        checks = stable_hash64([bytes(p) for p in payloads]).astype(np.int64) >> 1
+        feats = []
+        for c in checks:
+            rng = np.random.default_rng(int(c) & 0x7FFFFFFF)
+            v = rng.standard_normal(self.n_features).astype(np.float32)
+            feats.append((v / max(np.linalg.norm(v), 1e-9)).tolist())
+        return pa.Table.from_arrays(
+            [
+                batch.column("url"),
+                batch.column("mime"),
+                pa.array(sizes, pa.int64()),
+                pa.array(sizes // self.bytes_per_ms, pa.int64()),
+                pa.array(checks, pa.int64()),
+                pa.array(feats, pa.list_(pa.float32())),
+            ],
+            schema=AUDIO_FEATURE_SCHEMA,
+        )
+
+
+def decode_audio(ds, fake: bool = True, concurrency: int | tuple = (1, 4),
+                 batch_size: int = 16, n_features: int = 13):
+    """Media table → audio-feature table; tiny batches (large payloads ×
+    batch_size × concurrency bound worker heaps)."""
+    return ds.map_batches(
+        DecodeAudio,
+        fn_constructor_kwargs={"fake": fake, "n_features": n_features},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
 class FrameSampler:
     """Video frame-sampling stage shape: binary video → k evenly spaced
     frame payloads (stub: slices of the byte stream). One row in, k rows out

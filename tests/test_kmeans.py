@@ -96,3 +96,23 @@ def test_kmeans_empty_cluster_keeps_centroid(ray_session):
     model = fit_kmeans(rd.from_arrow(tbl), ["x0", "x1"], k=3, seed=2)
     assert model.sizes.sum() == 3
     assert np.isfinite(model.centroids).all()
+
+
+def test_kmeans_empty_input_raises(ray_session):
+    import pytest
+
+    tbl = pa.table({"x0": pa.array([], pa.float64()),
+                    "x1": pa.array([], pa.float64())})
+    with pytest.raises(ValueError, match="empty"):
+        fit_kmeans(rd.from_arrow(tbl), ["x0", "x1"], k=2)
+
+
+def test_autoencoder_empty_input_raises(ray_session):
+    import pytest
+
+    from ertransfer_ray.stages.encoders import fit_linear_autoencoder
+
+    tbl = pa.table({"id": pa.array([], pa.int64()),
+                    "embedding": pa.array([], pa.list_(pa.float32()))})
+    with pytest.raises(ValueError, match="empty"):
+        fit_linear_autoencoder(rd.from_arrow(tbl), dim_out=2)

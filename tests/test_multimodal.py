@@ -48,3 +48,42 @@ def test_frame_sampler_explodes_rows():
     assert len(out) == 12
     assert set(out["frame_index"]) == {0, 1, 2, 3}
     assert all(isinstance(b, bytes) for b in out["frame_payload"])
+
+
+def test_audio_decode_schema_and_determinism():
+    from ertransfer_ray.stages.multimodal import (
+        AUDIO_FEATURE_SCHEMA,
+        DecodeAudio,
+        decode_audio,
+    )
+
+    with pytest.raises(NotImplementedError):
+        DecodeAudio(fake=False)
+    tbl = make_media_table(["a-0", "a-1"], [b"x" * 3200, b"y" * 6400],
+                           mime="audio/fake")
+    out1 = DecodeAudio(fake=True)(tbl)
+    out2 = DecodeAudio(fake=True)(tbl)
+    assert out1.schema.equals(AUDIO_FEATURE_SCHEMA)
+    assert out1.equals(out2)
+    assert out1.column("duration_ms").to_pylist() == [100, 200]
+    feats = out1.column("features").to_pylist()[0]
+    assert len(feats) == 13 and abs(np.linalg.norm(feats) - 1.0) < 1e-5
+    # actor-pool path carries every key through
+    ds = rd.from_arrow(tbl)
+    got = decode_audio(ds, batch_size=1, concurrency=2).to_pandas()
+    assert set(got["url"]) == {"a-0", "a-1"}
+
+
+def test_resize_images_changes_dims_preserves_rest():
+    from ertransfer_ray.stages.multimodal import resize_images
+
+    ds = rd.from_arrow(_media(4))
+    feats = decode_images(ds, fake=True, batch_size=2, concurrency=2)
+    resized = resize_images(feats, width=224, height=224,
+                            batch_size=2, concurrency=2).to_pandas()
+    assert (resized["width"] == 224).all() and (resized["height"] == 224).all()
+    orig = decode_images(rd.from_arrow(_media(4)), fake=True,
+                         batch_size=2, concurrency=2).to_pandas()
+    merged = resized.merge(orig, on="url", suffixes=("_r", "_o"))
+    assert (merged["checksum_r"] == merged["checksum_o"]).all()
+    assert len(resized) == 4
