@@ -55,3 +55,33 @@ def test_rolling_fingerprint_identical_and_different():
     f = H.rolling_fingerprint(["hello world this is a document", "hello world this is a document", "zzz"])
     assert f[0] == f[1]
     assert f[0] != f[2]
+
+
+def test_minhash_is_unbiased_jaccard_estimator():
+    """Quantitative check of the universal-family guarantee (the round-2
+    exact-arithmetic fix): collision rate of signature coordinates must
+    track true Jaccard within ~4σ of the binomial noise at num_perm=1024."""
+    num_perm = 1024
+    for target in (0.2, 0.5, 0.8):
+        # two sets of 200 tokens with |A∩B| = j/(1+... construct directly:
+        # shared s tokens, each side adds (200 - s) uniques → J = s/(400-s)
+        s = round(400 * target / (1 + target))
+        shared = [f"sh{i}" for i in range(s)]
+        a = shared + [f"a{i}" for i in range(200 - s)]
+        b = shared + [f"b{i}" for i in range(200 - s)]
+        true_j = s / (len(set(a) | set(b)))
+        sig = H.minhash_signatures([a, b], num_perm=num_perm, seed=11)
+        est = float(np.mean(sig[0] == sig[1]))
+        sigma = (true_j * (1 - true_j) / num_perm) ** 0.5
+        assert abs(est - true_j) < 4 * sigma + 1e-9, (target, true_j, est)
+
+
+def test_minhash_chunking_invariant():
+    """Signatures must not depend on the L2-chunk boundaries: a batch of
+    docs large enough to span many chunks equals per-doc computation."""
+    docs = [[f"t{d}_{i}" for i in range(50 + d % 37)] for d in range(200)]
+    whole = H.minhash_signatures(docs, num_perm=64, seed=5)
+    per_doc = np.vstack(
+        [H.minhash_signatures([d], num_perm=64, seed=5) for d in docs]
+    )
+    np.testing.assert_array_equal(whole, per_doc)
