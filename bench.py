@@ -70,6 +70,8 @@ BENCH_QUERIES = [
     "user_sessions",
     "embedding_knn",
     "doc_quality",
+    "deepblocker_topk",   # trained-encoder blocking (T3/T4, round 2)
+    "kmeans_embeddings",  # distributed Lloyd's (A9, round 2)
 ]
 
 HEADLINE = "er_documents"

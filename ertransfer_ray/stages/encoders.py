@@ -117,18 +117,17 @@ def encode_texts(
     ngram: int = 3,
     seed: int = 13,
     batch_size: int = 2048,
-    concurrency: int | tuple = 2,
 ):
-    """(id, text) Dataset → (id, embedding) Dataset via the encoder stage."""
-    return ds.map_batches(
-        HashedNgramEncoder,
-        fn_constructor_kwargs=dict(
-            dim=dim, ngram=ngram, seed=seed, text_col=text_col, id_col=id_col
-        ),
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=concurrency,
+    """(id, text) Dataset → (id, embedding) Dataset.
+
+    Stateless TASKS, not an actor pool: the encoder's "state" is four ints
+    (construction is free), and the repo's measured rule is that cheap-state
+    stages run as elastic tasks — pools near the CPU count starve the
+    streaming executor and pay actor spin-up on every tiny input."""
+    enc = HashedNgramEncoder(
+        dim=dim, ngram=ngram, seed=seed, text_col=text_col, id_col=id_col
     )
+    return ds.map_batches(enc, batch_format="pyarrow", batch_size=batch_size)
 
 
 # --------------------------------------------------------------------------
@@ -378,13 +377,22 @@ def deepblocker_topk(
             )[["tableA_id", "tableB_id", "score"]],
             batch_format="pandas",
         )
+    self_join = table_b is table_a
     ea = encode_texts(table_a, text_col=text_col, id_col=id_col,
-                      dim=dim, ngram=ngram, seed=seed)
-    eb = encode_texts(table_b, text_col=text_col, id_col=id_col,
-                      dim=dim, ngram=ngram, seed=seed)
-    ae = fit_linear_autoencoder(ea.union(eb), vec_col="embedding", dim_out=dim_out)
-    pa_ds = project_embeddings(ea, ae, id_col=id_col)
-    pb_ds = project_embeddings(eb, ae, id_col=id_col)
+                      dim=dim, ngram=ngram, seed=seed).materialize()
+    eb = ea if self_join else encode_texts(
+        table_b, text_col=text_col, id_col=id_col,
+        dim=dim, ngram=ngram, seed=seed,
+    ).materialize()
+    ae = fit_linear_autoencoder(
+        ea if self_join else ea.union(eb), vec_col="embedding", dim_out=dim_out
+    )
+    # projected tables are consumed twice downstream (centroid sample +
+    # key emission) and are small (dim_out floats/row): pin them
+    pa_ds = project_embeddings(ea, ae, id_col=id_col).materialize()
+    pb_ds = pa_ds if self_join else project_embeddings(
+        eb, ae, id_col=id_col
+    ).materialize()
     return ivf_knn_join(
         pa_ds, pb_ds, k=k, id_col=id_col, vec_col="embedding",
         num_buckets=num_buckets, nprobe=nprobe, seed=seed,

@@ -74,6 +74,35 @@ def _init_centroids(ds, cols: list[str], k: int, seed: int, sample_rows: int = 4
     return cents
 
 
+def _fit_lloyd_local(x: np.ndarray, cents: np.ndarray, max_iter: int,
+                     tol: float) -> KMeansModel:
+    """Same Lloyd's update on a driver-resident matrix (small-input fast
+    path: N distributed barriers for a few thousand rows is pure latency)."""
+    k = len(cents)
+    counts = np.zeros(k, dtype=np.int64)
+    inertia = float("inf")
+    n_iter = 0
+    for it in range(max_iter):
+        d = x @ cents.T - 0.5 * np.sum(cents * cents, axis=1)
+        assign = np.argmax(d, axis=1)
+        counts = np.bincount(assign, minlength=k)
+        inertia = float(
+            np.sum(x * x) - 2 * np.sum(x * cents[assign])
+            + np.sum(np.sum(cents * cents, axis=1)[assign])
+        )
+        new = cents.copy()
+        for cid in range(k):
+            if counts[cid]:
+                new[cid] = x[assign == cid].mean(axis=0)
+        shift = float(np.max(np.linalg.norm(new - cents, axis=1)))
+        cents = new
+        n_iter = it + 1
+        if shift < tol:
+            break
+    return KMeansModel(centroids=cents, inertia=inertia, n_iter=n_iter,
+                       sizes=counts)
+
+
 def fit_kmeans(
     ds,
     cols: str | list[str],
@@ -81,12 +110,27 @@ def fit_kmeans(
     max_iter: int = 20,
     tol: float = 1e-6,
     seed: int = 17,
+    local_threshold: int = 65536,
 ) -> KMeansModel:
     """Lloyd's KMeans over a Dataset; ``cols`` is a list<float> embedding
-    column or a list of scalar feature columns."""
+    column or a list of scalar feature columns.
+
+    Inputs at or below ``local_threshold`` rows are pulled to the driver
+    once and iterated there (identical init and update rule; iterating a
+    tiny Dataset pays ~0.5-1 s of scheduling per pass for no parallelism
+    win). Above it, every iteration is one streaming sufficient-statistics
+    pass."""
     cols = [cols] if isinstance(cols, str) else list(cols)
     cents = _init_centroids(ds, cols, k, seed)
     proj = ds.select_columns(cols)
+    n_rows = proj.count()
+    if n_rows <= local_threshold:
+        mats = [
+            _matrix(b, cols)
+            for b in proj.iter_batches(batch_format="pyarrow")
+        ]
+        x = np.vstack([m for m in mats if len(m)])
+        return _fit_lloyd_local(x, cents, max_iter, tol)
     n_iter = 0
     inertia = float("inf")
     counts = np.zeros(k, dtype=np.int64)

@@ -55,12 +55,29 @@ def test_fit_kmeans_parallelism_tolerant(ray_session):
     x, _ = _blobs(seed=7)
     tbl = pa.table({"id": list(range(len(x))),
                     "x0": x[:, 0].tolist(), "x1": x[:, 1].tolist()})
-    m1 = fit_kmeans(rd.from_arrow(tbl).repartition(1), ["x0", "x1"], k=3, seed=17)
-    m8 = fit_kmeans(rd.from_arrow(tbl).repartition(8), ["x0", "x1"], k=3, seed=17)
+    # local_threshold=0 forces the DISTRIBUTED sufficient-statistics path
+    m1 = fit_kmeans(rd.from_arrow(tbl).repartition(1), ["x0", "x1"], k=3,
+                    seed=17, local_threshold=0)
+    m8 = fit_kmeans(rd.from_arrow(tbl).repartition(8), ["x0", "x1"], k=3,
+                    seed=17, local_threshold=0)
     # same init (seeded sample is read-order stable) → same result within fp noise
     np.testing.assert_allclose(
         np.sort(m1.centroids, axis=0), np.sort(m8.centroids, axis=0), atol=1e-8
     )
+
+
+def test_kmeans_local_fast_path_matches_distributed(ray_session):
+    x, _ = _blobs(seed=9)
+    tbl = pa.table({"id": list(range(len(x))),
+                    "x0": x[:, 0].tolist(), "x1": x[:, 1].tolist()})
+    ds = rd.from_arrow(tbl).repartition(4)
+    local = fit_kmeans(ds, ["x0", "x1"], k=3, seed=17)  # below threshold
+    dist = fit_kmeans(ds, ["x0", "x1"], k=3, seed=17, local_threshold=0)
+    np.testing.assert_allclose(
+        np.sort(local.centroids, axis=0), np.sort(dist.centroids, axis=0),
+        atol=1e-8,
+    )
+    assert sorted(local.sizes.tolist()) == sorted(dist.sizes.tolist())
 
 
 def test_fit_kmeans_one_dim_probabilities(ray_session):
