@@ -266,7 +266,11 @@ def minhash_lsh_dedup_pairs(
         batch_format="pyarrow",
         batch_size=1024,
         concurrency=(1, default_pool_size()),
-    )
+    ).materialize()
+    # ^ barrier before the band shuffle: fusing the minhash actor pool into
+    # the groupby lets the streaming executor run both concurrently and
+    # thrash (measured on 400k docs / 8 CPUs: fused 58 s vs staged 22 s —
+    # the same pathology run_er(staged=True) documents)
 
     if strategy == "join":
         cands = bucketed_group_apply(
@@ -319,7 +323,11 @@ def minhash_lsh_dedup_pairs(
             return _empty_frame(_EMPTY_JACCARD_PAIRS)
         return pd.concat(frames, ignore_index=True)
 
-    pairs = bucketed_group_apply(keyed, "band_key", verify_bucket)
+    from .groupby import exchange_group_apply
+
+    # raw-Ray hash exchange for the ×num_bands row explosion (same choice as
+    # blocking.generate_pairs): no sample+sort, one task per bucket
+    pairs = exchange_group_apply(keyed, "band_key", verify_bucket)
     return distinct_rows(pairs, ["left_id", "right_id"])
 
 
