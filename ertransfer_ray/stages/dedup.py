@@ -478,57 +478,104 @@ def simhash_dedup_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
     num_prefix_buckets: int = 4,
+    expand_cliques: bool = True,
 ):
     """SimHash near-dup pairs: bucket on rotated 16-bit prefixes of the
     64-bit simhash (any pair within Hamming ≤ 3 shares at least one of the
     4 rotated prefixes exactly — pigeonhole), verify by Hamming distance.
-    Shuffle rows are (bucket, id, simhash): 8-byte sketch, never text."""
+    Shuffle rows are (bucket:int64, id, simhash): 8-byte sketch, never text.
+
+    Hamming is computed over DISTINCT sketch values only: web corpora
+    collapse near-dup families onto identical simhashes (measured: 3,550
+    distinct sketches for 100k expanded docs → per-bucket all-pairs over
+    docs is ~90M comparisons where distinct-sketch pairs need ~10k), and
+    identical sketches are Hamming-0 pairs by definition.
+
+    ``expand_cliques=True`` (default) expands every qualifying sketch-group
+    pair to ALL doc pairs — byte-exact brute-force parity, but output is
+    inherently quadratic in duplicate-family size. ``expand_cliques=False``
+    emits a connectivity-equivalent STAR instead (min-id representative to
+    each member, representative to representative across groups): linear
+    output, same connected components — the right artifact to feed
+    ``connected_components`` at the 10^12-doc scale."""
 
     def emit(t: pa.Table) -> pa.Table:
-        ids = t.column(id_col).to_pylist()
+        ids_arr = t.column(id_col)
         texts = t.column(text_col).to_pylist()
         sh = simhash64([x.lower().split() for x in texts])
-        buckets, out_ids, out_sh = [], [], []
+        sh_i64 = sh.astype(np.int64)
+        n = len(texts)
+        buckets = np.empty(n * num_prefix_buckets, dtype=np.int64)
         for b in range(num_prefix_buckets):
             chunk = ((sh >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64)
-            buckets.extend([f"b{b}:{c}" for c in chunk])
-            out_ids.extend(ids)
-            out_sh.extend(sh.astype(np.int64).tolist())
+            buckets[b * n : (b + 1) * n] = (np.int64(b) << 17) | chunk
         return pa.table(
             {
-                "bucket": pa.array(buckets, pa.string()),
-                "doc_id": pa.array(out_ids),
-                "simhash": pa.array(out_sh, pa.int64()),
+                "bucket": pa.array(buckets, pa.int64()),
+                "doc_id": pa.concat_arrays(
+                    [ids_arr.combine_chunks()] * num_prefix_buckets
+                ),
+                "simhash": pa.array(np.tile(sh_i64, num_prefix_buckets), pa.int64()),
             }
         )
 
-    keyed = ds.map_batches(emit, batch_format="pyarrow")
+    keyed = ds.map_batches(emit, batch_format="pyarrow").materialize()
+
+    def _group_pairs(ga: np.ndarray, gb: np.ndarray, hd: int) -> pd.DataFrame:
+        """All cross pairs between two sorted member arrays (left<right by
+        construction after the global order fix below)."""
+        ii = np.repeat(ga, len(gb))
+        jj = np.tile(gb, len(ga))
+        lo = np.minimum(ii, jj)
+        hi = np.maximum(ii, jj)
+        return pd.DataFrame({"left_id": lo, "right_id": hi,
+                             "hamming": np.full(len(lo), hd, dtype=np.int64)})
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
         df = df[df.duplicated("bucket", keep=False)]  # singletons can't pair
         frames = []
         for _, g in df.groupby("bucket", sort=False):
             g = g.drop_duplicates("doc_id").sort_values("doc_id")
-            n = len(g)
-            if n < 2:
+            if len(g) < 2:
                 continue
             ids = g["doc_id"].to_numpy()
             sh = g["simhash"].to_numpy().astype(np.uint64)
-            ii, jj = np.triu_indices(n, k=1)
-            hd = hamming_distance64(sh[ii], sh[jj])
-            keep = hd <= max_hamming
-            frames.append(
-                pd.DataFrame(
-                    {"left_id": ids[ii[keep]], "right_id": ids[jj[keep]], "hamming": hd[keep]}
-                )
-            )
+            uniq, inv = np.unique(sh, return_inverse=True)
+            members = [ids[inv == u] for u in range(len(uniq))]  # each sorted
+            # identical-sketch groups: Hamming 0
+            for m in members:
+                if len(m) < 2:
+                    continue
+                if expand_cliques:
+                    ii, jj = np.triu_indices(len(m), k=1)
+                    frames.append(pd.DataFrame(
+                        {"left_id": m[ii], "right_id": m[jj],
+                         "hamming": np.zeros(len(ii), dtype=np.int64)}))
+                else:
+                    frames.append(pd.DataFrame(
+                        {"left_id": np.full(len(m) - 1, m[0]),
+                         "right_id": m[1:],
+                         "hamming": np.zeros(len(m) - 1, dtype=np.int64)}))
+            # cross-group pairs over DISTINCT sketches
+            nd = len(uniq)
+            if nd >= 2:
+                ii, jj = np.triu_indices(nd, k=1)
+                hd = hamming_distance64(uniq[ii], uniq[jj])
+                keep = hd <= max_hamming
+                for a, b, d in zip(ii[keep], jj[keep], hd[keep]):
+                    if expand_cliques:
+                        frames.append(_group_pairs(members[a], members[b], int(d)))
+                    else:
+                        frames.append(_group_pairs(members[a][:1], members[b][:1], int(d)))
         if not frames:
             return _empty_frame(
                 {"left_id": "int64", "right_id": "int64", "hamming": "int64"}
             )
         return pd.concat(frames, ignore_index=True)
 
-    pairs = bucketed_group_apply(keyed, "bucket", verify)
+    from .groupby import exchange_group_apply
+
+    pairs = exchange_group_apply(keyed, "bucket", verify)
     return distinct_rows(pairs, ["left_id", "right_id"])
 
 

@@ -59,6 +59,45 @@ def test_simhash_finds_near_dups():
     assert (1, 2) in got
 
 
+def test_simhash_star_mode_preserves_components():
+    """expand_cliques=False emits linear star pairs with identical
+    connectivity: union-find over both pair sets gives the same grouping."""
+    texts = (
+        ["alpha beta gamma delta epsilon zeta"] * 4      # exact-dup family
+        + ["alpha beta gamma delta epsilon zet"] * 3     # near-dup of above
+        + ["totally different words entirely here now"]  # singleton
+    )
+    docs = rd.from_arrow(
+        pa.table({"doc_id": pa.array(range(8), pa.int64()),
+                  "text": pa.array(texts)})
+    )
+    clique = simhash_dedup_pairs(docs, max_hamming=12).to_pandas()
+    star = simhash_dedup_pairs(docs, max_hamming=12, expand_cliques=False).to_pandas()
+    assert len(star) < len(clique)
+
+    def components(df):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for l, r in zip(df["left_id"], df["right_id"]):
+            parent[find(l)] = find(r)
+        groups = {}
+        for x in list(parent):
+            groups.setdefault(find(x), set()).add(x)
+        return sorted(frozenset(g) for g in groups.values())
+
+    assert components(clique) == components(star)
+    # clique mode is exhaustive: the 4-doc exact family contributes C(4,2)
+    fam = clique[(clique["left_id"] < 4) & (clique["right_id"] < 4)]
+    assert len(fam) == 6 and (fam["hamming"] == 0).all()
+
+
 def test_embedding_neardup_exact_bucket():
     emb = rd.from_arrow(
         pa.table(
