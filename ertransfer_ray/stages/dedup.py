@@ -432,7 +432,53 @@ def ngram_jaccard_pairs(
             return _empty_frame({"left_id": "int64", "right_id": "int64"})
         return pd.concat(frames, ignore_index=True).drop_duplicates()
 
-    cands = bucketed_group_apply(keyed, "shingle", pairs_under_cap)
+    # frequency prefilter before the big exchange (the generate_pairs
+    # singleton-prefilter pattern, extended to BOTH bounds): a count pass
+    # over the 8-byte shingle column finds keys with 2 ≤ df ≤ max_doc_freq;
+    # rows outside the band — singletons AND boilerplate — never ride the
+    # (shingle, id) exchange. Falls back to the unfiltered exchange when
+    # the survivor set exceeds the broadcast cap.
+    import ray
+
+    from .groupby import exchange_group_apply
+
+    keyed = keyed.materialize()
+
+    def _band_survivors(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df["shingle"].value_counts()
+        keep = vc.index[(vc.values >= 2) & (vc.values <= max_doc_freq)]
+        return pd.DataFrame({"shingle": keep.to_numpy()})
+
+    surv_chunks: list[pa.Array] = []
+    total = 0
+    cap = 50_000_000
+    for b in exchange_group_apply(
+        keyed.select_columns(["shingle"]), "shingle", _band_survivors
+    ).iter_batches(batch_format="pyarrow"):
+        a = b.column("shingle")
+        a = a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+        total += len(a)
+        if total > cap:
+            surv_chunks = None
+            break
+        surv_chunks.append(a)
+    if surv_chunks is not None:
+        surv = (
+            pa.concat_arrays(surv_chunks)
+            if surv_chunks
+            else pa.array([], pa.int64())
+        )
+        surv_ref = ray.put(surv)
+
+        def band_filter(t: pa.Table) -> pa.Table:
+            s = ray.get(surv_ref)
+            if len(s) == 0:
+                return t.slice(0, 0)
+            return t.filter(pa.compute.is_in(t.column("shingle"), value_set=s))
+
+        keyed = keyed.map_batches(band_filter, batch_format="pyarrow")
+
+    cands = exchange_group_apply(keyed, "shingle", pairs_under_cap)
     cands = distinct_rows(cands, ["left_id", "right_id"])
 
     if strategy == "join":
@@ -454,10 +500,15 @@ def ngram_jaccard_pairs(
                 t.column("text").to_pylist(), index=t.column("id").to_pylist()
             ),
         )
-        lsets = [_norm_shingle_set(t) for t in texts.reindex(df["left_id"]).fillna("")]
-        rsets = [_norm_shingle_set(t) for t in texts.reindex(df["right_id"]).fillna("")]
+        # each doc's gram set built ONCE per batch: candidate docs appear in
+        # many pairs, so per-pair construction repeats the same set work
+        uniq = pd.unique(pd.concat([df["left_id"], df["right_id"]], ignore_index=True))
+        sets = {
+            d: _norm_shingle_set(t)
+            for d, t in zip(uniq, texts.reindex(uniq).fillna(""))
+        }
         jac = np.fromiter(
-            (jaccard(a, b) for a, b in zip(lsets, rsets)),
+            (jaccard(sets[a], sets[b]) for a, b in zip(df["left_id"], df["right_id"])),
             dtype=np.float64,
             count=len(df),
         )
