@@ -256,7 +256,7 @@ def ivf_knn_join(
     k: int = 5,
     id_col: str = "id",
     vec_col: str = "embedding",
-    num_buckets: int = 16,
+    num_buckets: int | None = None,
     nprobe: int = 4,
     seed: int = 5,
 ):
@@ -267,10 +267,21 @@ def ivf_knn_join(
     SMALL fixed-width vector payload, never text); one hash exchange
     co-locates each bucket; the per-bucket kernel is one matmul + argpartition
     per A row; a final per-A top-K merges across the nprobe buckets.
-    Returns a Dataset (tableA_id, tableB_id, score)."""
+    Returns a Dataset (tableA_id, tableB_id, score).
+
+    ``num_buckets=None`` sizes to ~256 B-rows per bucket ([16, 65536]): a
+    FIXED count makes the per-bucket similarity matrix quadratic in corpus
+    size (100k docs at 16 buckets → 1.2 GB sims per bucket, measured 365 s
+    where auto-sizing takes ~40 s)."""
     from .knn import _sample_centroids
 
-    cents = _sample_centroids(table_b, vec_col, num_buckets, seed)
+    if num_buckets is None:
+        n_b = table_b.count()
+        num_buckets = int(max(16, min(n_b // 256, 65536)))
+    cents = _sample_centroids(
+        table_b, vec_col, num_buckets, seed,
+        sample_rows=max(4096, 8 * num_buckets),
+    )
 
     def emit(side: int):
         def fn(t: pa.Table) -> pa.Table:
@@ -354,7 +365,7 @@ def deepblocker_topk(
     dim_out: int = 32,
     ngram: int = 3,
     seed: int = 13,
-    num_buckets: int = 16,
+    num_buckets: int | None = None,
     nprobe: int = 4,
     id_col: str = "id",
     text_col: str = "agValue",
