@@ -102,6 +102,107 @@ def set_metric(similarity: str = "cosine", multiset: bool = True):
         raise ValueError(f"unknown similarity metric {similarity!r}") from None
 
 
+class PreparedBag:
+    """Per-document token bag prepared ONCE for many pair scorings:
+    tokens → stable-hashed uint64 keys, sorted + unique, with counts.
+    Kernel-building (Counter construction, set hashing) is the dominant
+    cost when a doc scores against hundreds of candidates — measured ~60 µs
+    per cosine_bag call vs ~8 µs for the prepared intersect1d form."""
+
+    __slots__ = ("keys", "counts", "norm", "total")
+
+    def __init__(self, tokens):
+        from .hashing import stable_hash64
+
+        if len(tokens) == 0:
+            self.keys = np.empty(0, dtype=np.uint64)
+            self.counts = np.empty(0, dtype=np.float64)
+            self.norm = 0.0
+            self.total = 0.0
+            return
+        h = np.sort(stable_hash64(list(tokens)))
+        keys, counts = np.unique(h, return_counts=True)
+        self.keys = keys
+        self.counts = counts.astype(np.float64)
+        self.norm = float(np.sqrt(np.sum(self.counts * self.counts)))
+        self.total = float(self.counts.sum())
+
+
+def prepare_bags(token_lists) -> list[PreparedBag]:
+    """Batched PreparedBag construction: ONE stable_hash64 call over the
+    concatenated tokens of every doc (per-doc hashing pays ~1 ms of
+    pandas hash_array call overhead; batched it amortizes to ~0.1 µs per
+    token), then per-doc sort+unique."""
+    from .hashing import stable_hash64
+
+    lens = [len(t) for t in token_lists]
+    flat: list = []
+    for t in token_lists:
+        flat.extend(t)
+    h = stable_hash64(flat) if flat else np.empty(0, dtype=np.uint64)
+    out = []
+    off = 0
+    for n in lens:
+        bag = PreparedBag.__new__(PreparedBag)
+        seg = h[off : off + n]
+        off += n
+        keys, counts = np.unique(seg, return_counts=True)
+        bag.keys = keys
+        bag.counts = counts.astype(np.float64)
+        bag.norm = float(np.sqrt(np.sum(bag.counts * bag.counts)))
+        bag.total = float(bag.counts.sum())
+        out.append(bag)
+    return out
+
+
+def _prepared_inter(a: PreparedBag, b: PreparedBag):
+    _, ia, ib = np.intersect1d(
+        a.keys, b.keys, assume_unique=True, return_indices=True
+    )
+    return ia, ib
+
+
+def prepared_metric(similarity: str = "cosine", multiset: bool = True):
+    """Pair kernel over :class:`PreparedBag` objects — same values as
+    ``set_metric(similarity, multiset)`` over the raw token lists (the
+    multiset=False caller passes deduplicated tokens, making counts 1 and
+    the bag forms reduce to the set forms)."""
+
+    def cos(a: PreparedBag, b: PreparedBag) -> float:
+        if a.norm == 0.0 and b.norm == 0.0:
+            return 1.0
+        if a.norm == 0.0 or b.norm == 0.0:
+            return 0.0
+        ia, ib = _prepared_inter(a, b)
+        if multiset:
+            return float(np.dot(a.counts[ia], b.counts[ib])) / (a.norm * b.norm)
+        return len(ia) / float(np.sqrt(len(a.keys) * len(b.keys)))
+
+    def dice_k(a: PreparedBag, b: PreparedBag) -> float:
+        if a.total == 0.0 and b.total == 0.0:
+            return 1.0
+        ia, ib = _prepared_inter(a, b)
+        if multiset:
+            d = a.total + b.total
+            inter = float(np.minimum(a.counts[ia], b.counts[ib]).sum())
+            return 2.0 * inter / d if d else 0.0
+        d = len(a.keys) + len(b.keys)
+        return 2.0 * len(ia) / d if d else 0.0
+
+    def jac(a: PreparedBag, b: PreparedBag) -> float:
+        if len(a.keys) == 0 and len(b.keys) == 0:
+            return 1.0
+        ia, _ = _prepared_inter(a, b)
+        u = len(a.keys) + len(b.keys) - len(ia)
+        return len(ia) / u if u else 0.0
+
+    table = {"cosine": cos, "dice": dice_k, "jaccard": jac}
+    try:
+        return table[similarity]
+    except KeyError:
+        raise ValueError(f"unknown similarity metric {similarity!r}") from None
+
+
 def jaro(a: str, b: str) -> float:
     """Jaro similarity (scalar). Short-string kernel for titles/names."""
     if a == b:

@@ -34,7 +34,12 @@ import pandas as pd
 import pyarrow as pa
 import ray
 
-from ..functions.hashing import lsh_band_keys, minhash_coeffs, minhash_signatures, stable_hash64
+from ..functions.hashing import (
+    lsh_band_keys_u64,
+    minhash_coeffs,
+    minhash_signatures,
+    stable_hash64,
+)
 from ..functions.simfuncs import qgrams
 from ..functions.textnorm import ag_value, clean_text, coerce_strings
 from ..stages.groupby import bucketed_group_apply
@@ -65,8 +70,16 @@ def filter_valid_matches(matches_df: pd.DataFrame, a_ids: set, b_ids: set) -> pd
     ].reset_index(drop=True)
 
 
+#: per-worker-process PreparedBag cache for topk_similarity_join scoring
+_BAG_CACHE: dict = {}
+_BAG_CACHE_MAX = 500_000
+
+
 class _SideKeyEmitter:
-    """Emit (band_key, side, id, agValue) rows for one side of the join."""
+    """Emit ID-ONLY (block_key:int64, side, id) rows for one side of the
+    join — agValues never ride the ×num_bands band shuffle (the
+    blocking.py:85-91 rule; round 2 removed the payload column here after
+    a 100k-entity self-join ran past 10 minutes carrying it)."""
 
     def __init__(self, side: int, num_perm: int, num_bands: int, qgram: int, seed: int):
         self.side = side
@@ -80,14 +93,13 @@ class _SideKeyEmitter:
         ags = t.column("agValue").to_pylist()
         toks = [qgrams(a, self.qgram) if self.qgram else a.split() for a in ags]
         sig = minhash_signatures(toks, self.num_perm, coeffs=self.coeffs)
-        bands = lsh_band_keys(sig, self.num_bands)
+        bands = lsh_band_keys_u64(sig, self.num_bands)
         reps = self.num_bands
         return pa.table(
             {
-                "block_key": pa.array(np.concatenate(bands), pa.string()),
+                "block_key": pa.array(np.concatenate(bands).astype(np.int64)),
                 "side": pa.array(np.full(len(ids) * reps, self.side, dtype=np.int8)),
                 "id": pa.array(ids * reps, pa.int64()),
-                "agValue": pa.array(ags * reps, pa.string()),
             }
         )
 
@@ -132,51 +144,173 @@ def topk_similarity_join(
             batch_format="pandas",
         )
 
-    from ..functions.simfuncs import set_metric
+    from ..stages.groupby import exchange_group_apply
+    from ..stages.joins import cached_side
 
-    score_fn = set_metric(similarity, multiset)
     ka = table_a.map_batches(
-        _SideKeyEmitter, fn_constructor_kwargs=dict(
-            side=0, num_perm=num_perm, num_bands=num_bands, qgram=qgram, seed=seed),
-        batch_format="pyarrow", batch_size=2048, concurrency=2,
+        _SideKeyEmitter(side=0, num_perm=num_perm, num_bands=num_bands,
+                        qgram=qgram, seed=seed),
+        batch_format="pyarrow", batch_size=2048,
     )
     kb = table_b.map_batches(
-        _SideKeyEmitter, fn_constructor_kwargs=dict(
-            side=1, num_perm=num_perm, num_bands=num_bands, qgram=qgram, seed=seed),
-        batch_format="pyarrow", batch_size=2048, concurrency=2,
+        _SideKeyEmitter(side=1, num_perm=num_perm, num_bands=num_bands,
+                        qgram=qgram, seed=seed),
+        batch_format="pyarrow", batch_size=2048,
     )
+    keyed = ka.union(kb).materialize()
 
-    def score_block(df: pd.DataFrame) -> pd.DataFrame:
-        frames = []
-        for _, g in df.groupby("block_key", sort=False):
-            a = g[g["side"] == 0].drop_duplicates("id").head(max_block_side)
-            b = g[g["side"] == 1].drop_duplicates("id").head(max_block_side)
-            if a.empty or b.empty:
-                continue
-            a_toks = [qgrams(v, qgram, multiset=multiset) for v in a["agValue"]]
-            b_toks = [qgrams(v, qgram, multiset=multiset) for v in b["agValue"]]
-            rows_a, rows_b, scores = [], [], []
-            for aid, ta in zip(a["id"].to_numpy(), a_toks):
-                for bid, tb in zip(b["id"].to_numpy(), b_toks):
-                    rows_a.append(aid)
-                    rows_b.append(bid)
-                    scores.append(score_fn(ta, tb))
-            frames.append(
-                pd.DataFrame({"tableA_id": rows_a, "tableB_id": rows_b, "score": scores})
-            )
-        if not frames:
-            return pd.DataFrame(
-                {"tableA_id": pd.Series([], dtype="int64"),
-                 "tableB_id": pd.Series([], dtype="int64"),
-                 "score": pd.Series([], dtype="float64")}
-            )
-        out = pd.concat(frames, ignore_index=True)
-        # per-bucket dedup before the cross-bucket shuffle
-        return out.sort_values("score", ascending=False).drop_duplicates(
-            ["tableA_id", "tableB_id"]
+    # prefilter: only keys seen on BOTH sides can score a pair — most band
+    # keys are single-side/singleton and would ride the exchange for
+    # nothing (generate_pairs' singleton-prefilter pattern)
+    def _both_sides(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("block_key")["side"]
+        lo, hi = g.min(), g.max()
+        keep = lo.index[(lo.values == 0) & (hi.values == 1)]
+        return pd.DataFrame({"block_key": keep.to_numpy()})
+
+    surv_chunks, total, cap = [], 0, 50_000_000
+    for bt in exchange_group_apply(
+        keyed.select_columns(["block_key", "side"]), "block_key", _both_sides
+    ).iter_batches(batch_format="pyarrow"):
+        arr = bt.column("block_key")
+        arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+        total += len(arr)
+        if total > cap:
+            surv_chunks = None
+            break
+        surv_chunks.append(arr)
+    if surv_chunks is not None:
+        surv = (
+            pa.concat_arrays(surv_chunks) if surv_chunks else pa.array([], pa.int64())
+        )
+        surv_ref = ray.put(surv)
+
+        def filt(t: pa.Table) -> pa.Table:
+            s = ray.get(surv_ref)
+            if len(s) == 0:
+                return t.slice(0, 0)
+            return t.filter(pa.compute.is_in(t.column("block_key"), value_set=s))
+
+        keyed = keyed.map_batches(filt, batch_format="pyarrow")
+
+    # phase 1: candidate PAIR IDS per block — no scoring yet. A pair that
+    # shares b bands would otherwise be scored b times (up to ×num_bands);
+    # on a 100k-entity self-join the redundant set-similarity calls pushed
+    # the fused form past 10 minutes. Generate → cross-band dedup → score
+    # each distinct pair exactly once (the er_pipeline architecture).
+    def gen_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        """Fully vectorized A×B emission across ALL keys of the bucket — a
+        per-key pandas loop pays ~150 µs per distinct band key (measured
+        132 s for a 50k-entity bucket set where this form takes ~8 s)."""
+        empty = pd.DataFrame(
+            {"tableA_id": pd.Series([], dtype="int64"),
+             "tableB_id": pd.Series([], dtype="int64")}
+        )
+        if df.empty:
+            return empty
+        d = df.drop_duplicates(["block_key", "side", "id"]).sort_values(
+            ["block_key", "side", "id"], kind="stable"
+        )
+        key = d["block_key"].to_numpy()
+        side = d["side"].to_numpy()
+        ids = d["id"].to_numpy()
+        # rank within (key, side) runs → cap at max_block_side
+        seg_start = np.flatnonzero(
+            np.r_[True, (key[1:] != key[:-1]) | (side[1:] != side[:-1])]
+        )
+        seg_id = np.cumsum(np.r_[True, (key[1:] != key[:-1]) | (side[1:] != side[:-1])]) - 1
+        rank = np.arange(len(d)) - seg_start[seg_id]
+        keep = rank < max_block_side
+        key, side, ids = key[keep], side[keep], ids[keep]
+        # per-key segment bounds for each side
+        uk, key_inv = np.unique(key, return_inverse=True)
+        nk = len(uk)
+        n_a = np.bincount(key_inv[side == 0], minlength=nk)
+        n_b = np.bincount(key_inv[side == 1], minlength=nk)
+        both = (n_a > 0) & (n_b > 0)
+        if not both.any():
+            return empty
+        a_mask = (side == 0) & both[key_inv]
+        b_mask = (side == 1) & both[key_inv]
+        a_ids, a_keys = ids[a_mask], key_inv[a_mask]
+        b_ids = ids[b_mask]
+        b_start = np.zeros(nk, dtype=np.int64)
+        seg_starts = np.zeros(int(both.sum()), dtype=np.int64)
+        np.cumsum(n_b[both][:-1], out=seg_starts[1:])
+        b_start[both] = seg_starts
+        # b_start holds, for each key with both sides, the offset of its b
+        # segment inside b_ids; expand per a-row
+        nb_per_a = n_b[a_keys]
+        total = int(nb_per_a.sum())
+        if total == 0:
+            return empty
+        left = np.repeat(a_ids, nb_per_a)
+        starts = np.repeat(b_start[a_keys], nb_per_a)
+        # 0..nb-1 within each a-row's fan-out
+        cum = np.cumsum(nb_per_a)
+        within = np.arange(total) - np.repeat(cum - nb_per_a, nb_per_a)
+        right = b_ids[starts + within]
+        return pd.DataFrame({"tableA_id": left, "tableB_id": right}).drop_duplicates()
+
+    from ..stages.groupby import distinct_rows
+
+    cands = exchange_group_apply(keyed, "block_key", gen_pairs)
+    cands = distinct_rows(cands, ["tableA_id", "tableB_id"])
+
+    # phase 2: score each distinct pair once. agValues come from
+    # worker-cached object-store lookups (one copy per worker process,
+    # never per band row); tokens are memoized per batch. The dedup.py
+    # join strategy is the template for beyond-heap entity tables.
+    refs_a = table_a.to_arrow_refs()
+    refs_b = table_b.to_arrow_refs()
+
+    def _lookup(tbl: pa.Table) -> pd.Series:
+        return pd.Series(
+            tbl.column("agValue").to_pylist(), index=tbl.column("id").to_pylist()
         )
 
-    scored = bucketed_group_apply(ka.union(kb), "block_key", score_block)
+    from ..functions.simfuncs import prepare_bags, prepared_metric
+
+    pair_fn = prepared_metric(similarity, multiset)
+    # worker-process bag cache: a doc's pairs spread over many batches, and
+    # Ray reuses worker processes across map tasks, so tokenize+hash+sort
+    # happens once per doc per WORKER (bounded FIFO; key includes the side
+    # table's first block ref so different joins never mix)
+    fp_a = refs_a[0].hex() if refs_a else "a"
+    fp_b = refs_b[0].hex() if refs_b else "b"
+
+    def _bags_for(ids, lookup, fingerprint: str):
+        cache = _BAG_CACHE
+        missing = [i for i in ids if (fingerprint, i) not in cache]
+        if missing:
+            bags = prepare_bags(
+                [qgrams(lookup.get(i, ""), qgram, multiset=multiset) for i in missing]
+            )
+            if len(cache) + len(missing) > _BAG_CACHE_MAX:
+                cache.clear()
+            for i, bag in zip(missing, bags):
+                cache[(fingerprint, i)] = bag
+        return {i: cache[(fingerprint, i)] for i in ids}
+
+    def score_batch(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            df = df.copy()
+            df["score"] = pd.Series([], dtype="float64")
+            return df
+        prep_a = _bags_for(
+            pd.unique(df["tableA_id"]), cached_side(refs_a, _lookup), fp_a
+        )
+        prep_b = _bags_for(
+            pd.unique(df["tableB_id"]), cached_side(refs_b, _lookup), fp_b
+        )
+        out = df.copy()
+        out["score"] = [
+            pair_fn(prep_a[a], prep_b[b])
+            for a, b in zip(df["tableA_id"], df["tableB_id"])
+        ]
+        return out
+
+    scored = cands.map_batches(score_batch, batch_format="pandas", batch_size=8192)
 
     def topk_per_a(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["score", "tableB_id"], ascending=[False, True])

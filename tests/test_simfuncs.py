@@ -52,3 +52,34 @@ def test_softmax():
     assert np.allclose(p[0], [0.5, 0.5])
     assert p[1, 0] > 0.99
     assert np.allclose(p.sum(axis=1), 1.0)
+
+
+def test_prepared_metric_matches_set_metric():
+    import numpy as np
+
+    from ertransfer_ray.functions.simfuncs import (
+        PreparedBag,
+        prepared_metric,
+        qgrams,
+        set_metric,
+    )
+
+    rng = np.random.default_rng(9)
+    texts = [
+        "garmin forerunner 235 gps running watch",
+        "garmin forerunner 235 gps watch black",
+        "apple iphone 12 pro max",
+        "",
+        "aa",
+    ]
+    for similarity in ("cosine", "dice", "jaccard"):
+        for multiset in (True, False):
+            ref = set_metric(similarity, multiset)
+            fast = prepared_metric(similarity, multiset)
+            for a in texts:
+                for b in texts:
+                    ta = qgrams(a, 5, multiset=multiset)
+                    tb = qgrams(b, 5, multiset=multiset)
+                    want = ref(ta, tb)
+                    got = fast(PreparedBag(ta), PreparedBag(tb))
+                    assert abs(want - got) < 1e-12, (similarity, multiset, a, b)
