@@ -223,6 +223,11 @@ def exchange_group_apply(
 
     @ray.remote(num_returns=num_buckets)
     def split(block: pa.Table):
+        if block.num_rows == 0 or block.num_columns == 0:
+            # Ray Data can emit schema-less empty blocks from unions /
+            # materializations; hashing their (absent) key columns would fail
+            out = [block.slice(0, 0)] * num_buckets
+            return out if num_buckets > 1 else out[0]
         df = block.to_pandas()
         b = _bucket_of(df, keys, num_buckets)
         order = np.argsort(b, kind="stable")
@@ -241,7 +246,13 @@ def exchange_group_apply(
     def apply_bucket(*tables):
         tbls = [t for t in tables if t.num_rows > 0]
         if not tbls:
-            base = tables[0].to_pandas() if tables else pd.DataFrame()
+            # all-empty bucket: hand fn an empty frame with the richest
+            # available schema (schema-less empties carry no columns)
+            base = (
+                max(tables, key=lambda t: t.num_columns).to_pandas()
+                if tables
+                else pd.DataFrame()
+            )
             out = fn(base)
         else:
             out = fn(pa.concat_tables(tbls).to_pandas())
