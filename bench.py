@@ -88,12 +88,19 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     for t in ("documents", "lineitem", "orders", "events", "embeddings"):
         rd.read_parquet(f"{sf_dir}/{t}.parquet").count()
 
+    # best-of-N per query: this shared host shows ±10-30 % (occasionally
+    # worse) run-to-run noise; min is the standard noise-robust estimator
+    # (same protocol as the --scaling legs, see BASELINE.md)
+    n_runs = int(os.environ.get("GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
     for name in BENCH_QUERIES:
-        t0 = time.perf_counter()
-        rows[name] = _consume(qs[name](sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(n_runs):
+            t0 = time.perf_counter()
+            rows[name] = _consume(qs[name](sf_dir))
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
     import ray
 
     ray.shutdown()
