@@ -207,16 +207,30 @@ def _driver_union_find(edge_rows: list[tuple[str, str]]) -> pd.DataFrame:
 def _checksum(labels_ds) -> tuple[int, int]:
     """Order-independent fixpoint checksum of the (node, comp) labels table.
     Labels only ever decrease lexicographically, so an unchanged checksum
-    pair ⇒ converged (collision odds ~2^-122)."""
+    pair ⇒ converged (collision odds ~2^-92).
+
+    Runs as a distributed partial-sum: each block reduces to one (s1, s2)
+    row, so the driver pulls O(blocks) rows per round — never the label
+    table itself (at web scale that drain would dominate the round)."""
     from ..functions.hashing import stable_hash64
 
     P1, P2 = (1 << 61) - 1, (1 << 31) - 1
-    s1 = s2 = 0
-    for b in labels_ds.iter_batches(batch_format="pandas"):
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0 or "node" not in b.columns:
+            return pd.DataFrame({"s1": [], "s2": []}, dtype="int64")
         h = stable_hash64((b["node"] + "|" + b["comp"]).tolist())
         # mod in uint64 first (exact: P1, P2 < 2^63), object-sum the residues
-        s1 = (s1 + int((h % np.uint64(P1)).astype(object).sum())) % P1
-        s2 = (s2 + int((h % np.uint64(P2)).astype(object).sum())) % P2
+        s1 = int((h % np.uint64(P1)).astype(object).sum()) % P1
+        s2 = int((h % np.uint64(P2)).astype(object).sum()) % P2
+        return pd.DataFrame({"s1": [s1], "s2": [s2]})
+
+    s1 = s2 = 0
+    for b in labels_ds.map_batches(partial, batch_format="pandas").iter_batches(
+        batch_format="pandas"
+    ):
+        s1 = (s1 + int(b["s1"].sum())) % P1
+        s2 = (s2 + int(b["s2"].sum())) % P2
     return s1, s2
 
 
@@ -320,14 +334,19 @@ def connected_components(
         )
 
     def pointer_double(labels_ds):
-        """Shortcut pass: label(v) ← min(label(v), label(label(v))).
+        """Shortcut pass: label(v) ← label(label(v)).
 
         Neighbor propagation alone moves a component's min label one hop
         per round (O(diameter) rounds — the round-1 advice finding); this
         label-of-label hop halves remaining pointer-chain depth each round,
         giving the O(log d) convergence the CC literature's map-reduce
         algorithms rely on. One cogroup shuffle keyed by the label value:
-        request rows (key=label, node) meet label rows (key=node, label)."""
+        request rows (key=label, node) meet label rows (key=node, label).
+
+        Because labels only decrease and every node's label row includes
+        itself as a candidate, label(v) ≤ v, hence label(label(v)) ≤
+        label(v): the output — exactly one row per node — is already the
+        round's final min label table, no merge exchange needed."""
 
         def tag(t: pa.Table) -> pa.Table:
             n = t.num_rows
@@ -363,22 +382,14 @@ def connected_components(
     prev = None
     converged = False
     for _ in range(max_rounds):
-        # raw hash exchanges, not Ray Data's sort-based groupby: four
-        # sorted shuffles of ~1M string rows per round measured ~40 s/round
-        # on 450k edges — the exchange form runs the same round in ~4 s
+        # raw hash exchanges, not Ray Data's sort-based groupby: sorted
+        # shuffles of ~1M string rows per round measured ~40 s/round on
+        # 450k edges — the exchange form runs the same round in seconds.
+        # Three exchanges per round: propagate, min-combine, pointer-double
+        # (whose output is itself the new label table, see its docstring).
         msgs = exchange_group_apply(edges_bi.union(labels), "node", propagate)
-        base = (
-            exchange_group_apply(msgs, "node", dedup_min)
-            # normalize back to Arrow blocks for the union below
-            .map_batches(lambda t: t, batch_format="pyarrow")
-            .materialize()
-        )
-        shortcut = pointer_double(base)
-        labels = (
-            exchange_group_apply(base.union(shortcut), "node", dedup_min)
-            .map_batches(lambda t: t, batch_format="pyarrow")
-            .materialize()
-        )
+        base = exchange_group_apply(msgs, "node", dedup_min)
+        labels = pointer_double(base).materialize()
         cur = _checksum(
             labels.map_batches(
                 lambda t: pa.table({"node": t.column("node"), "comp": t.column("val")}),
