@@ -46,63 +46,121 @@ def token_count_batch(texts: pa.ChunkedArray | pa.Array) -> pa.Array:
 
 
 def bpe_ish_token_count(texts: list[str]) -> np.ndarray:
-    """Regex word+punct tokenization count — the 'BPE-ish' estimate."""
-    return np.fromiter((len(_BPE_ISH.findall(t)) for t in texts), dtype=np.int64, count=len(texts))
+    """Regex word+punct tokenization count — the 'BPE-ish' estimate.
+    Vectorized: one C-level regex count over the batch (same matches as
+    ``len(_BPE_ISH.findall(t))`` per text)."""
+    s = pd.Series(texts, dtype="object")
+    return s.str.count(_BPE_ISH).fillna(0).to_numpy(dtype=np.int64)
+
+
+def _word_hit_counts(texts: list[str], distinct: bool) -> pd.DataFrame:
+    """Per-document per-language stopword hit counts, one exploded pass.
+
+    ``distinct=True`` counts stopword TYPES (set semantics, language_id);
+    ``distinct=False`` counts occurrences (stopword_ratio)."""
+    s = pd.Series(texts, dtype="object").str.lower().str.split()
+    ex = s.explode().dropna()
+    if distinct:
+        pairs = pd.DataFrame({"doc": ex.index.to_numpy(), "w": ex.to_numpy()})
+        pairs = pairs.drop_duplicates()
+        ex = pd.Series(pairs["w"].to_numpy(), index=pairs["doc"].to_numpy())
+    out = pd.DataFrame(index=pd.RangeIndex(len(texts)))
+    for lang, prof in sorted(_LANG_PROFILES.items()):
+        hits = ex[ex.isin(prof)].groupby(level=0).size()
+        out[lang] = hits.reindex(out.index, fill_value=0).to_numpy()
+    return out
 
 
 def language_id(texts: list[str]) -> tuple[list[str], np.ndarray]:
     """Stopword-profile language heuristic → (lang, confidence).
 
-    Deterministic: argmax over per-language stopword hit counts, ties broken
-    by language code order; 'und' (undetermined) when nothing matches.
-    """
-    langs = []
-    confs = np.zeros(len(texts))
-    for i, t in enumerate(texts):
-        words = set(t.lower().split())
-        scores = {
-            lang: len(words & prof) for lang, prof in sorted(_LANG_PROFILES.items())
-        }
-        best = max(sorted(scores), key=lambda k: scores[k])
-        total = sum(scores.values())
-        if scores[best] == 0:
-            langs.append("und")
-            confs[i] = 0.0
-        else:
-            langs.append(best)
-            confs[i] = scores[best] / total if total else 0.0
+    Deterministic: argmax over per-language DISTINCT-stopword hit counts,
+    ties broken by language code order; 'und' (undetermined) when nothing
+    matches. Vectorized: one lower+split+explode pass, per-language ``isin``
+    + grouped size — no per-document Python."""
+    if not len(texts):
+        return [], np.zeros(0)
+    counts = _word_hit_counts(texts, distinct=True)
+    langs_sorted = list(counts.columns)
+    m = counts.to_numpy(dtype=np.int64)
+    best_idx = np.argmax(m, axis=1)  # first max = sorted-code tie-break
+    best_cnt = m[np.arange(len(m)), best_idx]
+    total = m.sum(axis=1)
+    langs = [
+        langs_sorted[j] if c > 0 else "und" for j, c in zip(best_idx, best_cnt)
+    ]
+    with np.errstate(invalid="ignore", divide="ignore"):
+        confs = np.where(total > 0, best_cnt / np.maximum(total, 1), 0.0)
+    confs[best_cnt == 0] = 0.0
     return langs, confs
+
+
+_WS_CODEPOINTS = np.array(
+    [9, 10, 11, 12, 13, 28, 29, 30, 31, 32, 0x85, 0xA0, 0x1680]
+    + list(range(0x2000, 0x200B)) + [0x2028, 0x2029, 0x202F, 0x205F, 0x3000],
+    dtype=np.uint32,
+)
+_PUNCT_CODEPOINTS = np.frombuffer(
+    '.,;:!?"\'()[]{}'.encode("utf-32-le"), dtype=np.uint32
+)
 
 
 def quality_features(texts: list[str]) -> pd.DataFrame:
     """Per-document quality signals: length, token stats, punct/stopword/
-    uppercase ratios, mean word length — the classic web-corpus filters."""
+    uppercase ratios, mean word length — the classic web-corpus filters.
+
+    Char classes follow the documented SQL oracle (`[A-Z]`, `[0-9]`, ASCII
+    punctuation over CHARACTER counts). Fully vectorized: the batch is one
+    codepoint array, per-doc sums come from ``np.add.reduceat``; token-level
+    features ride one pandas split/explode pass."""
     n = len(texts)
-    out = {
-        "n_chars": np.zeros(n, dtype=np.int64),
-        "n_tokens": np.zeros(n, dtype=np.int64),
-        "mean_word_len": np.zeros(n),
-        "punct_ratio": np.zeros(n),
-        "stopword_ratio": np.zeros(n),
-        "upper_ratio": np.zeros(n),
-        "digit_ratio": np.zeros(n),
-    }
-    en_stop = _LANG_PROFILES["en"]
-    for i, t in enumerate(texts):
-        out["n_chars"][i] = len(t)
-        toks = t.split()
-        out["n_tokens"][i] = len(toks)
-        if t:
-            chars = np.frombuffer(t.encode("utf-8", "replace"), dtype=np.uint8)
-            out["punct_ratio"][i] = float(
-                np.isin(chars, np.frombuffer(b".,;:!?\"'()[]{}", dtype=np.uint8)).mean()
-            )
-            out["upper_ratio"][i] = sum(c.isupper() for c in t) / len(t)
-            out["digit_ratio"][i] = sum(c.isdigit() for c in t) / len(t)
-        if toks:
-            out["mean_word_len"][i] = float(np.mean([len(w) for w in toks]))
-            out["stopword_ratio"][i] = sum(w.lower() in en_stop for w in toks) / len(toks)
-    return pd.DataFrame(out)
+    if n == 0:
+        return pd.DataFrame(
+            {c: np.zeros(0) for c in (
+                "n_chars", "n_tokens", "mean_word_len", "punct_ratio",
+                "stopword_ratio", "upper_ratio", "digit_ratio")}
+        ).astype({"n_chars": np.int64, "n_tokens": np.int64})
+    arr = np.frombuffer("".join(texts).encode("utf-32-le"), dtype=np.uint32)
+    lengths = np.fromiter((len(t) for t in texts), dtype=np.int64, count=n)
+    starts = np.zeros(n, dtype=np.int64)
+    np.cumsum(lengths[:-1], out=starts[1:])
+
+    def per_doc_sum(mask: np.ndarray) -> np.ndarray:
+        # reduceat needs in-bounds indices; empty docs contribute 0 via diff
+        if len(arr) == 0:
+            return np.zeros(n, dtype=np.int64)
+        csum = np.concatenate([[0], np.cumsum(mask, dtype=np.int64)])
+        return csum[starts + lengths] - csum[starts]
+
+    is_ws = np.isin(arr, _WS_CODEPOINTS)
+    punct = per_doc_sum(np.isin(arr, _PUNCT_CODEPOINTS))
+    upper = per_doc_sum((arr >= 65) & (arr <= 90))
+    digit = per_doc_sum((arr >= 48) & (arr <= 57))
+    ws = per_doc_sum(is_ws)
+    nonspace = lengths - ws
+
+    # token-level: one lower+split+explode pass shared by count and stopwords
+    s = pd.Series(texts, dtype="object").str.lower().str.split()
+    n_tokens = s.str.len().fillna(0).to_numpy(dtype=np.int64)
+    ex = s.explode().dropna()
+    stop_hits = (
+        ex[ex.isin(_LANG_PROFILES["en"])].groupby(level=0).size()
+        .reindex(pd.RangeIndex(n), fill_value=0).to_numpy(dtype=np.int64)
+    )
+
+    safe_chars = np.maximum(lengths, 1)
+    safe_toks = np.maximum(n_tokens, 1)
+    return pd.DataFrame(
+        {
+            "n_chars": lengths,
+            "n_tokens": n_tokens,
+            "mean_word_len": np.where(n_tokens > 0, nonspace / safe_toks, 0.0),
+            "punct_ratio": np.where(lengths > 0, punct / safe_chars, 0.0),
+            "stopword_ratio": np.where(n_tokens > 0, stop_hits / safe_toks, 0.0),
+            "upper_ratio": np.where(lengths > 0, upper / safe_chars, 0.0),
+            "digit_ratio": np.where(lengths > 0, digit / safe_chars, 0.0),
+        }
+    )
 
 
 def quality_score(texts: list[str]) -> np.ndarray:
