@@ -221,6 +221,19 @@ def exchange_group_apply(
 
     block_refs = ds.to_arrow_refs()
 
+    def _compact(t: pa.Table) -> pa.Table:
+        # An Arrow table SLICE pickles at the size of its PARENT buffers
+        # (measured: a 1/32 slice of a 39 MB block serializes all 39 MB), so
+        # returning raw slices ships ~num_buckets x the exchange volume
+        # through the object store. One per-column combine_chunks copies just
+        # the slice rows; each row then crosses the store exactly once.
+        # (Table.combine_chunks does NOT truncate — the per-column form does.)
+        if t.num_rows == 0 or t.num_columns == 0:
+            return t
+        return pa.table(
+            {n: t.column(n).combine_chunks() for n in t.column_names}
+        )
+
     @ray.remote(num_returns=num_buckets)
     def split(block: pa.Table):
         if block.num_rows == 0 or block.num_columns == 0:
@@ -235,7 +248,7 @@ def exchange_group_apply(
         sorted_b = b[order]
         bounds = np.searchsorted(sorted_b, np.arange(num_buckets + 1))
         out = [
-            sorted_tbl.slice(bounds[i], bounds[i + 1] - bounds[i])
+            _compact(sorted_tbl.slice(bounds[i], bounds[i + 1] - bounds[i]))
             for i in range(num_buckets)
         ]
         return out if num_buckets > 1 else out[0]
