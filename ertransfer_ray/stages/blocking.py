@@ -201,28 +201,68 @@ def _surviving_block_keys(keyed_ds, num_buckets, cap: int):
     when their count exceeds ``cap`` (broadcast would not fit a worker heap —
     e.g. extreme duplicate density at the 10^12-doc scale); callers then fall
     back to the unfiltered exchange, which stays correct.
+
+    Specialized numpy exchange rather than ``exchange_group_apply``: the key
+    column IS the whole payload here, and the generic primitive routes each
+    multi-million-row bucket through pandas frames and a value_counts hash
+    table — measured 18 s at 32 CPUs on a 109M-row key column where this
+    compact-array form (hash → stable argsort → contiguous array slices;
+    per-bucket sort + adjacent-equality) takes ~5 s for identical output.
     """
-    from .groupby import exchange_group_apply
+    import ray
 
-    keys_only = keyed_ds.select_columns(["block_key"])
+    from .groupby import default_num_buckets
 
-    def survivors(df: pd.DataFrame) -> pd.DataFrame:
-        vc = df["block_key"].value_counts()
-        return pd.DataFrame({"block_key": vc.index[vc.values >= 2].to_numpy()})
+    nb = num_buckets or default_num_buckets()
+    refs = keyed_ds.select_columns(["block_key"]).to_arrow_refs()
 
-    out = exchange_group_apply(keys_only, "block_key", survivors, num_buckets)
-    chunks: list[pa.Array] = []
+    @ray.remote(num_returns=nb)
+    def split(block: pa.Table):
+        if block.num_rows == 0 or block.num_columns == 0:
+            out = [np.empty(0, np.int64)] * nb
+            return out if nb > 1 else out[0]
+        col = block.column("block_key").to_numpy(zero_copy_only=False)
+        b = (pd.util.hash_array(col) % np.uint64(nb)).astype(np.int64)
+        order = np.argsort(b, kind="stable")
+        sk = col[order]
+        sb = b[order]
+        bounds = np.searchsorted(sb, np.arange(nb + 1))
+        # .copy() compacts each slice so it ships at slice size, not parent
+        # size (same lesson as exchange_group_apply's _compact)
+        out = [sk[bounds[i] : bounds[i + 1]].copy() for i in range(nb)]
+        return out if nb > 1 else out[0]
+
+    parts = [split.remote(r) for r in refs]
+
+    @ray.remote
+    def bucket_survivors(*arrs):
+        arrs = [a for a in arrs if a.size]
+        if not arrs:
+            return np.empty(0, np.int64)
+        allk = np.concatenate(arrs)
+        allk.sort(kind="stable")
+        # adjacent equality (not diff): works for object/string keys too
+        dup = allk[1:][allk[1:] == allk[:-1]]
+        return np.unique(dup)
+
+    if nb == 1:
+        outs = [bucket_survivors.remote(*parts)]
+    else:
+        outs = [
+            bucket_survivors.remote(*[parts[i][j] for i in range(len(parts))])
+            for j in range(nb)
+        ]
+    chunks: list[np.ndarray] = []
     total = 0
-    for b in out.iter_batches(batch_format="pyarrow"):
-        a = b.column("block_key")
-        a = a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+    for ref in outs:
+        a = ray.get(ref)
         total += len(a)
         if total > cap:
             return None
         chunks.append(a)
-    if not chunks:
+    if not chunks or total == 0:
         return pa.array([], pa.int64())
-    return pa.concat_arrays([c.cast(chunks[0].type) for c in chunks])
+    return pa.array(np.concatenate(chunks))
 
 
 def generate_pairs(
@@ -326,13 +366,36 @@ def attach_pair_payloads(
         # single-threaded 13 s Sort inside Ray's groupby at any CPU count.
         # pairs are consumed twice below (semi-join scan + attach); pin them
         pairs_ds = pairs_ds.materialize()
-        needed: set = set()
-        for b in pairs_ds.select_columns(["left_url", "right_url"]).iter_batches(
-            batch_format="pyarrow"
+        # needed-url set: per-batch Arrow unique runs DISTRIBUTED (each url
+        # appears in ~K pairs, so the pre-unique collapses driver traffic by
+        # that factor), then one vectorized unique+sort on the driver. The
+        # earlier per-url Python set loop pulled every pair endpoint through
+        # the driver as a Python string.
+        def batch_unique(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc2
+
+            chunks: list[pa.Array] = []
+            for col in ("left_url", "right_url"):
+                c = t.column(col)
+                chunks.extend(c.chunks if isinstance(c, pa.ChunkedArray) else [c])
+            return pa.table({"url": pc2.unique(pa.chunked_array(chunks))})
+
+        uniq_parts: list[pa.Array] = []
+        for b in (
+            pairs_ds.select_columns(["left_url", "right_url"])
+            .map_batches(batch_unique, batch_format="pyarrow")
+            .iter_batches(batch_format="pyarrow")
         ):
-            needed.update(b.column("left_url").to_pylist())
-            needed.update(b.column("right_url").to_pylist())
-        needed_ref = ray.put(pa.array(sorted(needed), pa.string()))
+            c = b.column("url")
+            uniq_parts.extend(c.chunks if isinstance(c, pa.ChunkedArray) else [c])
+        if uniq_parts:
+            needed_arr = pc.unique(pa.chunked_array(uniq_parts))
+            # is_in ignores order; sorting keeps the broadcast artifact
+            # byte-stable across runs/parallelism (determinism invariant)
+            needed_arr = needed_arr.take(pc.array_sort_indices(needed_arr))
+        else:
+            needed_arr = pa.array([], pa.string())
+        needed_ref = ray.put(needed_arr)
 
         def project_side(t: pa.Table) -> pa.Table:
             import pyarrow.compute as pc2
@@ -350,9 +413,6 @@ def attach_pair_payloads(
                 }
             )
 
-        # ship the payload side as BLOCK REFS: each attach actor assembles
-        # its own lookup index straight from the object store (parallel,
-        # zero-copy reads) instead of a serial driver to_pandas + re-put
         projected = norm_ds.map_batches(
             project_side, batch_format="pyarrow"
         ).materialize()
@@ -366,38 +426,66 @@ def attach_pair_payloads(
                 if size is not None and size < BROADCAST_PAYLOAD_LIMIT
                 else "join"
             )
-        side_refs = projected.to_arrow_refs()
+        # consolidate the broadcast side into ONE object-store table:
+        # shipping it as raw block refs (often 100s of tiny blocks) makes
+        # every worker issue |blocks| serialized plasma fetches — measured as
+        # a 25 s convoy at 32 workers x ~640 blocks where this single
+        # put-once table costs ~0.2 s and is read zero-copy per node. The
+        # side is the semi-join-filtered projection (O(pairs) rows), so the
+        # driver-side concat is bounded by the same limit that gates the
+        # broadcast strategy itself.
+        if strategy == "broadcast":
+            side_tbl = pa.concat_tables(
+                ray.get(projected.to_arrow_refs())
+            ).combine_chunks()
+            # normalization can collapse distinct raw urls onto one
+            # canonical url (fragment / trailing-slash variants). Dedup ONCE
+            # here on the driver — the side is already local and small —
+            # keeping one payload per url deterministically (smallest
+            # (title, payload) wins, independent of block arrival order).
+            if pc.count_distinct(side_tbl.column("url")).as_py() != side_tbl.num_rows:
+                order = pc.sort_indices(
+                    side_tbl,
+                    sort_keys=[
+                        ("url", "ascending"),
+                        ("title", "ascending"),
+                        ("payload", "ascending"),
+                    ],
+                )
+                s = side_tbl.take(order)
+                u = s.column("url").to_numpy(zero_copy_only=False)
+                keep = np.empty(len(u), dtype=bool)
+                if len(u):
+                    keep[0] = True
+                    keep[1:] = u[1:] != u[:-1]
+                side_tbl = s.filter(pa.array(keep))
+            side_refs = [ray.put(side_tbl)]
 
     if strategy == "broadcast":
         from .joins import cached_side
 
-        def build_index(t: pa.Table) -> pd.DataFrame:
-            side = t.to_pandas()
-            # normalization can collapse distinct raw urls onto one
-            # canonical url (fragment / trailing-slash variants) —
-            # reindex on a duplicated index raises. Keep one payload per
-            # url deterministically (smallest (title, payload) wins,
-            # independent of block arrival order).
-            side = side.sort_values(["url", "title", "payload"]).drop_duplicates("url")
-            return side.set_index("url")
-
-        # stateless tasks + worker-level cached index: the O(referenced-urls)
-        # build is paid once per worker PROCESS (not per actor or per batch),
-        # with none of an actor pool's startup latency or CPU reservations —
-        # the same measured rationale as the scorer (scoring.py)
-        def attach_both(df: pd.DataFrame) -> pd.DataFrame:
-            side = cached_side(side_refs, build_index)
-            df = df.copy(deep=False)
-            left = side.reindex(df["left_url"])
-            right = side.reindex(df["right_url"])
-            df["left_title"] = left["title"].to_numpy()
-            df["left_payload"] = left["payload"].to_numpy()
-            df["right_title"] = right["title"].to_numpy()
-            df["right_payload"] = right["payload"].to_numpy()
-            return df
+        # The attach stays ARROW end-to-end: probe with index_in + take, no
+        # pandas index, no to_pandas of the side. The previous pandas-index
+        # form converted the full side to Python objects once per worker —
+        # and in workers that already ran the emit/exchange stages that
+        # conversion exhibits an allocator pathology (measured 10-21 s of
+        # pure CPU inside Arrow's table_to_dataframe for a conversion a
+        # fresh process does in 0.35 s; ~300 CPU-seconds across one attach).
+        # index_in/take never allocate Python objects at all.
+        def attach_both(t: pa.Table) -> pa.Table:
+            side = cached_side(side_refs, lambda x: x)
+            urls = side.column("url")
+            li = pc.index_in(t.column("left_url"), value_set=urls)
+            ri = pc.index_in(t.column("right_url"), value_set=urls)
+            cols = {n: t.column(n) for n in t.column_names}
+            cols["left_title"] = pc.take(side.column("title"), li)
+            cols["left_payload"] = pc.take(side.column("payload"), li)
+            cols["right_title"] = pc.take(side.column("title"), ri)
+            cols["right_payload"] = pc.take(side.column("payload"), ri)
+            return pa.table(cols)
 
         return pairs_ds.map_batches(
-            attach_both, batch_format="pandas", batch_size=16384
+            attach_both, batch_format="pyarrow", batch_size=16384
         )
 
     def side(prefix: str):
