@@ -67,7 +67,14 @@ def _bucket_of(df: pd.DataFrame, keys: list[str], num_buckets: int) -> np.ndarra
 
 
 def add_bucket(ds, keys: str | list[str], num_buckets: int | None = None):
-    """Add the bucket column (vectorized stable hash of the key tuple)."""
+    """Add the bucket column (vectorized stable hash of the key tuple).
+
+    Stays in PANDAS batch format deliberately: callers like bucketed_join
+    feed tagged unions whose absent-side columns are all-None — as pandas
+    blocks those keep one object dtype, but an arrow round-trip here gives
+    each side a different schema (null vs typed) and breaks the downstream
+    sort. The hot exchange path avoids the full-table conversion separately
+    (exchange_group_apply hashes only the key columns)."""
     if num_buckets is None:
         num_buckets = default_num_buckets()
     keys = [keys] if isinstance(keys, str) else list(keys)
@@ -241,8 +248,10 @@ def exchange_group_apply(
             # materializations; hashing their (absent) key columns would fail
             out = [block.slice(0, 0)] * num_buckets
             return out if num_buckets > 1 else out[0]
-        df = block.to_pandas()
-        b = _bucket_of(df, keys, num_buckets)
+        # hash ONLY the key columns — converting the full block (payload
+        # strings included) to pandas pays the worker allocator pathology
+        # (see blocking.attach_pair_payloads) for columns the hash never reads
+        b = _bucket_of(block.select(keys).to_pandas(), keys, num_buckets)
         order = np.argsort(b, kind="stable")
         sorted_tbl = block.take(pa.array(order))
         sorted_b = b[order]
