@@ -1,0 +1,40 @@
+"""Arrow → numpy helpers for vector (list<float>) columns.
+
+``to_pylist()`` on an embedding column materializes n x d Python floats —
+per-batch that is bounded but still the slowest way to read a vector column,
+and per-worker-corpus it hits the allocator pathology documented in
+BASELINE.md / blocking.attach_pair_payloads. The flatten path reads the
+list column's child buffer as ONE numpy array (zero-copy when the types
+line up) and reshapes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def list_column_to_matrix(col, dtype=np.float64) -> np.ndarray:
+    """(n, d) matrix from an Arrow list<float> column with no Python
+    objects. Falls back to the object path when entries are null or ragged
+    (reshape would misalign); embedding columns are fixed-dim non-null by
+    construction, so the fast path is the norm."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.zeros((0, 0), dtype=dtype)
+    if col.null_count == 0:
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        if flat.size % n == 0:
+            mat = np.ascontiguousarray(flat, dtype=dtype).reshape(n, -1)
+            # ragged lists can still slip through when sizes divide evenly;
+            # verify via offsets only when cheap (ListArray exposes them)
+            offsets = getattr(col, "offsets", None)
+            if offsets is None:
+                return mat
+            off = offsets.to_numpy(zero_copy_only=False)
+            widths = np.diff(off)
+            if widths.size == 0 or (widths == widths[0]).all():
+                return mat
+    return np.asarray(col.to_pylist(), dtype=dtype)

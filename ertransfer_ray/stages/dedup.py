@@ -50,6 +50,7 @@ from ..functions.hashing import (
     simhash64,
     stable_hash64,
 )
+from ..functions.arrays import list_column_to_matrix
 from ..functions.simfuncs import jaccard, qgrams
 from .clustering import connected_components
 from .groupby import bucketed_group_apply, distinct_rows
@@ -282,21 +283,28 @@ def minhash_lsh_dedup_pairs(
             cands, ds, id_col, text_col, jaccard_threshold, None
         )
 
-    side_refs = ds.map_batches(
-        lambda t: pa.table({"id": t.column(id_col), "text": t.column(text_col)}),
-        batch_format="pyarrow",
-    ).to_arrow_refs()
+    from .joins import consolidated_refs
+
+    side_refs = consolidated_refs(
+        ds.map_batches(
+            lambda t: pa.table({"id": t.column(id_col), "text": t.column(text_col)}),
+            batch_format="pyarrow",
+        )
+    )
 
     def verify_bucket(df: pd.DataFrame) -> pd.DataFrame:
         df = df[df.duplicated("band_key", keep=False)]  # singletons can't pair
         if df.empty:
             return _empty_frame(_EMPTY_JACCARD_PAIRS)
-        texts = _cached_side(
-            side_refs,
-            lambda t: pd.Series(
-                t.column("text").to_pylist(), index=t.column("id").to_pylist()
-            ),
-        )
+        # the side stays ARROW; only the texts this bucket references are
+        # converted (and their shingle sets built ONCE per bucket) — a full
+        # corpus-wide to_pylist per worker hits the allocator pathology
+        # documented in blocking.attach_pair_payloads
+        side = _cached_side(side_refs, lambda t: t)
+        uniq = pd.unique(df["doc_id"])
+        idx = pa.compute.index_in(pa.array(uniq), value_set=side.column("id"))
+        fetched = pa.compute.take(side.column("text"), idx).to_pylist()
+        sets = {d: _norm_shingle_set(t or "") for d, t in zip(uniq, fetched)}
         frames = []
         for _, g in df.groupby("band_key", sort=False):
             g = g.drop_duplicates("doc_id").sort_values("doc_id").head(max_block_size)
@@ -304,9 +312,7 @@ def minhash_lsh_dedup_pairs(
             if n < 2:
                 continue
             ids = g["doc_id"].to_numpy()
-            shingle_sets = [
-                _norm_shingle_set(t) for t in texts.reindex(ids).fillna("")
-            ]
+            shingle_sets = [sets[d] for d in ids]
             ii, jj = np.triu_indices(n, k=1)
             jac = np.fromiter(
                 (jaccard(shingle_sets[i], shingle_sets[j]) for i, j in zip(ii, jj)),
@@ -440,34 +446,15 @@ def ngram_jaccard_pairs(
     # the survivor set exceeds the broadcast cap.
     import ray
 
-    from .groupby import exchange_group_apply
+    from .groupby import counted_key_survivors, exchange_group_apply
 
     keyed = keyed.materialize()
-
-    def _band_survivors(df: pd.DataFrame) -> pd.DataFrame:
-        vc = df["shingle"].value_counts()
-        keep = vc.index[(vc.values >= 2) & (vc.values <= max_doc_freq)]
-        return pd.DataFrame({"shingle": keep.to_numpy()})
-
-    surv_chunks: list[pa.Array] = []
-    total = 0
-    cap = 50_000_000
-    for b in exchange_group_apply(
-        keyed.select_columns(["shingle"]), "shingle", _band_survivors
-    ).iter_batches(batch_format="pyarrow"):
-        a = b.column("shingle")
-        a = a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
-        total += len(a)
-        if total > cap:
-            surv_chunks = None
-            break
-        surv_chunks.append(a)
-    if surv_chunks is not None:
-        surv = (
-            pa.concat_arrays(surv_chunks)
-            if surv_chunks
-            else pa.array([], pa.int64())
-        )
+    # compact numpy count pass (see counted_key_survivors); None → survivor
+    # set exceeds the broadcast cap → unfiltered exchange (still correct)
+    surv = counted_key_survivors(
+        keyed, "shingle", None, 50_000_000, min_count=2, max_count=max_doc_freq
+    )
+    if surv is not None:
         surv_ref = ray.put(surv)
 
         def band_filter(t: pa.Table) -> pa.Table:
@@ -486,27 +473,27 @@ def ngram_jaccard_pairs(
             cands, ds, id_col, text_col, jaccard_threshold, None
         )
 
-    side_refs = ds.map_batches(
-        lambda t: pa.table({"id": t.column(id_col), "text": t.column(text_col)}),
-        batch_format="pyarrow",
-    ).to_arrow_refs()
+    from .joins import consolidated_refs
+
+    side_refs = consolidated_refs(
+        ds.map_batches(
+            lambda t: pa.table({"id": t.column(id_col), "text": t.column(text_col)}),
+            batch_format="pyarrow",
+        )
+    )
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
         if df.empty:
             return _empty_frame(_EMPTY_JACCARD_PAIRS)
-        texts = _cached_side(
-            side_refs,
-            lambda t: pd.Series(
-                t.column("text").to_pylist(), index=t.column("id").to_pylist()
-            ),
-        )
-        # each doc's gram set built ONCE per batch: candidate docs appear in
-        # many pairs, so per-pair construction repeats the same set work
+        # ARROW side; convert only this batch's referenced texts — a
+        # corpus-wide to_pylist per worker hits the allocator pathology
+        # documented in blocking.attach_pair_payloads. Each doc's gram set
+        # is built ONCE per batch (docs appear in many pairs).
+        side = _cached_side(side_refs, lambda t: t)
         uniq = pd.unique(pd.concat([df["left_id"], df["right_id"]], ignore_index=True))
-        sets = {
-            d: _norm_shingle_set(t)
-            for d, t in zip(uniq, texts.reindex(uniq).fillna(""))
-        }
+        idx = pa.compute.index_in(pa.array(uniq), value_set=side.column("id"))
+        fetched = pa.compute.take(side.column("text"), idx).to_pylist()
+        sets = {d: _norm_shingle_set(t or "") for d, t in zip(uniq, fetched)}
         jac = np.fromiter(
             (jaccard(sets[a], sets[b]) for a, b in zip(df["left_id"], df["right_id"])),
             dtype=np.float64,
@@ -755,15 +742,24 @@ def embedding_neardup_pairs(
 
         return with_r.map_batches(verify_pairs, batch_format="pandas")
 
-    side_refs = ds.map_batches(
-        lambda t: pa.table({"id": t.column(id_col), "vec": t.column(vec_col)}),
-        batch_format="pyarrow",
-    ).to_arrow_refs()
+    from .joins import consolidated_refs
+
+    side_refs = consolidated_refs(
+        ds.map_batches(
+            lambda t: pa.table({"id": t.column(id_col), "vec": t.column(vec_col)}),
+            batch_format="pyarrow",
+        )
+    )
 
     def build_lookup(t: pa.Table):
-        ids = pd.Index(t.column("id").to_pylist())
-        mat = np.asarray(t.column("vec").to_pylist(), dtype=np.float64)
-        return ids, mat
+        # zero-copy: int64 ids straight into the index, list<float> column
+        # flattened to one numpy matrix — the previous to_pylist built
+        # n_docs x dim Python floats per worker (12.8M objects at 200k x 64),
+        # the allocator pathology documented in blocking.attach_pair_payloads
+        if t.num_rows == 0:
+            return pd.Index([], dtype=np.int64), np.zeros((0, 0))
+        ids = pd.Index(t.column("id").to_numpy(zero_copy_only=False))
+        return ids, list_column_to_matrix(t.column("vec"))
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
         df = df[df.duplicated("bucket", keep=False)]  # singletons can't pair

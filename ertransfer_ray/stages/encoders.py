@@ -41,6 +41,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from ..functions.arrays import list_column_to_matrix
 from .groupby import exchange_group_apply, grouped_top_k
 
 
@@ -210,7 +211,7 @@ def fit_linear_autoencoder(
     across block orders and parallelism."""
 
     def partial(t: pa.Table) -> pa.Table:
-        x = np.asarray(t.column(vec_col).to_pylist(), dtype=np.float64)
+        x = list_column_to_matrix(t.column(vec_col))
         if x.size == 0:
             return pa.table({"n": pa.array([], pa.int64()),
                              "s": pa.array([], pa.list_(pa.float64())),
@@ -263,7 +264,7 @@ def project_embeddings(
     mean, comps = ae.mean, ae.components
 
     def fn(t: pa.Table) -> pa.Table:
-        x = np.asarray(t.column(vec_col).to_pylist(), dtype=np.float64)
+        x = list_column_to_matrix(t.column(vec_col))
         z = (x - mean) @ comps if len(x) else np.zeros((0, comps.shape[1]))
         return pa.table(
             {
@@ -322,7 +323,7 @@ def ivf_knn_join(
     def emit(side: int):
         def fn(t: pa.Table) -> pa.Table:
             ids = t.column(id_col).to_pylist()
-            x = np.asarray(t.column(vec_col).to_pylist(), dtype=np.float64)
+            x = list_column_to_matrix(t.column(vec_col))
             if len(ids) == 0:
                 return pa.table({"bucket": pa.array([], pa.int64()),
                                  "side": pa.array([], pa.int8()),

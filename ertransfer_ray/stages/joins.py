@@ -48,6 +48,27 @@ def cached_side(refs: list, build):
     return hit
 
 
+def consolidated_refs(ds) -> list:
+    """Publish a broadcastable Dataset as ONE object-store table ref.
+
+    Shipping a side as raw ``to_arrow_refs`` block refs makes every worker
+    issue |blocks| serialized plasma fetches — measured as a 25 s convoy at
+    32 workers x ~640 blocks in the pair-payload attach — where one
+    put-once table costs ~0.2 s and is read zero-copy per node. Only valid
+    for sides the caller already bounds to a worker heap (the same
+    precondition as any broadcast join).
+    """
+    tbls = ray.get(ds.materialize().to_arrow_refs())
+    nonempty = [t for t in tbls if t.num_rows > 0]
+    if nonempty:
+        tbl = pa.concat_tables(nonempty).combine_chunks()
+    elif tbls:
+        tbl = tbls[0]  # keep an empty table WITH schema
+    else:
+        tbl = pa.table({})
+    return [ray.put(tbl)]
+
+
 class BroadcastSemiJoin:
     """Keep rows whose key is in a broadcast key set (semi) or not (anti).
 

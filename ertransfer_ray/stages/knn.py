@@ -26,6 +26,7 @@ import pandas as pd
 import pyarrow as pa
 import ray
 
+from ..functions.arrays import list_column_to_matrix
 from ..functions.simfuncs import cosine_matrix
 
 
@@ -40,7 +41,7 @@ class _BatchTopK:
 
     def __call__(self, t: pa.Table) -> pa.Table:
         ids = np.asarray(t.column(self.id_col).to_pylist())
-        vecs = np.asarray(t.column(self.vec_col).to_pylist(), dtype=np.float64)
+        vecs = list_column_to_matrix(t.column(self.vec_col))
         if len(ids) == 0:
             return pa.table({"qid": pa.array([], pa.int64()),
                              self.id_col: pa.array([], pa.int64()),
@@ -150,7 +151,7 @@ def ivf_topk(
     def bucket_filter(t: pa.Table) -> pa.Table:
         c = ray.get(cents_ref)
         probes = ray.get(probe_ref)
-        vecs = np.asarray(t.column(vec_col).to_pylist(), dtype=np.float64)
+        vecs = list_column_to_matrix(t.column(vec_col))
         if len(vecs) == 0:
             return t
         vn = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
