@@ -332,9 +332,11 @@ def q_doc_quality(sf_dir: str) -> pd.DataFrame:
     """Language-ID + quality scoring + fingerprint (deterministic heuristics;
     rows-only driver check — not SQL-expressible)."""
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    # instance → stateless tasks: TextStats state is a couple of strings, so
+    # an actor pool only adds ~2 s of startup latency at bench scale (the
+    # scoring.py stateless-scorer rationale)
     out = docs.map_batches(
-        TextStats, fn_constructor_kwargs={"text_col": "text"},
-        batch_format="pyarrow", batch_size=2048, concurrency=2,
+        TextStats(text_col="text"), batch_format="pyarrow", batch_size=2048
     ).select_columns(["doc_id", "lang_pred", "token_count", "quality", "fingerprint"])
     df = out.to_pandas()
     df["quality"] = df["quality"].round(4)
