@@ -283,6 +283,7 @@ def attach_pair_payloads(
     payload_chars: int = 256,
     num_buckets: int | None = None,
     strategy: str = "auto",
+    max_broadcast_urls: int = 50_000_000,
 ):
     """J3: re-attach scoring payloads (title + truncated norm_text) to the
     id-only pair rows. Each payload crosses the wire once either way —
@@ -303,44 +304,55 @@ def attach_pair_payloads(
 
     from .joins import bucketed_join
 
-    if strategy != "join":
-        # The broadcast side is NOT the corpus — it is the semi-join-filtered
-        # projection (urls referenced by pairs only, O(pairs) rows), so the
-        # broadcast-vs-join decision must be made on the PROJECTED size.
-        # Round-1 checked the full corpus size here, which flipped 1.6M-doc
-        # runs onto the join path and its two extra all-to-all barriers — a
-        # single-threaded 13 s Sort inside Ray's groupby at any CPU count.
-        # pairs are consumed twice below (semi-join scan + attach); pin them
-        pairs_ds = pairs_ds.materialize()
-        # needed-url set: per-batch Arrow unique runs DISTRIBUTED (each url
-        # appears in ~K pairs, so the pre-unique collapses driver traffic by
-        # that factor), then one vectorized unique+sort on the driver. The
-        # earlier per-url Python set loop pulled every pair endpoint through
-        # the driver as a Python string.
-        def batch_unique(t: pa.Table) -> pa.Table:
-            import pyarrow.compute as pc2
+    # The useful side is never the corpus — it is the semi-join-filtered
+    # projection (urls referenced by pairs only, O(pairs) rows), so BOTH
+    # strategies shrink the payload side through it whenever the needed-url
+    # set itself is holdable (measured on 6.4M docs / 527k pairs: the join
+    # path over the unfiltered corpus side takes 69 s vs 6 s filtered).
+    # Round-1 decided broadcast-vs-join on the full corpus size, which
+    # flipped 1.6M-doc runs onto the unfiltered join path.
+    # pairs are consumed twice below (semi-join scan + attach); pin them
+    pairs_ds = pairs_ds.materialize()
+    # needed-url set: per-batch Arrow unique runs DISTRIBUTED (each url
+    # appears in ~K pairs, so the pre-unique collapses driver traffic by
+    # that factor), then one vectorized unique+sort on the driver. Gives up
+    # (needed_arr = None → unfiltered sides) past ``max_broadcast_urls`` —
+    # the 10^12-pair regime where even the url list outgrows a heap.
+    def batch_unique(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc2
 
-            chunks: list[pa.Array] = []
-            for col in ("left_url", "right_url"):
-                c = t.column(col)
-                chunks.extend(c.chunks if isinstance(c, pa.ChunkedArray) else [c])
-            return pa.table({"url": pc2.unique(pa.chunked_array(chunks))})
+        chunks: list[pa.Array] = []
+        for col in ("left_url", "right_url"):
+            c = t.column(col)
+            chunks.extend(c.chunks if isinstance(c, pa.ChunkedArray) else [c])
+        return pa.table({"url": pc2.unique(pa.chunked_array(chunks))})
 
-        uniq_parts: list[pa.Array] = []
-        for b in (
-            pairs_ds.select_columns(["left_url", "right_url"])
-            .map_batches(batch_unique, batch_format="pyarrow")
-            .iter_batches(batch_format="pyarrow")
-        ):
-            c = b.column("url")
-            uniq_parts.extend(c.chunks if isinstance(c, pa.ChunkedArray) else [c])
-        if uniq_parts:
-            needed_arr = pc.unique(pa.chunked_array(uniq_parts))
-            # is_in ignores order; sorting keeps the broadcast artifact
-            # byte-stable across runs/parallelism (determinism invariant)
-            needed_arr = needed_arr.take(pc.array_sort_indices(needed_arr))
-        else:
-            needed_arr = pa.array([], pa.string())
+    uniq_parts: list[pa.Array] = []
+    total_urls = 0
+    for b in (
+        pairs_ds.select_columns(["left_url", "right_url"])
+        .map_batches(batch_unique, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")
+    ):
+        c = b.column("url")
+        new = c.chunks if isinstance(c, pa.ChunkedArray) else [c]
+        uniq_parts.extend(new)
+        total_urls += sum(len(a) for a in new)
+        if total_urls > max_broadcast_urls:
+            uniq_parts = None
+            break
+    if uniq_parts is None:
+        needed_arr = None
+    elif uniq_parts:
+        needed_arr = pc.unique(pa.chunked_array(uniq_parts))
+        # is_in ignores order; sorting keeps the broadcast artifact
+        # byte-stable across runs/parallelism (determinism invariant)
+        needed_arr = needed_arr.take(pc.array_sort_indices(needed_arr))
+    else:
+        needed_arr = pa.array([], pa.string())
+
+    projected = None
+    if needed_arr is not None:
         needed_ref = ray.put(needed_arr)
 
         def project_side(t: pa.Table) -> pa.Table:
@@ -362,16 +374,24 @@ def attach_pair_payloads(
         projected = norm_ds.map_batches(
             project_side, batch_format="pyarrow"
         ).materialize()
-        if strategy == "auto":
+    if strategy == "auto":
+        size = None
+        if projected is not None:
             try:
                 size = projected.size_bytes()
             except Exception:  # noqa: BLE001
                 size = None
-            strategy = (
-                "broadcast"
-                if size is not None and size < BROADCAST_PAYLOAD_LIMIT
-                else "join"
-            )
+        strategy = (
+            "broadcast"
+            if size is not None and size < BROADCAST_PAYLOAD_LIMIT
+            else "join"
+        )
+    if strategy == "broadcast" and projected is None:
+        raise ValueError(
+            "attach_pair_payloads: broadcast strategy requires the needed-url "
+            f"set to fit max_broadcast_urls={max_broadcast_urls}"
+        )
+    if strategy == "broadcast":
         # consolidate the broadcast side into ONE object-store table:
         # shipping it as raw block refs (often 100s of tiny blocks) makes
         # every worker issue |blocks| serialized plasma fetches — measured as
@@ -380,34 +400,31 @@ def attach_pair_payloads(
         # side is the semi-join-filtered projection (O(pairs) rows), so the
         # driver-side concat is bounded by the same limit that gates the
         # broadcast strategy itself.
-        if strategy == "broadcast":
-            side_tbl = pa.concat_tables(
-                ray.get(projected.to_arrow_refs())
-            ).combine_chunks()
-            # normalization can collapse distinct raw urls onto one
-            # canonical url (fragment / trailing-slash variants). Dedup ONCE
-            # here on the driver — the side is already local and small —
-            # keeping one payload per url deterministically (smallest
-            # (title, payload) wins, independent of block arrival order).
-            if pc.count_distinct(side_tbl.column("url")).as_py() != side_tbl.num_rows:
-                order = pc.sort_indices(
-                    side_tbl,
-                    sort_keys=[
-                        ("url", "ascending"),
-                        ("title", "ascending"),
-                        ("payload", "ascending"),
-                    ],
-                )
-                s = side_tbl.take(order)
-                u = s.column("url").to_numpy(zero_copy_only=False)
-                keep = np.empty(len(u), dtype=bool)
-                if len(u):
-                    keep[0] = True
-                    keep[1:] = u[1:] != u[:-1]
-                side_tbl = s.filter(pa.array(keep))
-            side_refs = [ray.put(side_tbl)]
-
-    if strategy == "broadcast":
+        side_tbl = pa.concat_tables(
+            ray.get(projected.to_arrow_refs())
+        ).combine_chunks()
+        # normalization can collapse distinct raw urls onto one
+        # canonical url (fragment / trailing-slash variants). Dedup ONCE
+        # here on the driver — the side is already local and small —
+        # keeping one payload per url deterministically (smallest
+        # (title, payload) wins, independent of block arrival order).
+        if pc.count_distinct(side_tbl.column("url")).as_py() != side_tbl.num_rows:
+            order = pc.sort_indices(
+                side_tbl,
+                sort_keys=[
+                    ("url", "ascending"),
+                    ("title", "ascending"),
+                    ("payload", "ascending"),
+                ],
+            )
+            s = side_tbl.take(order)
+            u = s.column("url").to_numpy(zero_copy_only=False)
+            keep = np.empty(len(u), dtype=bool)
+            if len(u):
+                keep[0] = True
+                keep[1:] = u[1:] != u[:-1]
+            side_tbl = s.filter(pa.array(keep))
+        side_refs = [ray.put(side_tbl)]
         from .joins import cached_side
 
         # The attach stays ARROW end-to-end: probe with index_in + take, no
@@ -434,6 +451,11 @@ def attach_pair_payloads(
             attach_both, batch_format="pyarrow", batch_size=16384
         )
 
+    # join path: two bucketed cogroup joins. Sides come from the PROJECTED
+    # (needed-urls-only) table whenever the url set was holdable — ~20x
+    # smaller at the measured 6.4M-doc point (unfiltered join 69 s vs 6 s
+    # filtered) — and only fall back to the full normalized table in the
+    # regime where even the url list outgrows the cap.
     def side(prefix: str):
         def fn(t: pa.Table) -> pa.Table:
             return pa.table(
@@ -448,8 +470,24 @@ def attach_pair_payloads(
 
         return fn
 
-    left_side = norm_ds.map_batches(side("left"), batch_format="pyarrow")
-    right_side = norm_ds.map_batches(side("right"), batch_format="pyarrow")
+    def side_projected(prefix: str):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    f"{prefix}_url": t.column("url"),
+                    f"{prefix}_title": t.column("title"),
+                    f"{prefix}_payload": t.column("payload"),
+                }
+            )
+
+        return fn
+
+    if projected is not None:
+        left_side = projected.map_batches(side_projected("left"), batch_format="pyarrow")
+        right_side = projected.map_batches(side_projected("right"), batch_format="pyarrow")
+    else:
+        left_side = norm_ds.map_batches(side("left"), batch_format="pyarrow")
+        right_side = norm_ds.map_batches(side("right"), batch_format="pyarrow")
     with_left = bucketed_join(pairs_ds, left_side, "left_url", num_buckets=num_buckets)
     return bucketed_join(with_left, right_side, "right_url", num_buckets=num_buckets)
 
