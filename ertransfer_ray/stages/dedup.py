@@ -186,12 +186,70 @@ def _candidate_pairs_in_bucket(df: pd.DataFrame, key: str, id_col: str,
     return pd.concat(frames, ignore_index=True)
 
 
+def _needed_ids(cand_pairs, cap: int = 50_000_000):
+    """Distinct pair-endpoint ids for join-side filtering (same pattern as
+    blocking.attach_pair_payloads' needed-url set: per-batch Arrow unique,
+    one vectorized reduce). Returns None past ``cap`` — callers then join
+    against the unfiltered side, which stays correct."""
+    import pyarrow.compute as pc
+
+    def batch_unique(t: pa.Table) -> pa.Table:
+        chunks: list[pa.Array] = []
+        for col in ("left_id", "right_id"):
+            c = t.column(col)
+            chunks.extend(c.chunks if isinstance(c, pa.ChunkedArray) else [c])
+        return pa.table({"id": pc.unique(pa.chunked_array(chunks))})
+
+    parts: list[pa.Array] = []
+    total = 0
+    for b in (
+        cand_pairs.select_columns(["left_id", "right_id"])
+        .map_batches(batch_unique, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")
+    ):
+        c = b.column("id")
+        new = c.chunks if isinstance(c, pa.ChunkedArray) else [c]
+        parts.extend(new)
+        total += sum(len(a) for a in new)
+        if total > cap:
+            return None
+    if not parts:
+        return pa.array([], pa.int64())
+    u = pc.unique(pa.chunked_array(parts))
+    return u.take(pc.array_sort_indices(u))
+
+
+def _filter_side_by_ids(docs_ds, id_col: str, needed):
+    """Semi-join-filter the payload side to the referenced ids (broadcast
+    is_in). ~|pairs| rows survive instead of the whole corpus."""
+    needed_ref = ray.put(needed)
+
+    def filt(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        want = ray.get(needed_ref)
+        if len(want) == 0:
+            return t.slice(0, 0)
+        mask = pc.fill_null(pc.is_in(t.column(id_col), value_set=want), False)
+        return t.filter(mask)
+
+    return docs_ds.map_batches(filt, batch_format="pyarrow")
+
+
 def _attach_and_verify_jaccard(cand_pairs, docs_ds, id_col, text_col,
                                jaccard_threshold, num_buckets):
     """Join-strategy verifier: re-attach text to id-only candidate pairs via
     two bucketed cogroup joins (each payload moves once per referenced pair
-    side), then verify the char-3-gram Jaccard per pair."""
+    side), then verify the char-3-gram Jaccard per pair. The side is
+    pre-filtered to the referenced ids whenever that set is holdable (the
+    blocking.attach_pair_payloads measured lesson: the unfiltered corpus
+    side dominated the join cost)."""
     from .joins import bucketed_join
+
+    cand_pairs = cand_pairs.materialize()
+    needed = _needed_ids(cand_pairs)
+    if needed is not None:
+        docs_ds = _filter_side_by_ids(docs_ds, id_col, needed).materialize()
 
     def side(prefix: str):
         def fn(t: pa.Table) -> pa.Table:
@@ -706,15 +764,22 @@ def embedding_neardup_pairs(
             keyed, "bucket",
             lambda df: _candidate_pairs_in_bucket(df, "bucket", "vec_id", max_block_size),
         )
-        cands = distinct_rows(cands, ["left_id", "right_id"])
+        cands = distinct_rows(cands, ["left_id", "right_id"]).materialize()
         from .joins import bucketed_join
+
+        # pre-filter the vector side to the referenced ids (same measured
+        # lesson as _attach_and_verify_jaccard)
+        vec_side = ds
+        needed = _needed_ids(cands)
+        if needed is not None:
+            vec_side = _filter_side_by_ids(ds, id_col, needed).materialize()
 
         def side(prefix: str):
             # vectors travel the pair join as fixed-width float64 blobs:
             # binary columns survive the tagged-union cogroup (pandas
             # extension tensor types don't) and pack tighter in the shuffle
             def fn(t: pa.Table) -> pa.Table:
-                vecs = np.asarray(t.column(vec_col).to_pylist(), dtype=np.float64)
+                vecs = list_column_to_matrix(t.column(vec_col))
                 blobs = [v.tobytes() for v in vecs]
                 return pa.table(
                     {
@@ -725,8 +790,8 @@ def embedding_neardup_pairs(
 
             return fn
 
-        with_l = bucketed_join(cands, ds.map_batches(side("left"), batch_format="pyarrow"), "left_id")
-        with_r = bucketed_join(with_l, ds.map_batches(side("right"), batch_format="pyarrow"), "right_id")
+        with_l = bucketed_join(cands, vec_side.map_batches(side("left"), batch_format="pyarrow"), "left_id")
+        with_r = bucketed_join(with_l, vec_side.map_batches(side("right"), batch_format="pyarrow"), "right_id")
 
         def verify_pairs(df: pd.DataFrame) -> pd.DataFrame:
             if df.empty:
