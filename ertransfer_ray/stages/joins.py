@@ -245,11 +245,36 @@ def bucketed_join(
         right.map_batches(tag(1, right_on), batch_format="pandas")
     )
 
+    # original dtypes: the tagged union fills absent-side columns with None,
+    # which degrades every column that ever rode a mixed block to object
+    # (e.g. int8 flags). Restore after the merge where the cast is lossless;
+    # columns that legitimately hold NaN (outer-join misses) keep object.
+    def _dtype_map(ds_schema):
+        out = {}
+        for name, typ in zip(ds_schema.names, ds_schema.types):
+            if isinstance(typ, np.dtype):  # pandas-block datasets
+                out[name] = typ
+                continue
+            try:
+                out[name] = typ.to_pandas_dtype()
+            except Exception:  # noqa: BLE001
+                pass
+        return out
+
+    dtypes = {**_dtype_map(left.schema()), **_dtype_map(right.schema())}
+
     def merge_bucket(df: pd.DataFrame) -> pd.DataFrame:
         lpart = df[df["_side"] == 0][l_cols]
         rpart = df[df["_side"] == 1][["_jk"] + r_cols]
         lpart = lpart.assign(_jk=df.loc[df["_side"] == 0, "_jk"])
         out = lpart.merge(rpart, on="_jk", how=how)
-        return out.drop(columns=["_jk"])
+        out = out.drop(columns=["_jk"])
+        for c, dt in dtypes.items():
+            if c in out.columns and out[c].dtype != dt:
+                try:
+                    out[c] = out[c].astype(dt)
+                except (ValueError, TypeError):
+                    pass
+        return out
 
     return bucketed_group_apply(both, "_jk", merge_bucket, num_buckets)
