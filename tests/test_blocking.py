@@ -127,3 +127,29 @@ def test_blocking_recall_on_corpus(pages_corpus):
     # candidate set must stay far from quadratic
     n_pages = pages_corpus["pages"].num_rows
     assert stats["num_candidates"] < n_pages * 20, stats
+
+
+def test_attach_strategies_agree(pages_corpus):
+    # broadcast, needed-filtered join, and the past-cap unfiltered join must
+    # produce identical values (the cap fallback is the 10^12-pair regime)
+    from ertransfer_ray.stages.blocking import attach_pair_payloads
+
+    norm = _norm_ds(pages_corpus).materialize()
+    keyed = emit_block_keys(norm, batch_size=256).materialize()
+    pairs = generate_pairs(keyed, num_buckets=4).materialize()
+    key = ["left_url", "right_url"]
+
+    def canon(ds):
+        df = ds.to_pandas().sort_values(key, ignore_index=True)
+        df["truncated"] = df["truncated"].astype("int8")
+        return df[sorted(df.columns)]
+
+    base = canon(attach_pair_payloads(pairs, norm, num_buckets=4))
+    join = canon(attach_pair_payloads(pairs, norm, num_buckets=4, strategy="join"))
+    capped = canon(
+        attach_pair_payloads(
+            pairs, norm, num_buckets=4, strategy="join", max_broadcast_urls=1
+        )
+    )
+    pd.testing.assert_frame_equal(base, join)
+    pd.testing.assert_frame_equal(base, capped)
