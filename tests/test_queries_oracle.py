@@ -107,6 +107,26 @@ def test_minhash_broadcast_and_join_strategies_agree():
     )
 
 
+def test_ngram_broadcast_and_join_strategies_agree():
+    from ertransfer_ray.stages.dedup import ngram_jaccard_pairs
+
+    a = (
+        ngram_jaccard_pairs(_docs(), jaccard_threshold=0.4)
+        .to_pandas()
+        .sort_values(["left_id", "right_id"], ignore_index=True)
+    )
+    b = (
+        ngram_jaccard_pairs(_docs(), jaccard_threshold=0.4, strategy="join")
+        .to_pandas()
+        .sort_values(["left_id", "right_id"], ignore_index=True)
+    )
+    b["left_id"] = b["left_id"].astype(a["left_id"].dtype)
+    b["right_id"] = b["right_id"].astype(a["right_id"].dtype)
+    pd.testing.assert_frame_equal(
+        a[["left_id", "right_id", "jaccard"]], b[["left_id", "right_id", "jaccard"]]
+    )
+
+
 def _emb(n=40, dim=8, seed=3):
     rng = np.random.default_rng(seed)
     base = rng.standard_normal((n // 2, dim))
