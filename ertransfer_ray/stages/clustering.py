@@ -255,13 +255,15 @@ def connected_components(
     Two execution paths:
     - edge count ≤ ``driver_threshold``: exact union-find on the driver
       (the candidate set is provably small — the guide's sanctioned case);
-    - else distributed min-label propagation with pointer doubling: each
+    - else distributed min-label propagation over int64 url-hash keys: each
       round is ``union(edges, labels) → groupby(node) → min-label messages
-      → groupby(node).min`` followed by a label-of-label shortcut cogroup
-      (label(v) ← label(label(v))) — four shuffles per round, O(log
-      diameter) rounds (one-hop propagation alone is O(diameter); round-1
-      advice), early exit on checksum fixpoint. Messages carry only
-      (node, comp) string pairs; nothing materializes on the driver.
+      → groupby(node).min``, a label-of-label shortcut cogroup
+      (label(v) ← label(label(v))), then EDGE CONTRACTION through the new
+      labels — five exchanges per round, O(log diameter) rounds under
+      ARBITRARY label order (propagation + doubling alone is O(d) when
+      label order is uncorrelated with adjacency), early exit on checksum
+      fixpoint. Round messages carry only int64 pairs; urls re-attach once
+      after convergence; nothing materializes on the driver.
     """
     edges = edges_ds.select_columns(["left_url", "right_url"])
     n_edges = edges.count()
@@ -375,10 +377,12 @@ def connected_components(
 
         Neighbor propagation alone moves a component's min label one hop
         per round (O(diameter) rounds — the round-1 advice finding); this
-        label-of-label hop halves remaining pointer-chain depth each round,
-        giving the O(log d) convergence the CC literature's map-reduce
-        algorithms rely on. One cogroup shuffle keyed by the label value:
-        request rows (key=label, node) meet label rows (key=node, label).
+        label-of-label hop compresses descending pointer chains. Doubling
+        only helps where such chains exist — under arbitrary label order it
+        stalls at local-min basins, which is why the round ALSO contracts
+        the edge set (see relabel_edges). One cogroup shuffle keyed by the
+        label value: request rows (key=label, node) meet label rows
+        (key=node, label).
 
         Because labels only decrease and every node's label row includes
         itself as a candidate, label(v) ≤ v, hence label(label(v)) ≤
