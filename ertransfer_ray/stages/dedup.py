@@ -83,14 +83,55 @@ def add_content_hash(ds, text_col: str = "text", out: str = "content_hash"):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
-def exact_dedup(ds, id_col: str, text_col: str = "text"):
-    """Exact dedup: hash-partition on content hash, keep smallest id.
+def exact_dedup(ds, id_col: str, text_col: str = "text",
+                max_broadcast_ids: int = 50_000_000):
+    """Exact dedup: keep the smallest id per distinct content.
 
-    Returns the surviving rows (all columns). The groupby key is the 64-bit
-    content hash, so the shuffle moves (hash, row) — at scale, project to
-    (hash, id) first and semi-join survivors back if rows are wide.
+    ID-ONLY shuffle shape (the payload-through-shuffle rule): only
+    (content_hash, id) rows — 16 bytes — ride the exchange; the surviving
+    id set broadcasts back as a map-side filter, so full rows never
+    shuffle at all. Past ``max_broadcast_ids`` survivors (≈ distinct
+    contents beyond a worker heap) falls back to hash-partitioning the
+    full rows, which stays correct.
     """
-    hashed = add_content_hash(ds, text_col)
+    from .groupby import exchange_group_apply
+
+    hashed = add_content_hash(ds, text_col).materialize()
+    pairs = hashed.map_batches(
+        lambda t: t.select(["content_hash", id_col]), batch_format="pyarrow"
+    )
+    keep = exchange_group_apply(
+        pairs,
+        "content_hash",
+        lambda df: df.groupby("content_hash", as_index=False)[id_col].min(),
+    )
+    chunks: list[pa.Array] = []
+    total = 0
+    for b in keep.iter_batches(batch_format="pyarrow"):
+        a = b.column(id_col)
+        new = a.chunks if isinstance(a, pa.ChunkedArray) else [a]
+        chunks.extend(new)
+        total += sum(len(x) for x in new)
+        if total > max_broadcast_ids:
+            chunks = None
+            break
+    if chunks is not None:
+        ids = pa.concat_arrays([c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c for c in chunks]) if chunks else pa.array([], pa.int64())
+        ids_ref = ray.put(ids)
+
+        def filt(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            want = ray.get(ids_ref)
+            if len(want) == 0:
+                return t.slice(0, 0)
+            mask = pc.fill_null(pc.is_in(t.column(id_col), value_set=want), False)
+            return t.filter(mask)
+
+        return hashed.map_batches(filt, batch_format="pyarrow").drop_columns(
+            ["content_hash"]
+        )
+
     kept = bucketed_group_apply(
         hashed,
         "content_hash",
