@@ -443,10 +443,19 @@ def minhash_lsh_dedup(ds, id_col: str = "doc_id", text_col: str = "text", **kwar
     pairs = minhash_lsh_dedup_pairs(ds, id_col, text_col, **kwargs)
 
     def as_urls(t: pa.Table) -> pa.Table:
+        # ZERO-PADDED casts: CC names a component by its lexicographically
+        # smallest node, and bare string casts order "10" < "9" — padding
+        # makes string order equal numeric order so group_id really is the
+        # smallest reachable doc id (requires non-negative ids, as generated)
+        def pad(col):
+            return pa.compute.utf8_lpad(
+                pa.compute.cast(col, pa.string()), 20, "0"
+            )
+
         return pa.table(
             {
-                "left_url": pa.compute.cast(t.column("left_id"), pa.string()),
-                "right_url": pa.compute.cast(t.column("right_id"), pa.string()),
+                "left_url": pad(t.column("left_id")),
+                "right_url": pad(t.column("right_id")),
             }
         )
 

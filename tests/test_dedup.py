@@ -112,3 +112,26 @@ def test_embedding_neardup_exact_bucket():
     pairs = embedding_neardup_pairs(emb, cosine_threshold=0.9, num_buckets=1).to_pandas()
     got = set(zip(pairs["left_id"], pairs["right_id"]))
     assert got == {(1, 2)}
+
+
+def test_minhash_dedup_group_is_numeric_min():
+    # CC names components lexicographically; the id casts must zero-pad so
+    # docs {9, 10} group under 9, not "10" < "9"
+    import pandas as pd
+    import ray.data as rd
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [9, 10, 50],
+            "text": [
+                "the quick brown fox jumps over the lazy dog again and again",
+                "the quick brown fox jumps over the lazy dog again and again",
+                "completely different text about other things entirely here",
+            ],
+        }
+    )
+    out = minhash_lsh_dedup(
+        rd.from_pandas(docs).materialize(), jaccard_threshold=0.5
+    ).to_pandas()
+    m = dict(zip(out["doc_id"], out["group_id"]))
+    assert m[9] == 9 and m[10] == 9
