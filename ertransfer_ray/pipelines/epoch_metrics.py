@@ -90,7 +90,11 @@ def run_epoch_loop(
         t_test = clock()
         row += [t_train - t_epoch, t_eval - t_train, t_test - t_eval]
         results.append(row)
-        if valid_f1 > best_f1:
+        # >= on epoch 0 seeds best_row even when every epoch scores 0.0
+        # (degenerate model) — the reference NameErrors in that case
+        # (training.py:101 references an unbound best_epoch), but crashing
+        # our own S7 writer on a ragged [] row helps nobody
+        if valid_f1 > best_f1 or not best_row:
             best_f1 = valid_f1
             best_row = row
         if (t_test - t_start) + (t_test - t_epoch) > budget_s:

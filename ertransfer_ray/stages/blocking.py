@@ -499,26 +499,55 @@ def blocking_stats(pairs_ds, truth_pairs_df: pd.DataFrame) -> dict:
     (/root/reference/splitters/KNN-Join/splitter.py:94,105-110).
     ``truth_pairs_df`` must have (left_url, right_url, label) with left<right.
     """
-    truth_pos = {
-        (a, b)
-        for a, b, l in truth_pairs_df[["left_url", "right_url", "label"]].itertuples(index=False)
-        if l == 1
-    }
+    import pyarrow.compute as pc
+    import ray
+
+    truth = truth_pairs_df[truth_pairs_df["label"] == 1].drop_duplicates(
+        ["left_url", "right_url"]
+    )
+    n_truth = len(truth)
+    # golden set is broadcast-small by definition (labeled pairs); candidates
+    # are NOT — the counting runs distributed as per-batch Arrow kernels and
+    # the driver only ever sees two counters per batch
+    truth_keys = pa.array(
+        (truth["left_url"].astype(str) + "\x1f" + truth["right_url"].astype(str)).to_numpy(dtype=object),
+        pa.string(),
+    )
+    truth_ref = ray.put(truth_keys)
+
+    def partial(t: pa.Table) -> pa.Table:
+        want = ray.get(truth_ref)
+        if len(want) and t.num_rows:
+            keys = pc.binary_join_element_wise(
+                pc.cast(t.column("left_url"), pa.string()),
+                pc.cast(t.column("right_url"), pa.string()),
+                "\x1f",
+            )
+            hits = pc.sum(pc.is_in(keys, value_set=want)).as_py() or 0
+        else:
+            hits = 0
+        return pa.table(
+            {
+                "n": pa.array([t.num_rows], pa.int64()),
+                "tp": pa.array([int(hits)], pa.int64()),
+            }
+        )
+
     n_pairs = 0
     tp = 0
-    for batch in pairs_ds.select_columns(["left_url", "right_url"]).iter_batches(
-        batch_format="pyarrow"
+    for batch in (
+        pairs_ds.select_columns(["left_url", "right_url"])
+        .map_batches(partial, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")
     ):
-        ls = batch["left_url"].to_pylist()
-        rs = batch["right_url"].to_pylist()
-        n_pairs += len(ls)
-        tp += sum((a, b) in truth_pos for a, b in zip(ls, rs))
+        n_pairs += sum(batch.column("n").to_pylist())
+        tp += sum(batch.column("tp").to_pylist())
     precision = tp / n_pairs if n_pairs else 0.0
-    recall = tp / len(truth_pos) if truth_pos else 1.0
+    recall = tp / n_truth if n_truth else 1.0
     return {
         "num_candidates": n_pairs,
         "true_positives_covered": tp,
-        "num_truth_pairs": len(truth_pos),
+        "num_truth_pairs": n_truth,
         "precision": precision,
         "recall": recall,
     }

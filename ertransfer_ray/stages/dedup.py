@@ -22,7 +22,7 @@ through that exchange amplify shuffle bytes by the same factor (the
 measured ~500 MB / 100k docs lesson of blocking.py:85-91). Verification
 payloads reach the grouped verify tasks one of two ways:
 
-- ``strategy="broadcast"`` (default): the (id → payload) side is published
+- ``strategy="broadcast"``: the (id → payload) side is published
   once as object-store block refs; each worker assembles its lookup index
   ONCE (process-level cache) and every bucket verifies against it. Zero
   payload bytes in the shuffle. Requires the payload side to fit a worker
@@ -31,6 +31,11 @@ payloads reach the grouped verify tasks one of two ways:
   across bands, and payloads are re-attached per SURVIVING pair via two
   bucketed cogroup joins. Each payload crosses the wire once per referenced
   pair side; use beyond broadcastable corpus sizes.
+- ``strategy="auto"`` (the default everywhere): picks between them on the
+  MEASURED projected payload-side bytes (sampled mean row size x corpus
+  rows) against blocking.BROADCAST_PAYLOAD_LIMIT — the same gate
+  attach_pair_payloads applies, so a default run on a beyond-heap corpus
+  degrades to the join path instead of OOMing a worker.
 
 All keep-first decisions are deterministic: the survivor is the smallest id
 in the duplicate group.
@@ -60,6 +65,73 @@ from .groupby import bucketed_group_apply, distinct_rows
 # ---------------------------------------------------------------------------
 
 from .joins import cached_side as _cached_side  # worker-level payload cache
+
+
+def _auto_strategy(
+    ds,
+    id_col: str,
+    payload_col: str,
+    max_broadcast_bytes: int | None = None,
+    sample_rows: int = 2048,
+) -> str:
+    """Resolve ``strategy="auto"`` for the near-dup verifiers: ``broadcast``
+    when the projected (id, payload) side fits a worker heap, else ``join``.
+
+    Same rule as blocking.attach_pair_payloads' gate, but ESTIMATED (mean
+    projected row bytes over a bounded sample x corpus row count) rather
+    than materialize-to-measure: the verify side here is the whole corpus,
+    so materializing it just to weigh it would itself be the beyond-heap
+    cost the gate exists to avoid. The estimate errs safe for web corpora
+    (long-tail payload sizes make the sample mean an underestimate only
+    when the sample misses giants — the 2x headroom below absorbs that).
+    """
+    from .blocking import BROADCAST_PAYLOAD_LIMIT
+
+    if max_broadcast_bytes is None:
+        max_broadcast_bytes = BROADCAST_PAYLOAD_LIMIT
+    n = ds.count()
+    if n == 0:
+        return "broadcast"
+    got = 0
+    nbytes = 0
+    for b in ds.select_columns([id_col, payload_col]).iter_batches(
+        batch_format="pyarrow", batch_size=min(sample_rows, 1024)
+    ):
+        nbytes += b.nbytes
+        got += b.num_rows
+        if got >= sample_rows:
+            break
+    est = nbytes / max(got, 1) * n
+    # 2x headroom: the broadcast side additionally holds the assembled
+    # per-worker lookup (index + fetched texts) on top of the table itself
+    return "broadcast" if 2 * est < max_broadcast_bytes else "join"
+
+
+def _text_lookup_build(t: pa.Table):
+    """cached_side build: (hash-indexed id lookup, text column). The pandas
+    Index is the REUSABLE per-worker hash table — pc.index_in rebuilds its
+    lookup structure over the full corpus side on every call, which makes a
+    per-bucket verify carry a hidden num_buckets x corpus term; get_indexer
+    against this one-time index is O(|bucket ids|) per bucket instead."""
+    if t.num_rows == 0:
+        return pd.Index([]), t.column("text") if "text" in t.column_names else pa.array([], pa.string())
+    return pd.Index(t.column("id").to_numpy(zero_copy_only=False)), t.column("text")
+
+
+def _fetch_shingle_sets(side_refs, uniq_ids) -> dict:
+    """Per-bucket text fetch through the worker-cached lookup: returns
+    {id: normalized char-3-gram set} for the ids this bucket references."""
+    index, texts = _cached_side(side_refs, _text_lookup_build)
+    uniq_ids = np.asarray(uniq_ids)
+    if len(index) == 0 or len(uniq_ids) == 0:
+        return {d: set() for d in uniq_ids}
+    pos = index.get_indexer(uniq_ids)
+    valid = pos >= 0
+    fetched = pa.compute.take(texts, pa.array(pos[valid], pa.int64())).to_pylist()
+    sets = {d: _norm_shingle_set(t or "") for d, t in zip(uniq_ids[valid], fetched)}
+    for d in uniq_ids[~valid]:
+        sets[d] = set()
+    return sets
 
 
 def _norm_shingle_set(text: str, q: int = 3) -> set:
@@ -341,7 +413,8 @@ def minhash_lsh_dedup_pairs(
     shingle_words: int = 3,
     jaccard_threshold: float = 0.8,
     max_block_size: int = 128,
-    strategy: str = "broadcast",
+    strategy: str = "auto",
+    max_broadcast_bytes: int | None = None,
 ):
     """MinHash-LSH near-dup candidate pairs, Jaccard-verified.
 
@@ -349,13 +422,20 @@ def minhash_lsh_dedup_pairs(
     per-group capped pair generation → char-3-gram Jaccard verify ≥
     threshold → distinct pairs (left_id < right_id, with verified score).
 
-    ``strategy="broadcast"``: buckets verify in place against a
-    worker-cached (id → text) lookup built from object-store block refs —
-    no payload bytes in any shuffle. ``strategy="join"``: candidates are
-    deduped id-only first, then text joins back per surviving pair
-    (beyond-broadcast corpus sizes).
+    ``strategy="auto"`` (default) measures the projected (id, text) side
+    (see _auto_strategy) and picks ``broadcast`` below
+    ``max_broadcast_bytes`` (default blocking.BROADCAST_PAYLOAD_LIMIT),
+    else ``join`` — so the default degrades gracefully instead of OOMing a
+    worker on a beyond-heap corpus. ``strategy="broadcast"``: buckets
+    verify in place against a worker-cached (id → text) lookup built from
+    object-store block refs — no payload bytes in any shuffle.
+    ``strategy="join"``: candidates are deduped id-only first, then text
+    joins back per surviving pair (beyond-broadcast corpus sizes).
     """
     from .scoring import default_pool_size
+
+    if strategy == "auto":
+        strategy = _auto_strategy(ds, id_col, text_col, max_broadcast_bytes)
 
     keyed = ds.map_batches(
         _ShingleMinHash,
@@ -398,12 +478,10 @@ def minhash_lsh_dedup_pairs(
         # the side stays ARROW; only the texts this bucket references are
         # converted (and their shingle sets built ONCE per bucket) — a full
         # corpus-wide to_pylist per worker hits the allocator pathology
-        # documented in blocking.attach_pair_payloads
-        side = _cached_side(side_refs, lambda t: t)
-        uniq = pd.unique(df["doc_id"])
-        idx = pa.compute.index_in(pa.array(uniq), value_set=side.column("id"))
-        fetched = pa.compute.take(side.column("text"), idx).to_pylist()
-        sets = {d: _norm_shingle_set(t or "") for d, t in zip(uniq, fetched)}
+        # documented in blocking.attach_pair_payloads. The id lookup index is
+        # built once per WORKER (cached), not per bucket (index_in rebuilt it
+        # against the full corpus every call — a num_buckets x corpus term).
+        sets = _fetch_shingle_sets(side_refs, pd.unique(df["doc_id"]))
         frames = []
         for _, g in df.groupby("band_key", sort=False):
             g = g.drop_duplicates("doc_id").sort_values("doc_id").head(max_block_size)
@@ -483,7 +561,8 @@ def ngram_jaccard_pairs(
     shingle_words: int = 3,
     jaccard_threshold: float = 0.5,
     max_doc_freq: int = 50,
-    strategy: str = "broadcast",
+    strategy: str = "auto",
+    max_broadcast_bytes: int | None = None,
 ):
     """Exact near-dup pairs: block on shared word-``shingle_words``-shingles
     (inverted index as a shuffle), verify char-3-gram Jaccard ≥ threshold.
@@ -497,7 +576,12 @@ def ngram_jaccard_pairs(
     sides — the cap keeps a boilerplate shingle from generating O(df²) pairs
     AND stays SQL-expressible (HAVING count(*) <= F), unlike a silent
     per-block truncation. Shuffle rows are (shingle_hash:int64, id): id-only.
+
+    ``strategy="auto"`` (default): broadcast-vs-join decided on the measured
+    projected (id, text) side bytes, as in minhash_lsh_dedup_pairs.
     """
+    if strategy == "auto":
+        strategy = _auto_strategy(ds, id_col, text_col, max_broadcast_bytes)
 
     def emit(t: pa.Table) -> pa.Table:
         ids = t.column(id_col).to_pylist()
@@ -596,12 +680,12 @@ def ngram_jaccard_pairs(
         # ARROW side; convert only this batch's referenced texts — a
         # corpus-wide to_pylist per worker hits the allocator pathology
         # documented in blocking.attach_pair_payloads. Each doc's gram set
-        # is built ONCE per batch (docs appear in many pairs).
-        side = _cached_side(side_refs, lambda t: t)
-        uniq = pd.unique(pd.concat([df["left_id"], df["right_id"]], ignore_index=True))
-        idx = pa.compute.index_in(pa.array(uniq), value_set=side.column("id"))
-        fetched = pa.compute.take(side.column("text"), idx).to_pylist()
-        sets = {d: _norm_shingle_set(t or "") for d, t in zip(uniq, fetched)}
+        # is built ONCE per batch (docs appear in many pairs), and the id
+        # lookup index ONCE per worker (see _fetch_shingle_sets).
+        sets = _fetch_shingle_sets(
+            side_refs,
+            pd.unique(pd.concat([df["left_id"], df["right_id"]], ignore_index=True)),
+        )
         jac = np.fromiter(
             (jaccard(sets[a], sets[b]) for a, b in zip(df["left_id"], df["right_id"])),
             dtype=np.float64,
@@ -736,9 +820,10 @@ def embedding_neardup_pairs(
     cosine_threshold: float = 0.95,
     num_buckets: int | None = 8,
     seed: int = 5,
-    strategy: str = "broadcast",
+    strategy: str = "auto",
     max_block_size: int = 4096,
     n_proj: int = 2,
+    max_broadcast_bytes: int | None = None,
 ):
     """Embedding near-dup pairs via random-hyperplane LSH buckets +
     in-bucket brute-force cosine. A pair is emitted iff cosine ≥ threshold
@@ -763,9 +848,13 @@ def embedding_neardup_pairs(
     float vectors never ride the exchange. In-bucket verification fetches
     vectors from a worker-cached object-store lookup (``broadcast``) or,
     beyond broadcastable sizes, candidate pairs are deduped id-only and
-    vectors join back per pair (``join``).
+    vectors join back per pair (``join``). ``strategy="auto"`` (default)
+    picks between them on the measured projected (id, vec) side bytes.
     """
     from ..functions.simfuncs import cosine_matrix
+
+    if strategy == "auto":
+        strategy = _auto_strategy(ds, id_col, vec_col, max_broadcast_bytes)
 
     if num_buckets is None:
         n_vecs = ds.count()

@@ -42,7 +42,7 @@ import pandas as pd
 import pyarrow as pa
 
 from ..functions.arrays import list_column_to_matrix
-from .groupby import exchange_group_apply, grouped_top_k
+from .groupby import default_num_buckets, exchange_group_apply, grouped_top_k
 
 
 # --------------------------------------------------------------------------
@@ -353,15 +353,17 @@ def ivf_knn_join(
         table_b.map_batches(emit(1), batch_format="pyarrow")
     )
 
-    def score_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        a = df[df["side"] == 0]
-        b = df[df["side"] == 1]
+    _EMPTY_SCORES = pd.DataFrame(
+        {"tableA_id": pd.Series([], dtype="int64"),
+         "tableB_id": pd.Series([], dtype="int64"),
+         "score": pd.Series([], dtype="float64")}
+    )
+
+    def _score_group(g: pd.DataFrame) -> pd.DataFrame | None:
+        a = g[g["side"] == 0]
+        b = g[g["side"] == 1]
         if a.empty or b.empty:
-            return pd.DataFrame(
-                {"tableA_id": pd.Series([], dtype="int64"),
-                 "tableB_id": pd.Series([], dtype="int64"),
-                 "score": pd.Series([], dtype="float64")}
-            )
+            return None
         av = _unit(np.asarray(a["vec"].tolist(), dtype=np.float64))
         bv = _unit(np.asarray(b["vec"].tolist(), dtype=np.float64))
         sims = av @ bv.T
@@ -372,8 +374,26 @@ def ivf_knn_join(
         vals = np.take_along_axis(sims, top, axis=1).ravel()
         return pd.DataFrame({"tableA_id": rows, "tableB_id": cols, "score": vals})
 
-    per_bucket = exchange_group_apply(keyed, "bucket", score_bucket,
-                                      num_buckets=num_buckets)
+    def score_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        # the exchange bucket holds MANY centroid buckets (exchange width is
+        # bounded below, centroid count is corpus-sized): score per centroid
+        frames = [f for _, g in df.groupby("bucket", sort=False)
+                  if (f := _score_group(g)) is not None]
+        if not frames:
+            return _EMPTY_SCORES.copy()
+        return pd.concat(frames, ignore_index=True)
+
+    # EXCHANGE WIDTH is decoupled from the centroid count: auto-sizing
+    # reaches 65536 centroids, and using that as the width means
+    # @ray.remote(num_returns=65536) per split task and blocks x 65536
+    # driver-held refs — impractical at the both-sides-large scale this
+    # targets. A bounded exchange (cluster-sized buckets) moves the same
+    # rows; many centroid buckets simply hash into each exchange bucket and
+    # score_bucket regroups them by the carried bucket column.
+    per_bucket = exchange_group_apply(
+        keyed, "bucket", score_bucket,
+        num_buckets=min(num_buckets, default_num_buckets()),
+    )
     # merge across probes: per-A top-k (dedup same pair seen in 2 buckets)
     def dedup(df: pd.DataFrame) -> pd.DataFrame:
         return df.drop_duplicates(subset=["tableA_id", "tableB_id"], keep="first")

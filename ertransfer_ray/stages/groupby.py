@@ -233,9 +233,29 @@ def exchange_group_apply(
         schema = None
     if not block_refs or schema is None or not schema.names:
         # zero-block or schema-less input (a map over an empty dataset emits
-        # one empty block with no columns): there is nothing to group and no
-        # schema to hand fn — the empty input IS the correct result
-        return ds
+        # one empty block with no columns): nothing to group, but consumers
+        # expect fn's OUTPUT schema (e.g. left_id/right_id on an empty
+        # corpus), not the input's — so hand fn an empty frame built from
+        # whatever schema exists, exactly as apply_bucket does for all-empty
+        # buckets. Fall back to the input only if fn can't cope.
+        try:
+            if schema is not None and schema.names:
+                arrow_schema = getattr(schema, "base_schema", schema)
+                if isinstance(arrow_schema, pa.Schema):
+                    base = arrow_schema.empty_table().to_pandas()
+                else:  # pandas-block schema: names + numpy dtypes
+                    base = pd.DataFrame(
+                        {
+                            n: pd.Series([], dtype=t)
+                            for n, t in zip(schema.names, schema.types)
+                        }
+                    )
+            else:
+                base = pd.DataFrame()
+            out = fn(base)
+            return rd.from_arrow(pa.Table.from_pandas(out, preserve_index=False))
+        except Exception:  # noqa: BLE001 — fn needs real columns; empty in = empty out
+            return ds
 
     def _compact(t: pa.Table) -> pa.Table:
         # An Arrow table SLICE pickles at the size of its PARENT buffers

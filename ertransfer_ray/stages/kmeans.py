@@ -32,11 +32,16 @@ import pyarrow as pa
 
 def _matrix(t: pa.Table, cols: list[str]) -> np.ndarray:
     """Rows → float64 matrix from either one list<float> column or several
-    scalar columns."""
+    scalar columns. Zero-copy via the flattened list values (the to_pylist
+    form built n_rows x dim Python floats per batch — the allocator
+    pathology documented in blocking.attach_pair_payloads)."""
+    from ..functions.arrays import list_column_to_matrix
+
     if len(cols) == 1 and pa.types.is_list(t.schema.field(cols[0]).type):
-        return np.asarray(t.column(cols[0]).to_pylist(), dtype=np.float64)
+        return list_column_to_matrix(t.column(cols[0])).astype(np.float64, copy=False)
     return np.column_stack(
-        [np.asarray(t.column(c).to_pylist(), dtype=np.float64) for c in cols]
+        [t.column(c).to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+         for c in cols]
     )
 
 

@@ -57,7 +57,11 @@ def shard_done(
         return False
     if input_fingerprint is not None and m.get("input_fingerprint") != input_fingerprint:
         return False
-    if num_shards is not None and m.get("num_shards", num_shards) != num_shards:
+    # legacy manifests (written before the num_shards field existed) are
+    # STALE whenever the shard count matters: their row sets were computed
+    # under an unknown modulus, so defaulting to "matches" would keep wrong
+    # shards alive across a shard-count change
+    if num_shards is not None and m.get("num_shards") != num_shards:
         return False
     return True
 
@@ -129,7 +133,9 @@ def run_sharded(
         if not stale and os.path.exists(mp):
             try:
                 with open(mp) as f:
-                    stale = json.load(f).get("num_shards", num_shards) != num_shards
+                    # missing num_shards (pre-upgrade manifest) == stale:
+                    # the modulus it was written under is unknown
+                    stale = json.load(f).get("num_shards") != num_shards
             except (json.JSONDecodeError, OSError):
                 stale = True
         if stale:

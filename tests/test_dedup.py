@@ -114,6 +114,30 @@ def test_embedding_neardup_exact_bucket():
     assert got == {(1, 2)}
 
 
+def test_auto_strategy_selects_join_past_byte_threshold():
+    """The dedup family's default must degrade to the join path on a
+    beyond-broadcast corpus instead of OOMing a worker (VERDICT r2 #1)."""
+    from ertransfer_ray.stages.dedup import _auto_strategy
+
+    assert _auto_strategy(_docs(), "doc_id", "text") == "broadcast"
+    assert _auto_strategy(_docs(), "doc_id", "text", max_broadcast_bytes=1) == "join"
+
+
+def test_auto_forced_join_agrees_with_broadcast():
+    """strategy='auto' forced onto the join arm (byte threshold 1) produces
+    the same verified pair set as the broadcast arm."""
+    def canon(df):
+        return sorted(zip(df["left_id"], df["right_id"], df["jaccard"].round(9)))
+
+    bc = minhash_lsh_dedup_pairs(
+        _docs(), jaccard_threshold=0.4, strategy="broadcast"
+    ).to_pandas()
+    auto_join = minhash_lsh_dedup_pairs(
+        _docs(), jaccard_threshold=0.4, strategy="auto", max_broadcast_bytes=1
+    ).to_pandas()
+    assert canon(bc) == canon(auto_join)
+
+
 def test_minhash_dedup_group_is_numeric_min():
     # CC names components lexicographically; the id casts must zero-pad so
     # docs {9, 10} group under 9, not "10" < "9"
