@@ -262,6 +262,60 @@ def q_value_histogram(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def q_transfer_kl_scores(sf_dir: str) -> pd.DataFrame:
+    """A4+A5 composed (transfer-source selection, reference methods/
+    embeddings/entrypoint.py:233-270): KL(target ‖ source) between the
+    'click' events' value distribution and every other event type's, each
+    pair histogrammed over its SHARED range with LS smoothing — the exact
+    selector arithmetic from pipelines/transfer.py, with the floor+clamp
+    binning that is hash-stable against SQL (see q_value_histogram)."""
+    from .transfer import _kl, _smoothed_density
+
+    target = "click"
+    bins = 100
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+    mm = partial_aggregate(
+        ev, "event_type", {"lo": ("value", "min"), "hi": ("value", "max")}
+    ).set_index("event_type")
+    tlo, thi = float(mm.loc[target, "lo"]), float(mm.loc[target, "hi"])
+
+    rows = []
+    for source in sorted(s for s in mm.index if s != target):
+        lo = min(tlo, float(mm.loc[source, "lo"]))
+        hi = max(thi, float(mm.loc[source, "hi"]))
+
+        def partial(df: pd.DataFrame, lo=lo, hi=hi, source=source) -> pd.DataFrame:
+            df = df[df["event_type"].isin([target, source])]
+            if df.empty:
+                return pd.DataFrame({"event_type": pd.Series([], dtype=object),
+                                     "bin": pd.Series([], dtype="int64"),
+                                     "count": pd.Series([], dtype="int64")})
+            b = np.minimum(
+                np.floor((df["value"].to_numpy() - lo) * bins / (hi - lo)), bins - 1
+            ).astype(np.int64)
+            out = pd.DataFrame({"event_type": df["event_type"].to_numpy(), "bin": b})
+            return out.groupby(["event_type", "bin"], as_index=False).size().rename(
+                columns={"size": "count"}
+            )
+
+        counts = partial_aggregate(
+            ev.map_batches(partial, batch_format="pandas"),
+            ["event_type", "bin"],
+            {"count": ("count", "sum")},
+        )
+        arrays = {}
+        for et, g in counts.groupby("event_type"):
+            a = np.zeros(bins, dtype=np.int64)
+            a[g["bin"].to_numpy()] = g["count"].to_numpy()
+            arrays[et] = a
+        kl = _kl(
+            _smoothed_density(arrays[target], "LS"),
+            _smoothed_density(arrays[source], "LS"),
+        )
+        rows.append({"source": source, "kl_divergence": round(kl, 3)})
+    return pd.DataFrame(rows).sort_values("source", ignore_index=True)
+
+
 def q_props_k_stats(sf_dir: str) -> pd.DataFrame:
     """Scalar-function coverage: JSON field extraction + grouped agg."""
     ev = _read(sf_dir, "events", ["event_type", "props"])
@@ -449,8 +503,12 @@ def q_deepblocker_topk(sf_dir: str) -> pd.DataFrame:
     docs = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         lambda t: t.rename_columns(["id", "agValue"]), batch_format="pyarrow"
     )
+    # nprobe tuned to the reference's 0.90 blocking-recall level
+    # (splitters/KNN-Join/settings.py:1): measured 0.955 recall of the exact
+    # projected-space top-2 at (8, 5) vs 0.831 at (8, 3) — pinned by
+    # tests/test_queries_oracle.py::test_deepblocker_query_config_recall_floor
     pairs = deepblocker_topk(
-        docs, docs, k=3, dim=256, dim_out=16, num_buckets=8, nprobe=3
+        docs, docs, k=3, dim=256, dim_out=16, num_buckets=8, nprobe=5
     ).to_pandas()
     pairs = pairs[pairs["tableA_id"] != pairs["tableB_id"]]
     out = (
@@ -497,6 +555,7 @@ def build_queries() -> dict:
         "union_distinct_custkeys": q_union_distinct_custkeys,
         "user_sessions": q_user_sessions,
         "value_histogram": q_value_histogram,
+        "transfer_kl_scores": q_transfer_kl_scores,
         "props_k_stats": q_props_k_stats,
         "doc_token_stats": q_doc_token_stats,
         "doc_lang_counts": q_doc_lang_counts,
@@ -636,6 +695,56 @@ ORACLE_SQL: dict[str, str] = {
         SELECT CAST(LEAST(FLOOR((value - lo) * 100 / (hi - lo)), 99) AS BIGINT) AS bin,
                count(*) AS count
         FROM events, mm GROUP BY 1 ORDER BY 1
+    """,
+    # KL(click ‖ source) per other event type over the pair's shared value
+    # range, 100 floor+clamp bins, LS smoothing (add 0.005·N/bins before
+    # normalizing) — the reference's transfer-source arithmetic
+    # (methods/embeddings/entrypoint.py:238-264) in closed SQL form
+    "transfer_kl_scores": """
+        WITH tr AS (
+            SELECT min(value) AS lo, max(value) AS hi FROM events
+            WHERE event_type = 'click'
+        ),
+        sr AS (
+            SELECT event_type AS source, min(value) AS lo, max(value) AS hi
+            FROM events WHERE event_type <> 'click' GROUP BY 1
+        ),
+        rng AS (
+            SELECT sr.source, LEAST(sr.lo, tr.lo) AS lo,
+                   GREATEST(sr.hi, tr.hi) AS hi
+            FROM sr CROSS JOIN tr
+        ),
+        tc AS (
+            SELECT r.source,
+                   CAST(LEAST(FLOOR((e.value - r.lo) * 100 / (r.hi - r.lo)), 99) AS BIGINT) AS b,
+                   count(*) AS c
+            FROM events e CROSS JOIN rng r
+            WHERE e.event_type = 'click' GROUP BY 1, 2
+        ),
+        sc AS (
+            SELECT r.source,
+                   CAST(LEAST(FLOOR((e.value - r.lo) * 100 / (r.hi - r.lo)), 99) AS BIGINT) AS b,
+                   count(*) AS c
+            FROM events e JOIN rng r ON e.event_type = r.source GROUP BY 1, 2
+        ),
+        grid AS (
+            SELECT r.source, g.b
+            FROM rng r CROSS JOIN (SELECT unnest(range(100)) AS b) g
+        ),
+        tt AS (SELECT source, sum(c) AS n FROM tc GROUP BY 1),
+        st AS (SELECT source, sum(c) AS n FROM sc GROUP BY 1),
+        dens AS (
+            SELECT grid.source, grid.b,
+                   (COALESCE(tc.c, 0) + 0.005 * tt.n / 100) / (1.005 * tt.n) AS p,
+                   (COALESCE(sc.c, 0) + 0.005 * st.n / 100) / (1.005 * st.n) AS q
+            FROM grid
+            LEFT JOIN tc ON tc.source = grid.source AND tc.b = grid.b
+            LEFT JOIN sc ON sc.source = grid.source AND sc.b = grid.b
+            JOIN tt ON tt.source = grid.source
+            JOIN st ON st.source = grid.source
+        )
+        SELECT source, round(sum(p * ln(p / q)), 3) AS kl_divergence
+        FROM dens GROUP BY source ORDER BY source
     """,
     "props_k_stats": """
         SELECT event_type,

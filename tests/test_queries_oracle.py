@@ -203,3 +203,91 @@ def test_ngram_jaccard_basic():
     assert not any({a, b} == {1, 4} for a, b in got)
     # exact dup pair has jaccard exactly 1.0
     assert float(out[(out.left_id == 1) & (out.right_id == 2)]["jaccard"].iloc[0]) == 1.0
+
+
+@needs_testdata
+def test_kmeans_embeddings_matches_driver_lloyd():
+    """Driver-side oracle for the rows-only kmeans_embeddings query
+    (VERDICT r2 #6): a driver-local Lloyd's loop from the same seeded init
+    and update rule must reproduce BOTH the query's cluster sizes and the
+    DISTRIBUTED sufficient-statistics path's centroids (forced via
+    local_threshold=0) at the query's exact config. Lloyd's is chaotic at
+    cluster boundaries, so the determinism claim is same-arithmetic parity,
+    not cross-arithmetic: centroids agree to the float-sum-order tolerance
+    the kmeans docstring pins (~1e-12 per pass)."""
+    import pyarrow.parquet as pq
+
+    from ertransfer_ray.stages.kmeans import _init_centroids, fit_kmeans
+
+    eng = build_queries()["kmeans_embeddings"](SF)
+
+    t = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    x = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+    emb = rd.from_arrow(t)
+    cents = _init_centroids(emb, ["embedding"], k=4, seed=17)
+    for _ in range(15):
+        d = x @ cents.T - 0.5 * np.sum(cents * cents, axis=1)
+        assign = np.argmax(d, axis=1)
+        new = cents.copy()
+        for c in range(4):
+            if (assign == c).any():
+                new[c] = x[assign == c].mean(axis=0)
+        shift = float(np.max(np.linalg.norm(new - cents, axis=1)))
+        cents = new
+        if shift < 1e-6:
+            break
+    final = np.argmax(x @ cents.T - 0.5 * np.sum(cents * cents, axis=1), axis=1)
+    sizes = np.bincount(final, minlength=4)
+    want = {c: int(n) for c, n in enumerate(sizes) if n > 0}
+    got = dict(zip(eng["cluster"], eng["n_vecs"]))
+    assert got == want
+
+    dist_model = fit_kmeans(emb, "embedding", k=4, max_iter=15, seed=17,
+                            local_threshold=0)
+    np.testing.assert_allclose(dist_model.centroids, cents, rtol=1e-9, atol=1e-9)
+
+
+@needs_testdata
+def test_deepblocker_query_config_recall_floor():
+    """Pinned recall floor for the rows-only deepblocker_topk query: the
+    IVF-probed top-k at the query's exact config must recover >= 0.9 of the
+    EXACT top-k pairs in the same projected space (brute_force_topk)."""
+    from ertransfer_ray.stages.encoders import (
+        encode_texts,
+        fit_linear_autoencoder,
+        project_embeddings,
+    )
+    from ertransfer_ray.stages.knn import brute_force_topk
+
+    eng = build_queries()["deepblocker_topk"](SF)
+    got = set(zip(eng["tableA_id"], eng["tableB_id"]))
+
+    docs = rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"]) \
+        .map_batches(lambda t: t.rename_columns(["id", "agValue"]),
+                     batch_format="pyarrow")
+    enc = encode_texts(docs, text_col="agValue", id_col="id",
+                       dim=256, ngram=3, seed=13).materialize()
+    ae = fit_linear_autoencoder(enc, vec_col="embedding", dim_out=16)
+    proj = project_embeddings(enc, ae, id_col="id").materialize()
+    pdf = proj.to_pandas().sort_values("id", ignore_index=True)
+    q = np.asarray(pdf["embedding"].tolist(), dtype=np.float64)
+    exact = brute_force_topk(proj, q, k=3, id_col="id", vec_col="embedding")
+    qids = pdf["id"].to_numpy()
+    exact_pairs = {
+        (int(qids[r.qid]), int(r.id))
+        for r in exact.itertuples()
+        if int(qids[r.qid]) != int(r.id)
+    }
+    # the query keeps top-2 non-self per doc; exact set is top-3 incl. self,
+    # so compare on the intersection domain: exact non-self pairs the query
+    # could have emitted (rank <= 2 after dropping self)
+    exact_top2 = {}
+    for r in exact.itertuples():
+        a, b = int(qids[r.qid]), int(r.id)
+        if a == b:
+            continue
+        exact_top2.setdefault(a, []).append((r.rank, b))
+    want = {(a, b) for a, lst in exact_top2.items()
+            for _, b in sorted(lst)[:2]}
+    recall = np.mean([p in got for p in sorted(want)])
+    assert recall >= 0.9, f"deepblocker query-config recall {recall:.3f} < 0.9"
