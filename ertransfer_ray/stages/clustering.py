@@ -245,6 +245,8 @@ def connected_components(
     edges_ds,
     max_rounds: int = 25,
     driver_threshold: int = 200_000,
+    key_bits: int = 64,
+    _key_mask: tuple[int, int] | None = None,
 ):
     """Connected components over an edge Dataset (left_url, right_url) →
     Dataset (url, cluster_id:string).
@@ -264,6 +266,12 @@ def connected_components(
       label order is uncorrelated with adjacency), early exit on checksum
       fixpoint. Round messages carry only int64 pairs; urls re-attach once
       after convergence; nothing materializes on the driver.
+
+    ``key_bits=128`` switches the distributed path to 128-bit node keys
+    carried as two int64 columns through the SAME exchanges (see
+    _connected_components_wide) — use beyond ~10^10 nodes where the 64-bit
+    collision bound p ≈ n²/2^64 stops being negligible. ``_key_mask`` is a
+    test hook that masks (hi, lo) words to force single-word collisions.
     """
     edges = edges_ds.select_columns(["left_url", "right_url"])
     n_edges = edges.count()
@@ -280,6 +288,10 @@ def connected_components(
         import ray.data as rd
 
         return rd.from_pandas(_driver_union_find(rows))
+    if key_bits == 128:
+        return _connected_components_wide(edges, max_rounds, _key_mask)
+    if key_bits != 64:
+        raise ValueError(f"key_bits must be 64 or 128, got {key_bits}")
 
     # ---- distributed path ----
     # Node keys inside the rounds are 64-bit stable hashes of the urls:
@@ -289,7 +301,7 @@ def connected_components(
     # re-attached and the component renamed to its lexicographically
     # smallest member AFTER the fixpoint — identical output contract. A
     # hash collision would merge two components (p ≈ n²/2^64; at 10^12
-    # nodes move to a 128-bit key).
+    # nodes pass key_bits=128 — the hi/lo wide-key variant below).
     from ..functions.hashing import stable_hash64
 
     def _h(arr: pa.Array) -> np.ndarray:
@@ -576,6 +588,312 @@ def connected_components(
         )
 
     return exchange_group_apply(members, "comp", name_cluster)
+
+
+def _hash128(arr: pa.Array, key_mask: tuple[int, int] | None = None):
+    """128-bit stable node key as two independent SipHash-1-3 streams
+    (different 16-byte keys), each folded to a non-negative int64. Collision
+    bound for the pair is p ≈ n²/2^127 — negligible past 10^12 nodes, where
+    the single-word bound (clustering 64-bit path) is not. ``key_mask``
+    (test hook) masks each word to force single-word collisions."""
+    vals = np.asarray(arr.to_numpy(zero_copy_only=False), dtype=object)
+    lo = pd.util.hash_array(vals, categorize=False) >> np.uint64(1)
+    hi = pd.util.hash_array(vals, hash_key="ertransfer128key", categorize=False) >> np.uint64(1)
+    if key_mask is not None:
+        hi = hi & np.uint64(key_mask[0] & ((1 << 64) - 1))
+        lo = lo & np.uint64(key_mask[1] & ((1 << 64) - 1))
+    return hi.astype(np.int64), lo.astype(np.int64)
+
+
+def _min_pair(df: pd.DataFrame, key: tuple[str, str], val: tuple[str, str]) -> pd.DataFrame:
+    """Per composite ``key`` pair, the lexicographically smallest ``val``
+    pair — ONE stable sort + groupby-first, fully vectorized (the pandas
+    analog of groupby-min for a 128-bit value carried as two int64s)."""
+    d = df[[*key, *val]].sort_values(list(val), kind="stable")
+    return d.groupby(list(key), sort=False, as_index=False).first()
+
+
+def _fill_pair(m: pd.DataFrame, out: tuple[str, str], default: tuple[str, str]) -> pd.DataFrame:
+    """Post-left-merge default: absent lookups keep the key pair itself.
+    A PAIR is absent as a unit (both words null together), so per-word
+    fillna is exact, not a word-level mixture."""
+    for o, k in zip(out, default):
+        m[o] = m[o].fillna(m[k]).astype("int64")
+    return m
+
+
+def _connected_components_wide(edges, max_rounds: int, key_mask=None):
+    """The ``key_bits=128`` arm of :func:`connected_components`: identical
+    round structure (propagate → min-combine → pointer-double → edge
+    contraction, checksum early-exit) with node keys carried as TWO int64
+    columns (hi, lo) through the SAME exchanges.
+
+    Exchange co-location keys on the ``hi`` word alone — equal pairs share
+    ``hi``, so all rows of a key land in one bucket regardless of ``lo`` —
+    while every in-bucket kernel groups/mins on the full (hi, lo) pair
+    (``_min_pair``: one stable sort + groupby-first; lookups are pair-keyed
+    merges). Shuffle volume doubles (16-byte keys), kernel shape is
+    unchanged; use past ~10^10 nodes per the 64-bit collision bound
+    documented on the default path.
+    """
+    import ray.data as rd
+
+    from .groupby import exchange_group_apply
+
+    def edge_rows(t: pa.Table) -> pa.Table:
+        lh, ll = _hash128(t.column("left_url").combine_chunks(), key_mask)
+        rh, rl = _hash128(t.column("right_url").combine_chunks(), key_mask)
+        n = t.num_rows
+        return pa.table(
+            {
+                "nh": pa.array(np.concatenate([lh, rh])),
+                "nl": pa.array(np.concatenate([ll, rl])),
+                "vh": pa.array(np.concatenate([rh, lh])),
+                "vl": pa.array(np.concatenate([rl, ll])),
+                "is_label": pa.array(np.zeros(2 * n, dtype=np.int8)),
+            }
+        )
+
+    edges_bi = edges.map_batches(edge_rows, batch_format="pyarrow").materialize()
+
+    def url_rows(t: pa.Table) -> pa.Table:
+        l = t.column("left_url").combine_chunks()
+        r = t.column("right_url").combine_chunks()
+        lh, ll = _hash128(l, key_mask)
+        rh, rl = _hash128(r, key_mask)
+        df = pd.DataFrame(
+            {
+                "nh": np.concatenate([lh, rh]),
+                "nl": np.concatenate([ll, rl]),
+                "url": pa.concat_arrays([l, r]).to_pandas(),
+            }
+        ).drop_duplicates(["nh", "nl"])
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    url_map = edges.map_batches(url_rows, batch_format="pyarrow").materialize()
+
+    labels = edges_bi.map_batches(
+        lambda t: pa.table(
+            {
+                "nh": t.column("nh"),
+                "nl": t.column("nl"),
+                "vh": t.column("nh"),
+                "vl": t.column("nl"),
+                "is_label": pa.array(np.ones(t.num_rows, dtype=np.int8)),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def propagate(df: pd.DataFrame) -> pd.DataFrame:
+        comp = _min_pair(df[df["is_label"] == 1], ("nh", "nl"), ("vh", "vl"))
+        e = df[df["is_label"] == 0][["nh", "nl", "vh", "vl"]].merge(
+            comp.rename(columns={"vh": "ch", "vl": "cl"}),
+            on=["nh", "nl"], how="left",
+        )
+        e = _fill_pair(e, ("ch", "cl"), ("nh", "nl"))
+        out = pd.concat(
+            [
+                comp,
+                pd.DataFrame(
+                    {
+                        "nh": e["vh"].to_numpy(), "nl": e["vl"].to_numpy(),
+                        "vh": e["ch"].to_numpy(), "vl": e["cl"].to_numpy(),
+                    }
+                ),
+            ],
+            ignore_index=True,
+        )
+        out["is_label"] = np.ones(len(out), dtype=np.int8)
+        return out
+
+    def dedup_min(df: pd.DataFrame) -> pd.DataFrame:
+        out = _min_pair(df, ("nh", "nl"), ("vh", "vl"))
+        out["is_label"] = np.ones(len(out), dtype=np.int8)
+        return out
+
+    def pointer_double(labels_ds):
+        def tag(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            nh, nl = t.column("nh").combine_chunks(), t.column("nl").combine_chunks()
+            vh, vl = t.column("vh").combine_chunks(), t.column("vl").combine_chunks()
+            return pa.table(
+                {
+                    "kh": pa.concat_arrays([vh, nh]),
+                    "kl": pa.concat_arrays([vl, nl]),
+                    "oh": pa.concat_arrays([nh, vh]),
+                    "ol": pa.concat_arrays([nl, vl]),
+                    "role": pa.array(
+                        np.concatenate([np.zeros(n, np.int8), np.ones(n, np.int8)])
+                    ),
+                }
+            )
+
+        tagged = labels_ds.map_batches(tag, batch_format="pyarrow")
+
+        def resolve(df: pd.DataFrame) -> pd.DataFrame:
+            lab = _min_pair(df[df["role"] == 1], ("kh", "kl"), ("oh", "ol")).rename(
+                columns={"oh": "lh", "ol": "ll"}
+            )
+            m = df[df["role"] == 0].merge(lab, on=["kh", "kl"], how="left")
+            m = _fill_pair(m, ("lh", "ll"), ("kh", "kl"))
+            return pd.DataFrame(
+                {
+                    "nh": m["oh"].to_numpy(), "nl": m["ol"].to_numpy(),
+                    "vh": m["lh"].to_numpy(), "vl": m["ll"].to_numpy(),
+                    "is_label": np.ones(len(m), dtype=np.int8),
+                }
+            )
+
+        return exchange_group_apply(tagged, "kh", resolve)
+
+    def relabel_edges(edges_ds, labels_ds):
+        def sub(endpoint: str):
+            def fn(t: pa.Table) -> pa.Table:
+                k, o = (("nh", "nl"), ("vh", "vl")) if endpoint == "node" else (("vh", "vl"), ("nh", "nl"))
+                return pa.table(
+                    {
+                        "kh": t.column(k[0]), "kl": t.column(k[1]),
+                        "oh": t.column(o[0]), "ol": t.column(o[1]),
+                        "role": pa.array(np.zeros(t.num_rows, dtype=np.int8)),
+                    }
+                )
+
+            return fn
+
+        def lab_rows(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "kh": t.column("nh"), "kl": t.column("nl"),
+                    "oh": t.column("vh"), "ol": t.column("vl"),
+                    "role": pa.array(np.ones(t.num_rows, dtype=np.int8)),
+                }
+            )
+
+        def rewrite(out_first: str):
+            def fn(df: pd.DataFrame) -> pd.DataFrame:
+                lab = _min_pair(df[df["role"] == 1], ("kh", "kl"), ("oh", "ol")).rename(
+                    columns={"oh": "lh", "ol": "ll"}
+                )
+                m = df[df["role"] == 0].merge(lab, on=["kh", "kl"], how="left")
+                m = _fill_pair(m, ("lh", "ll"), ("kh", "kl"))
+                out = pd.DataFrame(
+                    {
+                        "nh": m["lh"].to_numpy(), "nl": m["ll"].to_numpy(),
+                        "vh": m["oh"].to_numpy(), "vl": m["ol"].to_numpy(),
+                    }
+                )
+                if out_first == "val":
+                    out = out.rename(
+                        columns={"nh": "vh", "nl": "vl", "vh": "nh", "vl": "nl"}
+                    )
+                    # re-emit both orientations (same rationale as the 64-bit
+                    # path: one-way min flow can stabilize a split component)
+                    out = pd.concat(
+                        [out, out.rename(
+                            columns={"nh": "vh", "nl": "vl", "vh": "nh", "vl": "nl"}
+                        )],
+                        ignore_index=True,
+                    )
+                out = out[
+                    ~((out["nh"] == out["vh"]) & (out["nl"] == out["vl"]))
+                ].drop_duplicates()
+                out["is_label"] = np.zeros(len(out), dtype=np.int8)
+                return out[["nh", "nl", "vh", "vl", "is_label"]]
+
+            return fn
+
+        lab = labels_ds.map_batches(lab_rows, batch_format="pyarrow")
+        step1 = exchange_group_apply(
+            edges_ds.map_batches(sub("node"), batch_format="pyarrow").union(lab),
+            "kh", rewrite("node"),
+        )
+        step2 = exchange_group_apply(
+            step1.map_batches(sub("val"), batch_format="pyarrow").union(lab),
+            "kh", rewrite("val"),
+        )
+        return step2
+
+    PHI = np.uint64(0x9E3779B97F4A7C15)
+
+    def mixed(t: pa.Table) -> pa.Table:
+        nh = t.column("nh").to_numpy(zero_copy_only=False).astype(np.uint64)
+        nl = t.column("nl").to_numpy(zero_copy_only=False).astype(np.uint64)
+        vh = t.column("vh").to_numpy(zero_copy_only=False).astype(np.uint64)
+        vl = t.column("vl").to_numpy(zero_copy_only=False).astype(np.uint64)
+        return pa.table(
+            {
+                "node": pa.array((nh * PHI + nl).astype(np.int64)),
+                "comp": pa.array((vh * PHI + vl).astype(np.int64)),
+            }
+        )
+
+    prev = None
+    converged = False
+    for _ in range(max_rounds):
+        msgs = exchange_group_apply(edges_bi.union(labels), "nh", propagate)
+        base = exchange_group_apply(msgs, "nh", dedup_min)
+        labels = pointer_double(base).materialize()
+        cur = _checksum(labels.map_batches(mixed, batch_format="pyarrow"))
+        if cur == prev:
+            converged = True
+            break
+        prev = cur
+        edges_bi = relabel_edges(edges_bi, labels).materialize()
+    if not converged:
+        import warnings
+
+        warnings.warn(
+            f"connected_components(key_bits=128): no fixpoint after "
+            f"{max_rounds} rounds — labels may split wide components; raise "
+            "max_rounds",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+
+    def tag_label(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "kh": t.column("nh"), "kl": t.column("nl"),
+                "ch": t.column("vh"), "cl": t.column("vl"),
+                "url": pa.array([None] * t.num_rows, pa.string()),
+                "role": pa.array(np.zeros(t.num_rows, dtype=np.int8)),
+            }
+        )
+
+    def tag_url(t: pa.Table) -> pa.Table:
+        z = pa.array(np.zeros(t.num_rows, dtype=np.int64))
+        return pa.table(
+            {
+                "kh": t.column("nh"), "kl": t.column("nl"),
+                "ch": z, "cl": z,
+                "url": t.column("url"),
+                "role": pa.array(np.ones(t.num_rows, dtype=np.int8)),
+            }
+        )
+
+    tagged = labels.map_batches(tag_label, batch_format="pyarrow").union(
+        url_map.map_batches(tag_url, batch_format="pyarrow")
+    )
+
+    def attach_urls(df: pd.DataFrame) -> pd.DataFrame:
+        lab = df[df["role"] == 0][["kh", "kl", "ch", "cl"]]
+        um = df[df["role"] == 1].drop_duplicates(["kh", "kl"])[["kh", "kl", "url"]]
+        return lab.merge(um, on=["kh", "kl"], how="inner")[["ch", "cl", "url"]]
+
+    members = exchange_group_apply(tagged, "kh", attach_urls)
+
+    def name_cluster(df: pd.DataFrame) -> pd.DataFrame:
+        m = (
+            df.sort_values("url", kind="stable")
+            .groupby(["ch", "cl"], sort=False, as_index=False)
+            .first()
+            .rename(columns={"url": "cluster_id"})
+        )
+        out = df.merge(m, on=["ch", "cl"], how="left")
+        return out[["url", "cluster_id"]]
+
+    return exchange_group_apply(members, "ch", name_cluster)
 
 
 def clusters_to_pair_set(assignments_df: pd.DataFrame) -> set:
