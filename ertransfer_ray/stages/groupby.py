@@ -43,6 +43,26 @@ from ..functions.hashing import stable_hash64
 
 BUCKET_COL = "_bucket"
 
+#: ceiling on driver-held object refs per exchange (split outputs =
+#: n_split_tasks x num_buckets). Each ref costs ~KB of driver metadata, so
+#: 2^20 refs ~ a GB-scale driver dict — the knee where ref bookkeeping
+#: starts to rival the shuffle itself (CC runs 5 exchanges/round; at 10^6
+#: input blocks an ungrouped fan would be 10^8 refs/round). Blocks are
+#: GROUPED into split tasks to stay under it: identical row-level result
+#: (bucketing hashes rows, not blocks), one concat per group in-worker.
+MAX_EXCHANGE_REFS = 1 << 20
+
+
+def _group_refs(block_refs: list, num_buckets: int) -> list[list]:
+    """Partition block refs into split-task groups so that
+    n_groups x num_buckets <= MAX_EXCHANGE_REFS (always >= 1 block/group;
+    g=1 — today's behavior — whenever the input is below the ceiling)."""
+    n_groups_cap = max(1, MAX_EXCHANGE_REFS // max(num_buckets, 1))
+    if len(block_refs) <= n_groups_cap:
+        return [[r] for r in block_refs]
+    g = -(-len(block_refs) // n_groups_cap)
+    return [block_refs[i : i + g] for i in range(0, len(block_refs), g)]
+
 
 def default_num_buckets() -> int:
     """Bucket count sized to the cluster: ~2 buckets per CPU so every core
@@ -271,12 +291,14 @@ def exchange_group_apply(
         )
 
     @ray.remote(num_returns=num_buckets)
-    def split(block: pa.Table):
-        if block.num_rows == 0 or block.num_columns == 0:
-            # Ray Data can emit schema-less empty blocks from unions /
-            # materializations; hashing their (absent) key columns would fail
-            out = [block.slice(0, 0)] * num_buckets
+    def split(*blocks: pa.Table):
+        # Ray Data can emit schema-less empty blocks from unions /
+        # materializations; hashing their (absent) key columns would fail
+        tbls = [b for b in blocks if b.num_rows > 0 and b.num_columns > 0]
+        if not tbls:
+            out = [blocks[0].slice(0, 0)] * num_buckets
             return out if num_buckets > 1 else out[0]
+        block = pa.concat_tables(tbls) if len(tbls) > 1 else tbls[0]
         # hash ONLY the key columns — converting the full block (payload
         # strings included) to pandas pays the worker allocator pathology
         # (see blocking.attach_pair_payloads) for columns the hash never reads
@@ -291,7 +313,9 @@ def exchange_group_apply(
         ]
         return out if num_buckets > 1 else out[0]
 
-    parts = [split.remote(ref) for ref in block_refs]
+    # blocks are grouped so driver-held refs stay <= MAX_EXCHANGE_REFS
+    # (the 10^6-block regime would otherwise hold blocks x buckets refs)
+    parts = [split.remote(*grp) for grp in _group_refs(block_refs, num_buckets)]
 
     @ray.remote
     def apply_bucket(*tables):
@@ -345,11 +369,16 @@ def counted_key_survivors(
     refs = ds.select_columns([key]).to_arrow_refs()
 
     @ray.remote(num_returns=nb)
-    def split(block: pa.Table):
-        if block.num_rows == 0 or block.num_columns == 0:
+    def split(*blocks: pa.Table):
+        cols = [
+            b.column(key).to_numpy(zero_copy_only=False)
+            for b in blocks
+            if b.num_rows > 0 and b.num_columns > 0
+        ]
+        if not cols:
             out = [np.empty(0, np.int64)] * nb
             return out if nb > 1 else out[0]
-        col = block.column(key).to_numpy(zero_copy_only=False)
+        col = np.concatenate(cols) if len(cols) > 1 else cols[0]
         b = (pd.util.hash_array(col) % np.uint64(nb)).astype(np.int64)
         order = np.argsort(b, kind="stable")
         sk = col[order]
@@ -360,7 +389,8 @@ def counted_key_survivors(
         out = [sk[bounds[i] : bounds[i + 1]].copy() for i in range(nb)]
         return out if nb > 1 else out[0]
 
-    parts = [split.remote(r) for r in refs]
+    # same driver-ref ceiling as exchange_group_apply
+    parts = [split.remote(*grp) for grp in _group_refs(refs, nb)]
 
     @ray.remote
     def survivors(*arrs):

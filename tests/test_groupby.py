@@ -91,3 +91,33 @@ def test_bucketed_apply_key_colocation():
     # one output row per key → no key split across buckets
     assert out["k2"].is_unique
     assert out["n"].sum() == 500
+
+
+def test_exchange_grouped_split_matches_ungrouped(monkeypatch):
+    """Driver-ref ceiling: when blocks x num_buckets would exceed
+    MAX_EXCHANGE_REFS, blocks are grouped into fewer split tasks — the
+    result must be row-identical to the ungrouped fan."""
+    import ertransfer_ray.stages.groupby as gb
+
+    df = pd.DataFrame({"k2": np.arange(600) % 13, "v": np.arange(600)})
+    ds = rd.from_pandas(df).repartition(12).materialize()
+
+    def agg(d: pd.DataFrame) -> pd.DataFrame:
+        return d.groupby("k2", as_index=False).agg(n=("v", "size"), s=("v", "sum"))
+
+    want = (
+        gb.exchange_group_apply(ds, "k2", agg, num_buckets=5)
+        .to_pandas().sort_values("k2", ignore_index=True)
+    )
+    # force maximal grouping: cap = num_buckets -> 1 group of all 12 blocks
+    monkeypatch.setattr(gb, "MAX_EXCHANGE_REFS", 5)
+    got = (
+        gb.exchange_group_apply(ds, "k2", agg, num_buckets=5)
+        .to_pandas().sort_values("k2", ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+    surv = gb.counted_key_survivors(ds, "k2", 5, 10_000, min_count=2)
+    monkeypatch.setattr(gb, "MAX_EXCHANGE_REFS", 1)
+    surv2 = gb.counted_key_survivors(ds, "k2", 5, 10_000, min_count=2)
+    assert sorted(surv.to_pylist()) == sorted(surv2.to_pylist())
