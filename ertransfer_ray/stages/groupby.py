@@ -292,6 +292,14 @@ def exchange_group_apply(
 
     @ray.remote(num_returns=num_buckets)
     def split(*blocks: pa.Table):
+        # to_arrow_refs can leak PANDAS blocks through unchanged when the
+        # dataset's blocks are pandas (e.g. a union of map_batches outputs
+        # whose lineage ends in a pandas stage) — normalize first
+        blocks = tuple(
+            pa.Table.from_pandas(b, preserve_index=False)
+            if isinstance(b, pd.DataFrame) else b
+            for b in blocks
+        )
         # Ray Data can emit schema-less empty blocks from unions /
         # materializations; hashing their (absent) key columns would fail
         tbls = [b for b in blocks if b.num_rows > 0 and b.num_columns > 0]
@@ -370,6 +378,11 @@ def counted_key_survivors(
 
     @ray.remote(num_returns=nb)
     def split(*blocks: pa.Table):
+        blocks = tuple(
+            pa.Table.from_pandas(b, preserve_index=False)
+            if isinstance(b, pd.DataFrame) else b
+            for b in blocks
+        )
         cols = [
             b.column(key).to_numpy(zero_copy_only=False)
             for b in blocks

@@ -201,6 +201,20 @@ def keys_of(ds, col: str) -> list:
     return [r[col] for r in ds.select_columns([col]).take_all()]
 
 
+def _arrow_field_type(ds_schema, name: str):
+    """Arrow type of one column from a Dataset schema — exact for
+    arrow-block datasets (base_schema), numpy-mapped for pandas-block ones
+    (object dtype → string, the only object columns these joins carry)."""
+    bs = getattr(ds_schema, "base_schema", None)
+    if isinstance(bs, pa.Schema):
+        return bs.field(name).type
+    t = dict(zip(ds_schema.names, ds_schema.types))[name]
+    try:
+        return pa.from_numpy_dtype(t)
+    except (pa.ArrowNotImplementedError, TypeError, ValueError):
+        return pa.string()
+
+
 def bucketed_join(
     left,
     right,
@@ -209,46 +223,64 @@ def bucketed_join(
     how: str = "inner",
     num_buckets: int | None = None,
 ):
-    """Large-large cogroup hash join built on the bucketed primitive:
-    union both sides with a side tag, bucket on the join key, pandas-merge
-    inside each bucket. Robust where ``Dataset.join`` is not (empty hash
-    partitions — see clustering.py) and shuffles each side exactly once.
+    """Large-large cogroup hash join: union both sides with a side tag,
+    EXCHANGE on the join key (groupby.exchange_group_apply — one raw hash
+    shuffle, no sort), pandas-merge inside each bucket. Robust where
+    ``Dataset.join`` is not (empty hash partitions — see clustering.py) and
+    shuffles each side exactly once.
+
+    The tagged union is ARROW-native: each side fills the other side's
+    columns with typed nulls (``pa.nulls``) so every block shares one
+    schema — the prerequisite for the exchange's arrow concat. The previous
+    pandas-block form rode Ray Data's sort-based groupby, which measured
+    8.5 s / 22 s for the two attach joins of a 6.7k-pair verify at 1.6M
+    docs where the exchange form takes ~1.6 s each.
 
     Column sets of the two sides must be disjoint apart from the join key;
-    the join key is matched ``left_on`` = ``right_on``.
+    the join key is matched ``left_on`` = ``right_on`` (compared as
+    strings, as before).
     """
-    from .groupby import bucketed_group_apply
+    import pyarrow.compute as pc
+
+    from .groupby import exchange_group_apply
 
     right_on = right_on or left_on
-    l_schema = left.schema().names
-    r_schema = right.schema().names
-    overlap = (set(l_schema) & set(r_schema)) - {left_on}
+    l_schema = left.schema()
+    r_schema = right.schema()
+    overlap = (set(l_schema.names) & set(r_schema.names)) - {left_on}
     if overlap:
         raise ValueError(f"bucketed_join: overlapping non-key columns {overlap}")
 
-    l_cols = list(l_schema)
-    r_cols = [c for c in r_schema if c != right_on]
-    # union requires one schema: superset of both sides' columns, absent
-    # side's columns filled with None
-    all_cols = l_cols + r_cols
+    l_cols = list(l_schema.names)
+    r_cols = [c for c in r_schema.names if c != right_on]
+    types = {c: _arrow_field_type(l_schema, c) for c in l_cols}
+    types.update({c: _arrow_field_type(r_schema, c) for c in r_cols})
 
-    def tag(side: int, key_col: str):
-        def fn(df: pd.DataFrame) -> pd.DataFrame:
-            out = pd.DataFrame({"_jk": df[key_col].astype(str), "_side": np.int8(side)})
-            for c in all_cols:
-                out[c] = df[c] if c in df.columns else None
-            return out
+    def tag(side: int, key_col: str, own: set):
+        def fn(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            cols: dict = {
+                "_jk": pc.cast(t.column(key_col), pa.string()),
+                "_side": pa.array(np.full(n, side, dtype=np.int8)),
+            }
+            for c in l_cols + r_cols:
+                if c in own:
+                    col = t.column(c)
+                    cols[c] = col if col.type == types[c] else pc.cast(col, types[c])
+                else:
+                    cols[c] = pa.nulls(n, types[c])
+            return pa.table(cols)
 
         return fn
 
-    both = left.map_batches(tag(0, left_on), batch_format="pandas").union(
-        right.map_batches(tag(1, right_on), batch_format="pandas")
-    )
+    both = left.map_batches(
+        tag(0, left_on, set(l_cols)), batch_format="pyarrow"
+    ).union(right.map_batches(tag(1, right_on, set(r_cols)), batch_format="pyarrow"))
 
-    # original dtypes: the tagged union fills absent-side columns with None,
-    # which degrades every column that ever rode a mixed block to object
-    # (e.g. int8 flags). Restore after the merge where the cast is lossless;
-    # columns that legitimately hold NaN (outer-join misses) keep object.
+    # original dtypes: absent-side nulls degrade columns that rode a mixed
+    # pandas conversion to object (e.g. int8 flags). Restore after the merge
+    # where the cast is lossless; columns that legitimately hold NaN
+    # (outer-join misses) keep object.
     def _dtype_map(ds_schema):
         out = {}
         for name, typ in zip(ds_schema.names, ds_schema.types):
@@ -277,4 +309,4 @@ def bucketed_join(
                     pass
         return out
 
-    return bucketed_group_apply(both, "_jk", merge_bucket, num_buckets)
+    return exchange_group_apply(both, "_jk", merge_bucket, num_buckets)
