@@ -72,6 +72,9 @@ BENCH_QUERIES = [
     "doc_quality",
     "deepblocker_topk",   # trained-encoder blocking (T3/T4, round 2)
     "kmeans_embeddings",  # distributed Lloyd's (A9, round 2)
+    "exact_dedup_docs",      # D1 id-only dedup summary (round 3)
+    "simhash_neardup_pairs",  # sketch near-dup (round 3)
+    "transfer_kl_scores",    # A4+A5 transfer-source selection (round 3)
 ]
 
 HEADLINE = "er_documents"
