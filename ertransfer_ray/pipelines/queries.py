@@ -279,40 +279,56 @@ def q_transfer_kl_scores(sf_dir: str) -> pd.DataFrame:
     ).set_index("event_type")
     tlo, thi = float(mm.loc[target, "lo"]), float(mm.loc[target, "hi"])
 
-    rows = []
-    for source in sorted(s for s in mm.index if s != target):
-        lo = min(tlo, float(mm.loc[source, "lo"]))
-        hi = max(thi, float(mm.loc[source, "hi"]))
+    sources = sorted(s for s in mm.index if s != target)
+    ranges = {
+        s: (min(tlo, float(mm.loc[s, "lo"])), max(thi, float(mm.loc[s, "hi"])))
+        for s in sources
+    }
 
-        def partial(df: pd.DataFrame, lo=lo, hi=hi, source=source) -> pd.DataFrame:
-            df = df[df["event_type"].isin([target, source])]
-            if df.empty:
-                return pd.DataFrame({"event_type": pd.Series([], dtype=object),
-                                     "bin": pd.Series([], dtype="int64"),
-                                     "count": pd.Series([], dtype="int64")})
+    # ONE histogram pass for every (source, side) distribution: each batch
+    # emits (source, side, bin, count) partials for all pairwise shared
+    # ranges at once — the per-source-pass form paid 4x the scan + 4x the
+    # per-pass driver latency for identical counts
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        v = df["value"].to_numpy()
+        et = df["event_type"].to_numpy()
+        for s, (lo, hi) in ranges.items():
+            sel = (et == target) | (et == s)
+            if not sel.any():
+                continue
             b = np.minimum(
-                np.floor((df["value"].to_numpy() - lo) * bins / (hi - lo)), bins - 1
+                np.floor((v[sel] - lo) * bins / (hi - lo)), bins - 1
             ).astype(np.int64)
-            out = pd.DataFrame({"event_type": df["event_type"].to_numpy(), "bin": b})
-            return out.groupby(["event_type", "bin"], as_index=False).size().rename(
-                columns={"size": "count"}
-            )
-
-        counts = partial_aggregate(
-            ev.map_batches(partial, batch_format="pandas"),
-            ["event_type", "bin"],
-            {"count": ("count", "sum")},
+            side = np.where(et[sel] == target, "p", "q")
+            frames.append(pd.DataFrame({"source": s, "side": side, "bin": b}))
+        if not frames:
+            return pd.DataFrame({"source": pd.Series([], dtype=object),
+                                 "side": pd.Series([], dtype=object),
+                                 "bin": pd.Series([], dtype="int64"),
+                                 "count": pd.Series([], dtype="int64")})
+        out = pd.concat(frames, ignore_index=True)
+        return out.groupby(["source", "side", "bin"], as_index=False).size().rename(
+            columns={"size": "count"}
         )
+
+    counts = partial_aggregate(
+        ev.map_batches(partial, batch_format="pandas"),
+        ["source", "side", "bin"],
+        {"count": ("count", "sum")},
+    )
+    rows = []
+    for s in sources:
         arrays = {}
-        for et, g in counts.groupby("event_type"):
+        for side, g in counts[counts["source"] == s].groupby("side"):
             a = np.zeros(bins, dtype=np.int64)
             a[g["bin"].to_numpy()] = g["count"].to_numpy()
-            arrays[et] = a
+            arrays[side] = a
         kl = _kl(
-            _smoothed_density(arrays[target], "LS"),
-            _smoothed_density(arrays[source], "LS"),
+            _smoothed_density(arrays["p"], "LS"),
+            _smoothed_density(arrays["q"], "LS"),
         )
-        rows.append({"source": source, "kl_divergence": round(kl, 3)})
+        rows.append({"source": s, "kl_divergence": round(kl, 3)})
     return pd.DataFrame(rows).sort_values("source", ignore_index=True)
 
 

@@ -306,7 +306,12 @@ def exchange_group_apply(
         if not tbls:
             out = [blocks[0].slice(0, 0)] * num_buckets
             return out if num_buckets > 1 else out[0]
-        block = pa.concat_tables(tbls) if len(tbls) > 1 else tbls[0]
+        # permissive promote: iterative frontiers carry null-typed columns
+        # in empty-lineage blocks that must unify with the typed ones
+        block = (
+            pa.concat_tables(tbls, promote_options="permissive")
+            if len(tbls) > 1 else tbls[0]
+        )
         # hash ONLY the key columns — converting the full block (payload
         # strings included) to pandas pays the worker allocator pathology
         # (see blocking.attach_pair_payloads) for columns the hash never reads
@@ -338,7 +343,7 @@ def exchange_group_apply(
             )
             out = fn(base)
         else:
-            out = fn(pa.concat_tables(tbls).to_pandas())
+            out = fn(pa.concat_tables(tbls, promote_options="permissive").to_pandas())
         return pa.Table.from_pandas(out, preserve_index=False)
 
     if num_buckets == 1:
