@@ -450,10 +450,16 @@ def grouped_top_k(
     descending: bool = True,
     tie_cols: list[str] | None = None,
     num_buckets: int | None = None,
+    exchange: bool = False,
 ):
     """Per-key top-k (reference O1 per-entity top-k,
     /root/reference/clustering/Probabilities/clustering.py:7-27): bucket on
-    key, then ONE vectorized sort + groupby-head per bucket."""
+    key, then ONE vectorized sort + groupby-head per bucket.
+
+    ``exchange=True`` routes through the raw hash exchange instead of Ray
+    Data's sort-based groupby — same contract, inserts a materialize
+    barrier; use in ITERATIVE callers (mutual_best_rounds) where the sort
+    path's per-round cost compounds."""
     keys = [keys] if isinstance(keys, str) else list(keys)
     tie_cols = tie_cols or []
 
@@ -463,4 +469,5 @@ def grouped_top_k(
         )
         return df.groupby(keys, sort=False, dropna=False).head(k)
 
-    return bucketed_group_apply(ds, keys, fn, num_buckets)
+    apply = exchange_group_apply if exchange else bucketed_group_apply
+    return apply(ds, keys, fn, num_buckets)
