@@ -56,7 +56,7 @@ from ..functions.hashing import (
     stable_hash64,
 )
 from ..functions.arrays import list_column_to_matrix
-from ..functions.simfuncs import jaccard, qgrams
+from ..functions.simfuncs import qgrams
 from .clustering import connected_components
 from .groupby import bucketed_group_apply, distinct_rows
 
@@ -118,27 +118,60 @@ def _text_lookup_build(t: pa.Table):
     return pd.Index(t.column("id").to_numpy(zero_copy_only=False)), t.column("text")
 
 
-def _fetch_shingle_sets(side_refs, uniq_ids) -> dict:
+def _jaccard_codes(a: np.ndarray, b: np.ndarray) -> float:
+    """Set Jaccard over sorted-unique int gram-code arrays — the exact
+    C-level replacement for ``jaccard(set, set)`` (empty/empty = 1.0, the
+    simfuncs.jaccard convention): per pair one sorted intersection instead
+    of ~|set| Python string-hash lookups. Codes come from a per-batch
+    factorize (exact string identity, no hashing)."""
+    na, nb = a.size, b.size
+    if na == 0 and nb == 0:
+        return 1.0
+    inter = np.intersect1d(a, b, assume_unique=True).size
+    u = na + nb - inter
+    return inter / u if u else 0.0
+
+
+def _gram_code_arrays(ids, texts, q: int = 3) -> dict:
+    """{id: sorted-unique int gram-code array} for a batch of docs over the
+    normalized char-``q``-gram space — the exact verification space
+    (mirrors the reference's q-gram tokenization family,
+    /root/reference/splitters/KNN-Join/splitter.py:72-81).
+    One pd.factorize over the batch's concatenated grams assigns exact
+    integer identities; each doc's codes are then uniqued+sorted."""
+    ids = list(ids)
+    all_grams: list[str] = []
+    lengths: list[int] = []
+    for t in texts:
+        g = qgrams(" ".join((t or "").lower().split()), q)
+        all_grams.extend(g)
+        lengths.append(len(g))
+    if not all_grams:
+        return {d: np.empty(0, np.int64) for d in ids}
+    codes, _ = pd.factorize(np.asarray(all_grams, dtype=object))
+    out = {}
+    pos = 0
+    for d, ln in zip(ids, lengths):
+        out[d] = np.unique(codes[pos : pos + ln])
+        pos += ln
+    return out
+
+
+def _fetch_gram_codes(side_refs, uniq_ids) -> dict:
     """Per-bucket text fetch through the worker-cached lookup: returns
-    {id: normalized char-3-gram set} for the ids this bucket references."""
+    {id: sorted-unique gram-code array} for the ids this bucket references
+    (codes are batch-local — only ever compared within one verify call)."""
     index, texts = _cached_side(side_refs, _text_lookup_build)
     uniq_ids = np.asarray(uniq_ids)
     if len(index) == 0 or len(uniq_ids) == 0:
-        return {d: set() for d in uniq_ids}
+        return {d: np.empty(0, np.int64) for d in uniq_ids}
     pos = index.get_indexer(uniq_ids)
     valid = pos >= 0
     fetched = pa.compute.take(texts, pa.array(pos[valid], pa.int64())).to_pylist()
-    sets = {d: _norm_shingle_set(t or "") for d, t in zip(uniq_ids[valid], fetched)}
+    out = _gram_code_arrays(uniq_ids[valid], fetched)
     for d in uniq_ids[~valid]:
-        sets[d] = set()
-    return sets
-
-
-def _norm_shingle_set(text: str, q: int = 3) -> set:
-    """Char q-gram set of whitespace-normalized lowercase text — the exact
-    verification space (mirrors the reference's q-gram tokenization family,
-    /root/reference/splitters/KNN-Join/splitter.py:72-81)."""
-    return set(qgrams(" ".join(text.lower().split()), q)) if text else set()
+        out[d] = np.empty(0, np.int64)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -395,13 +428,10 @@ def _attach_and_verify_jaccard(cand_pairs, docs_ds, id_col, text_col,
         ids = pd.concat([df["left_id"], df["right_id"]], ignore_index=True)
         texts = pd.concat([df["left_text"], df["right_text"]], ignore_index=True)
         first = ~ids.duplicated()
-        sets = {
-            i: _norm_shingle_set(t or "")
-            for i, t in zip(ids[first], texts[first])
-        }
+        sets = _gram_code_arrays(ids[first], list(texts[first]))
         jac = np.fromiter(
             (
-                jaccard(sets[a], sets[b])
+                _jaccard_codes(sets[a], sets[b])
                 for a, b in zip(df["left_id"], df["right_id"])
             ),
             dtype=np.float64,
@@ -498,7 +528,7 @@ def minhash_lsh_dedup_pairs(
         # documented in blocking.attach_pair_payloads. The id lookup index is
         # built once per WORKER (cached), not per bucket (index_in rebuilt it
         # against the full corpus every call — a num_buckets x corpus term).
-        sets = _fetch_shingle_sets(side_refs, pd.unique(df["doc_id"]))
+        sets = _fetch_gram_codes(side_refs, pd.unique(df["doc_id"]))
         frames = []
         for _, g in df.groupby("band_key", sort=False):
             g = g.drop_duplicates("doc_id").sort_values("doc_id").head(max_block_size)
@@ -509,7 +539,7 @@ def minhash_lsh_dedup_pairs(
             shingle_sets = [sets[d] for d in ids]
             ii, jj = np.triu_indices(n, k=1)
             jac = np.fromiter(
-                (jaccard(shingle_sets[i], shingle_sets[j]) for i, j in zip(ii, jj)),
+                (_jaccard_codes(shingle_sets[i], shingle_sets[j]) for i, j in zip(ii, jj)),
                 dtype=np.float64,
                 count=len(ii),
             )
@@ -699,12 +729,12 @@ def ngram_jaccard_pairs(
         # documented in blocking.attach_pair_payloads. Each doc's gram set
         # is built ONCE per batch (docs appear in many pairs), and the id
         # lookup index ONCE per worker (see _fetch_shingle_sets).
-        sets = _fetch_shingle_sets(
+        sets = _fetch_gram_codes(
             side_refs,
             pd.unique(pd.concat([df["left_id"], df["right_id"]], ignore_index=True)),
         )
         jac = np.fromiter(
-            (jaccard(sets[a], sets[b]) for a, b in zip(df["left_id"], df["right_id"])),
+            (_jaccard_codes(sets[a], sets[b]) for a, b in zip(df["left_id"], df["right_id"])),
             dtype=np.float64,
             count=len(df),
         )
