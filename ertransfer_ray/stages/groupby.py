@@ -89,12 +89,14 @@ def _bucket_of(df: pd.DataFrame, keys: list[str], num_buckets: int) -> np.ndarra
 def add_bucket(ds, keys: str | list[str], num_buckets: int | None = None):
     """Add the bucket column (vectorized stable hash of the key tuple).
 
-    Stays in PANDAS batch format deliberately: callers like bucketed_join
-    feed tagged unions whose absent-side columns are all-None — as pandas
-    blocks those keep one object dtype, but an arrow round-trip here gives
-    each side a different schema (null vs typed) and breaks the downstream
-    sort. The hot exchange path avoids the full-table conversion separately
-    (exchange_group_apply hashes only the key columns)."""
+    Stays in PANDAS batch format deliberately: pandas-block tagged unions
+    with all-None absent-side columns keep one object dtype here, where an
+    arrow round-trip would give each side a different schema (null vs
+    typed) and break the downstream sort. (The join primitives no longer
+    come through here — bucketed_join / bucketed_anti_semi_join moved to
+    arrow-native typed-null unions on the exchange.) The hot exchange path
+    avoids the full-table conversion separately (exchange_group_apply
+    hashes only the key columns)."""
     if num_buckets is None:
         num_buckets = default_num_buckets()
     keys = [keys] if isinstance(keys, str) else list(keys)
