@@ -417,6 +417,34 @@ def q_doc_quality(sf_dir: str) -> pd.DataFrame:
 # Embedding / similarity queries
 # ---------------------------------------------------------------------------
 
+def q_doc_langid(sf_dir: str) -> pd.DataFrame:
+    """The language-ID heuristic itself, value-level oracled: per doc the
+    argmax over per-language DISTINCT-stopword hit counts (tie-break =
+    first max in sorted language-code order, 'und' when nothing matches)
+    plus the confidence ratio — exactly functions/textstats.language_id,
+    reproduced in closed SQL form (exploded distinct words + per-profile
+    counts + ordered CASE)."""
+    from ..functions.textstats import language_id
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        langs, confs = language_id(df["text"].tolist())
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(),
+                "lang_pred": langs,
+                "lang_conf": np.round(confs, 6),
+            }
+        )
+
+    return (
+        docs.map_batches(fn, batch_format="pandas")
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+
+
 def q_embedding_knn(sf_dir: str) -> pd.DataFrame:
     """Brute-force cosine top-10 vs the vec_id=0 embedding (float64 accum)."""
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
@@ -579,6 +607,7 @@ def build_queries() -> dict:
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "doc_quality": q_doc_quality,
         "doc_quality_features": q_doc_quality_features,
+        "doc_langid": q_doc_langid,
         "embedding_knn": q_embedding_knn,
         "embedding_neardup_exact": q_embedding_neardup_exact,
         "minhash_neardup_pairs": q_minhash_neardup_pairs,
@@ -783,6 +812,36 @@ ORACLE_SQL: dict[str, str] = {
     """,
     # quality-filter signals; corpus is ASCII/space-only so char-class
     # regexes agree exactly with the Python kernels
+    # language-ID heuristic: per-doc DISTINCT-stopword hits per profile,
+    # argmax with first-max tie-break in sorted code order (de,en,es,fr),
+    # 'und' when nothing matches; conf = best/total
+    "doc_langid": """
+        WITH dw AS (
+            SELECT DISTINCT doc_id,
+                   unnest(regexp_split_to_array(lower(text), '\\s+')) AS w
+            FROM documents
+        ),
+        hits AS (
+            SELECT d.doc_id,
+                   COALESCE(sum(CASE WHEN w IN ('der','die','das','und','ist','nicht','mit','ein','eine','zu') THEN 1 ELSE 0 END), 0) AS de,
+                   COALESCE(sum(CASE WHEN w IN ('the','and','of','to','in','is','that','it','for','with') THEN 1 ELSE 0 END), 0) AS en,
+                   COALESCE(sum(CASE WHEN w IN ('el','la','los','las','es','y','que','en','por','con') THEN 1 ELSE 0 END), 0) AS es,
+                   COALESCE(sum(CASE WHEN w IN ('le','la','les','et','est','pas','pour','que','une','dans') THEN 1 ELSE 0 END), 0) AS fr
+            FROM (SELECT DISTINCT doc_id FROM documents) d
+            LEFT JOIN dw ON dw.doc_id = d.doc_id
+            GROUP BY d.doc_id
+        )
+        SELECT doc_id,
+               CASE WHEN GREATEST(de, en, es, fr) = 0 THEN 'und'
+                    WHEN de >= en AND de >= es AND de >= fr THEN 'de'
+                    WHEN en >= es AND en >= fr THEN 'en'
+                    WHEN es >= fr THEN 'es'
+                    ELSE 'fr' END AS lang_pred,
+               CASE WHEN GREATEST(de, en, es, fr) = 0 THEN 0.0
+                    ELSE round(GREATEST(de, en, es, fr) * 1.0
+                               / (de + en + es + fr), 6) END AS lang_conf
+        FROM hits ORDER BY doc_id
+    """,
     "doc_quality_features": """
         WITH f AS (
             SELECT doc_id,
