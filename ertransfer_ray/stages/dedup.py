@@ -118,6 +118,23 @@ def _text_lookup_build(t: pa.Table):
     return pd.Index(t.column("id").to_numpy(zero_copy_only=False)), t.column("text")
 
 
+def _empty_pairs_ds(score_col: str):
+    """Empty result Dataset with the near-dup output schema — map stages
+    over an empty corpus emit ZERO blocks (schema-less), so downstream
+    consumers would otherwise see no columns at all."""
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.table(
+            {
+                "left_id": pa.array([], pa.int64()),
+                "right_id": pa.array([], pa.int64()),
+                score_col: pa.array([], pa.float64()),
+            }
+        )
+    )
+
+
 def _jaccard_codes(a: np.ndarray, b: np.ndarray) -> float:
     """Set Jaccard over sorted-unique int gram-code arrays — the exact
     C-level replacement for ``jaccard(set, set)`` (empty/empty = 1.0, the
@@ -489,6 +506,8 @@ def minhash_lsh_dedup_pairs(
         batch_size=1024,
         concurrency=(1, default_pool_size()),
     ).materialize()
+    if keyed.count() == 0:
+        return _empty_pairs_ds("jaccard")
     # ^ barrier before the band shuffle: fusing the minhash actor pool into
     # the groupby lets the streaming executor run both concurrently and
     # thrash (measured on 400k docs / 8 CPUs: fused 58 s vs staged 22 s —
@@ -688,6 +707,8 @@ def ngram_jaccard_pairs(
     from .groupby import counted_key_survivors, exchange_group_apply
 
     keyed = keyed.materialize()
+    if keyed.count() == 0:
+        return _empty_pairs_ds("jaccard")
     # compact numpy count pass (see counted_key_survivors); None → survivor
     # set exceeds the broadcast cap → unfiltered exchange (still correct)
     surv = counted_key_survivors(
@@ -941,7 +962,9 @@ def embedding_neardup_pairs(
             }
         )
 
-    keyed = ds.map_batches(emit, batch_format="pyarrow")
+    keyed = ds.map_batches(emit, batch_format="pyarrow").materialize()
+    if keyed.count() == 0:
+        return _empty_pairs_ds("cosine")
 
     _EMPTY_COS = {"left_id": "int64", "right_id": "int64", "cosine": "float64"}
 
@@ -949,7 +972,7 @@ def embedding_neardup_pairs(
         from .groupby import exchange_group_apply as _ega
 
         cands = _ega(
-            keyed.materialize(), "bucket",
+            keyed, "bucket",
             lambda df: _candidate_pairs_in_bucket(df, "bucket", "vec_id", max_block_size),
         )
         cands = distinct_rows(cands, ["left_id", "right_id"]).materialize()
@@ -1042,5 +1065,5 @@ def embedding_neardup_pairs(
 
     from .groupby import exchange_group_apply
 
-    pairs = exchange_group_apply(keyed.materialize(), "bucket", verify)
+    pairs = exchange_group_apply(keyed, "bucket", verify)
     return distinct_rows(pairs, ["left_id", "right_id"])

@@ -159,3 +159,32 @@ def test_minhash_dedup_group_is_numeric_min():
     ).to_pandas()
     m = dict(zip(out["doc_id"], out["group_id"]))
     assert m[9] == 9 and m[10] == 9
+
+
+def test_dedup_family_empty_corpus_keeps_output_schema():
+    """An empty corpus must yield empty results with the OUTPUT schema
+    (left_id/right_id/...), not the input's — consumers select output
+    columns on whatever comes back (ADVICE r2: exchange empty-input fix)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ertransfer_ray.stages.dedup import ngram_jaccard_pairs
+
+    empty = rd.from_arrow(
+        pa.table({"doc_id": pa.array([], pa.int64()),
+                  "text": pa.array([], pa.string())})
+    )
+    for fn in (minhash_lsh_dedup_pairs, ngram_jaccard_pairs):
+        out = fn(empty)
+        # Dataset.to_pandas() drops columns on zero rows — assert on the
+        # Dataset schema, which is what downstream select_columns sees
+        assert out.count() == 0
+        assert {"left_id", "right_id", "jaccard"} <= set(out.schema().names), fn.__name__
+
+    emb = rd.from_arrow(
+        pa.table({"vec_id": pa.array([], pa.int64()),
+                  "embedding": pa.array([], pa.list_(pa.float32()))})
+    )
+    out = embedding_neardup_pairs(emb, num_buckets=2)
+    assert out.count() == 0
+    assert {"left_id", "right_id", "cosine"} <= set(out.schema().names)
