@@ -366,6 +366,15 @@ def connected_components(
 
     from .groupby import exchange_group_apply
 
+    def _lookup_int(keys: pd.Series, lab: pd.Series) -> np.ndarray:
+        """Exact int64 lookup with key default: get_indexer + where — never
+        Series.map + fillna, whose missing-value path converts the int64
+        hash column to float64 and silently corrupts keys above 2^53."""
+        if len(lab) == 0:
+            return keys.to_numpy()
+        idx = lab.index.get_indexer(keys)
+        return np.where(idx >= 0, lab.to_numpy()[idx], keys.to_numpy())
+
     def propagate(df: pd.DataFrame) -> pd.DataFrame:
         """One whole bucket: per-node min label (vectorized), then messages
         comp(node) → each neighbor, plus the node's own refreshed label."""
@@ -378,7 +387,7 @@ def connected_components(
                 pd.DataFrame(
                     {
                         "node": edges["val"].to_numpy(),
-                        "val": edges["node"].map(comp).to_numpy(),
+                        "val": _lookup_int(edges["node"], comp),
                     }
                 ),
             ],
@@ -438,7 +447,7 @@ def connected_components(
             return pd.DataFrame(
                 {
                     "node": req["node"].to_numpy(),
-                    "val": req["key"].map(lab).fillna(req["key"]).to_numpy(),
+                    "val": _lookup_int(req["key"], lab),
                     "is_label": np.ones(len(req), dtype=np.int8),
                 }
             )
@@ -487,8 +496,9 @@ def connected_components(
             def fn(df: pd.DataFrame) -> pd.DataFrame:
                 lab = df[df["role"] == 1].groupby("key", sort=False)["other"].min()
                 e = df[df["role"] == 0]
-                new_key = e["key"].map(lab).fillna(e["key"]).to_numpy()
-                out = pd.DataFrame({"node": new_key, "val": e["other"].to_numpy()})
+                out = pd.DataFrame(
+                    {"node": _lookup_int(e["key"], lab), "val": e["other"].to_numpy()}
+                )
                 if out_first == "val":
                     out = out.rename(columns={"node": "val", "val": "node"})
                     # final pass re-emits BOTH orientations: a self-loop drop
@@ -626,13 +636,22 @@ def _min_pair(df: pd.DataFrame, key: tuple[str, str], val: tuple[str, str]) -> p
     return d.groupby(list(key), sort=False, as_index=False).first()
 
 
-def _fill_pair(m: pd.DataFrame, out: tuple[str, str], default: tuple[str, str]) -> pd.DataFrame:
-    """Post-left-merge default: absent lookups keep the key pair itself.
-    A PAIR is absent as a unit (both words null together), so per-word
-    fillna is exact, not a word-level mixture."""
-    for o, k in zip(out, default):
-        m[o] = m[o].fillna(m[k]).astype("int64")
-    return m
+def _lookup_pair(req: pd.DataFrame, lab: pd.DataFrame,
+                 key: tuple[str, str], val: tuple[str, str]):
+    """Exact pair-keyed lookup with key-pair default: positions via a
+    MultiIndex get_indexer (pure int64 — NEVER a pandas left-merge, whose
+    NaN-introducing path converts int64 hash columns to float64 and
+    silently corrupts keys above 2^53), values gathered by position.
+    Returns (hi, lo) numpy arrays aligned to ``req`` rows."""
+    if len(lab) == 0:
+        return req[key[0]].to_numpy(), req[key[1]].to_numpy()
+    idx = pd.MultiIndex.from_arrays([lab[key[0]], lab[key[1]]]).get_indexer(
+        pd.MultiIndex.from_arrays([req[key[0]], req[key[1]]])
+    )
+    hit = idx >= 0
+    vh = np.where(hit, lab[val[0]].to_numpy()[idx], req[key[0]].to_numpy())
+    vl = np.where(hit, lab[val[1]].to_numpy()[idx], req[key[1]].to_numpy())
+    return vh, vl
 
 
 def _connected_components_wide(edges, max_rounds: int, key_mask=None):
@@ -700,18 +719,15 @@ def _connected_components_wide(edges, max_rounds: int, key_mask=None):
 
     def propagate(df: pd.DataFrame) -> pd.DataFrame:
         comp = _min_pair(df[df["is_label"] == 1], ("nh", "nl"), ("vh", "vl"))
-        e = df[df["is_label"] == 0][["nh", "nl", "vh", "vl"]].merge(
-            comp.rename(columns={"vh": "ch", "vl": "cl"}),
-            on=["nh", "nl"], how="left",
-        )
-        e = _fill_pair(e, ("ch", "cl"), ("nh", "nl"))
+        e = df[df["is_label"] == 0]
+        ch, cl = _lookup_pair(e, comp, ("nh", "nl"), ("vh", "vl"))
         out = pd.concat(
             [
                 comp,
                 pd.DataFrame(
                     {
                         "nh": e["vh"].to_numpy(), "nl": e["vl"].to_numpy(),
-                        "vh": e["ch"].to_numpy(), "vl": e["cl"].to_numpy(),
+                        "vh": ch, "vl": cl,
                     }
                 ),
             ],
@@ -745,16 +761,14 @@ def _connected_components_wide(edges, max_rounds: int, key_mask=None):
         tagged = labels_ds.map_batches(tag, batch_format="pyarrow")
 
         def resolve(df: pd.DataFrame) -> pd.DataFrame:
-            lab = _min_pair(df[df["role"] == 1], ("kh", "kl"), ("oh", "ol")).rename(
-                columns={"oh": "lh", "ol": "ll"}
-            )
-            m = df[df["role"] == 0].merge(lab, on=["kh", "kl"], how="left")
-            m = _fill_pair(m, ("lh", "ll"), ("kh", "kl"))
+            lab = _min_pair(df[df["role"] == 1], ("kh", "kl"), ("oh", "ol"))
+            req = df[df["role"] == 0]
+            lh, ll = _lookup_pair(req, lab, ("kh", "kl"), ("oh", "ol"))
             return pd.DataFrame(
                 {
-                    "nh": m["oh"].to_numpy(), "nl": m["ol"].to_numpy(),
-                    "vh": m["lh"].to_numpy(), "vl": m["ll"].to_numpy(),
-                    "is_label": np.ones(len(m), dtype=np.int8),
+                    "nh": req["oh"].to_numpy(), "nl": req["ol"].to_numpy(),
+                    "vh": lh, "vl": ll,
+                    "is_label": np.ones(len(req), dtype=np.int8),
                 }
             )
 
@@ -785,15 +799,13 @@ def _connected_components_wide(edges, max_rounds: int, key_mask=None):
 
         def rewrite(out_first: str):
             def fn(df: pd.DataFrame) -> pd.DataFrame:
-                lab = _min_pair(df[df["role"] == 1], ("kh", "kl"), ("oh", "ol")).rename(
-                    columns={"oh": "lh", "ol": "ll"}
-                )
-                m = df[df["role"] == 0].merge(lab, on=["kh", "kl"], how="left")
-                m = _fill_pair(m, ("lh", "ll"), ("kh", "kl"))
+                lab = _min_pair(df[df["role"] == 1], ("kh", "kl"), ("oh", "ol"))
+                e = df[df["role"] == 0]
+                lh, ll = _lookup_pair(e, lab, ("kh", "kl"), ("oh", "ol"))
                 out = pd.DataFrame(
                     {
-                        "nh": m["lh"].to_numpy(), "nl": m["ll"].to_numpy(),
-                        "vh": m["oh"].to_numpy(), "vl": m["ol"].to_numpy(),
+                        "nh": lh, "nl": ll,
+                        "vh": e["oh"].to_numpy(), "vl": e["ol"].to_numpy(),
                     }
                 )
                 if out_first == "val":
