@@ -81,6 +81,17 @@ def _bucket_of(df: pd.DataFrame, keys: list[str], num_buckets: int) -> np.ndarra
             h = pd.util.hash_array(col.to_numpy())
             return (h % np.uint64(num_buckets)).astype(np.int64)
         raw = col.astype(str).to_numpy(dtype=object)
+    elif all(pd.api.types.is_integer_dtype(df[k]) for k in keys):
+        # all-int multi-key fast path (pair keys like (left_id, right_id)):
+        # mix per-column SipHashes instead of building a concatenated
+        # OBJECT string per row — the string path allocates one Python str
+        # per row, which at 10^9 candidate pairs is the whole stage cost
+        h = pd.util.hash_array(df[keys[0]].to_numpy())
+        for k in keys[1:]:
+            h = h * np.uint64(0x9E3779B97F4A7C15) + pd.util.hash_array(
+                df[k].to_numpy()
+            )
+        return (h % np.uint64(num_buckets)).astype(np.int64)
     else:
         raw = df[keys[0]].astype(str).str.cat([df[k].astype(str) for k in keys[1:]], sep="\x1f").to_numpy(dtype=object)
     return (stable_hash64(raw) % np.uint64(num_buckets)).astype(np.int64)
