@@ -174,10 +174,14 @@ def bucketed_anti_semi_join(
     p_schema = probe.schema()
     probe_cols = list(p_schema.names)
     types = {c: _arrow_field_type(p_schema, c) for c in probe_cols}
+    jk_type = _join_key_caster(
+        _arrow_field_type(p_schema, probe_on),
+        _arrow_field_type(build.schema(), build_on),
+    )
 
     def tag_probe(t: pa.Table) -> pa.Table:
         cols: dict = {
-            "_jk": pc.cast(t.column(probe_on), pa.string()),
+            "_jk": pc.cast(t.column(probe_on), jk_type),
             "_side": pa.array(np.zeros(t.num_rows, dtype=np.int8)),
         }
         for c in probe_cols:
@@ -194,7 +198,7 @@ def bucketed_anti_semi_join(
     def tag_build(t: pa.Table) -> pa.Table:
         n = t.num_rows
         cols: dict = {
-            "_jk": pc.cast(t.column(build_on), pa.string()),
+            "_jk": pc.cast(t.column(build_on), jk_type),
             "_side": pa.array(np.ones(n, dtype=np.int8)),
         }
         for c in probe_cols:
@@ -220,6 +224,17 @@ def keys_of(ds, col: str) -> list:
     """Collect one small key column to the driver (for broadcast joins).
     Only valid when the column is known-small (dimension side)."""
     return [r[col] for r in ds.select_columns([col]).take_all()]
+
+
+def _join_key_caster(*key_types):
+    """How to normalize join-key columns into one ``_jk`` dtype: keep the
+    native integer type when every side's key is an integer (int keys then
+    ride the exchange's fixed-width fast path and merge as ints), else
+    cast to string (the historical astype(str) semantics)."""
+    if all(pa.types.is_integer(t) for t in key_types):
+        target = max(key_types, key=lambda t: t.bit_width)
+        return target
+    return pa.string()
 
 
 def _arrow_field_type(ds_schema, name: str):
@@ -259,7 +274,8 @@ def bucketed_join(
 
     Column sets of the two sides must be disjoint apart from the join key;
     the join key is matched ``left_on`` = ``right_on`` (compared as
-    strings, as before).
+    strings when either side's key is non-integer, natively when both are
+    ints — int keys then ride the exchange's fixed-width hash fast path).
     """
     import pyarrow.compute as pc
 
@@ -276,12 +292,16 @@ def bucketed_join(
     r_cols = [c for c in r_schema.names if c != right_on]
     types = {c: _arrow_field_type(l_schema, c) for c in l_cols}
     types.update({c: _arrow_field_type(r_schema, c) for c in r_cols})
+    jk_type = _join_key_caster(
+        _arrow_field_type(l_schema, left_on),
+        _arrow_field_type(r_schema, right_on),
+    )
 
     def tag(side: int, key_col: str, own: set):
         def fn(t: pa.Table) -> pa.Table:
             n = t.num_rows
             cols: dict = {
-                "_jk": pc.cast(t.column(key_col), pa.string()),
+                "_jk": pc.cast(t.column(key_col), jk_type),
                 "_side": pa.array(np.full(n, side, dtype=np.int8)),
             }
             for c in l_cols + r_cols:
