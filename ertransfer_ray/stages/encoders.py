@@ -335,15 +335,27 @@ def ivf_knn_join(
             else:
                 buckets = np.argsort(-sims, axis=1)[:, :nprobe]  # A: probes
             reps = buckets.shape[1]
+            # arrow-native list construction: ListArray.from_arrays over the
+            # replicated flat buffer — the .tolist() form built n x reps x
+            # dim Python floats per batch (the allocator pathology class)
+            rep_vecs = np.repeat(x.astype(np.float32), reps, axis=0)
+            n_out, dim = rep_vecs.shape
+            offsets = pa.array(
+                np.arange(0, (n_out + 1) * dim, dim, dtype=np.int32)
+            )
+            vec_arr = pa.ListArray.from_arrays(
+                offsets, pa.array(rep_vecs.ravel(), pa.float32())
+            )
             return pa.table(
                 {
-                    "bucket": pa.array(buckets.ravel().tolist(), pa.int64()),
-                    "side": pa.array([side] * (len(ids) * reps), pa.int8()),
-                    "rid": pa.array(np.repeat(ids, reps).tolist(), pa.int64()),
-                    "vec": pa.array(
-                        np.repeat(x.astype(np.float32), reps, axis=0).tolist(),
-                        pa.list_(pa.float32()),
+                    "bucket": pa.array(buckets.ravel().astype(np.int64)),
+                    "side": pa.array(
+                        np.full(len(ids) * reps, side, dtype=np.int8)
                     ),
+                    "rid": pa.array(
+                        np.repeat(np.asarray(ids, dtype=np.int64), reps)
+                    ),
+                    "vec": vec_arr,
                 }
             )
 
