@@ -38,3 +38,19 @@ def list_column_to_matrix(col, dtype=np.float64) -> np.ndarray:
             if widths.size == 0 or (widths == widths[0]).all():
                 return mat
     return np.asarray(col.to_pylist(), dtype=dtype)
+
+
+def matrix_to_list_column(mat: np.ndarray, value_type=None) -> pa.ListArray:
+    """(n, d) numpy matrix → Arrow list column with NO per-element Python
+    objects (the ``pa.array(mat.tolist())`` form builds n x d Python floats
+    per batch): one offsets array + the raveled value buffer."""
+    n, d = mat.shape if mat.ndim == 2 else (len(mat), 0)
+    if value_type is not None:
+        np_t = value_type.to_pandas_dtype()
+        mat = mat.astype(np_t, copy=False)
+    values = pa.array(np.ascontiguousarray(mat).ravel())
+    if d == 0:  # degenerate zero-width rows: n empty lists
+        offsets = pa.array(np.zeros(n + 1, dtype=np.int32))
+    else:
+        offsets = pa.array(np.arange(0, (n + 1) * d, d, dtype=np.int32))
+    return pa.ListArray.from_arrays(offsets, values)

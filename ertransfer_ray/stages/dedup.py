@@ -933,7 +933,7 @@ def embedding_neardup_pairs(
 
     def emit(t: pa.Table) -> pa.Table:
         ids = t.column(id_col).to_pylist()
-        vecs = np.asarray(t.column(vec_col).to_pylist(), dtype=np.float64)
+        vecs = list_column_to_matrix(t.column(vec_col))
         dim = vecs.shape[1] if len(vecs) else 1
         rng = np.random.default_rng(seed)
         out_b: list[np.ndarray] = []

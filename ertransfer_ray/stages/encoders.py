@@ -41,7 +41,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from ..functions.arrays import list_column_to_matrix
+from ..functions.arrays import list_column_to_matrix, matrix_to_list_column
 from .groupby import default_num_buckets, exchange_group_apply, grouped_top_k
 
 
@@ -141,7 +141,7 @@ class HashedNgramEncoder:
         return pa.table(
             {
                 self.id_col: t.column(self.id_col),
-                "embedding": pa.array(emb.tolist(), pa.list_(pa.float32())),
+                "embedding": matrix_to_list_column(emb, pa.float32()),
             }
         )
 
@@ -269,8 +269,8 @@ def project_embeddings(
         return pa.table(
             {
                 id_col: t.column(id_col),
-                vec_col: pa.array(
-                    z.astype(np.float32).tolist(), pa.list_(pa.float32())
+                vec_col: matrix_to_list_column(
+                    np.asarray(z, dtype=np.float64), pa.float32()
                 ),
             }
         )
