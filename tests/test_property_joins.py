@@ -53,3 +53,55 @@ def test_bucketed_join_matches_pandas_merge(lkeys, rkeys, how):
     if how == "inner":
         assert got_df["x"].dtype == np.int32
         assert got_df["y"].dtype == np.int8
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+@given(_KEYS, _KEYS, st.sampled_from(["inner", "left"]))
+def test_bucketed_join_int_keys_match_pandas_merge(lkeys, rkeys, how):
+    """Integer join keys ride the native-int _jk path (round 3) — must
+    still agree with the pandas merge oracle."""
+    if not lkeys:
+        return
+    ldf = pd.DataFrame({"k": np.asarray(lkeys, dtype=np.int64),
+                        "x": np.arange(len(lkeys), dtype=np.int32)})
+    rdf = pd.DataFrame({"k": np.asarray(rkeys, dtype=np.int64),
+                        "y": np.arange(len(rkeys), dtype=np.int8)})
+    got = bucketed_join(
+        rd.from_pandas(ldf), rd.from_pandas(rdf), "k", how=how, num_buckets=3
+    ).to_pandas()
+    want = ldf.merge(rdf, on="k", how=how)
+    assert len(got) == len(want)
+    if len(want):
+        pd.testing.assert_frame_equal(_canon(got), _canon(want))
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+@given(_KEYS, _KEYS, st.booleans())
+def test_anti_semi_join_matches_pandas_isin(pkeys, bkeys, anti):
+    from ertransfer_ray.stages.joins import bucketed_anti_semi_join
+
+    if not pkeys:
+        return
+    probe = pd.DataFrame({"k": np.asarray(pkeys, dtype=np.int64),
+                          "x": np.arange(len(pkeys), dtype=np.int64)})
+    build = pd.DataFrame({"k": np.asarray(bkeys, dtype=np.int64)})
+    got_ds = bucketed_anti_semi_join(
+        rd.from_pandas(probe), rd.from_pandas(build), "k",
+        anti=anti, num_buckets=3,
+    )
+    mask = probe["k"].isin(set(bkeys))
+    want = probe[~mask] if anti else probe[mask]
+    assert got_ds.count() == len(want)
+    if len(want) == 0:
+        return  # Dataset.to_pandas drops columns on zero rows (Ray quirk)
+    got = got_ds.to_pandas().sort_values(["k", "x"], ignore_index=True).astype("int64")
+    want = want.sort_values(["k", "x"], ignore_index=True).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
