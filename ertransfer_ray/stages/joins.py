@@ -202,7 +202,7 @@ def bucketed_anti_semi_join(
             "_side": pa.array(np.ones(n, dtype=np.int8)),
         }
         for c in probe_cols:
-            cols[c] = pa.nulls(n, types[c])
+            cols[c] = _neutral_fill(n, types[c])
         return pa.table(cols)
 
     both = probe.map_batches(tag_probe, batch_format="pyarrow").union(
@@ -224,6 +224,17 @@ def keys_of(ds, col: str) -> list:
     """Collect one small key column to the driver (for broadcast joins).
     Only valid when the column is known-small (dimension side)."""
     return [r[col] for r in ds.select_columns([col]).take_all()]
+
+
+def _neutral_fill(n: int, t: pa.DataType) -> pa.Array:
+    """Absent-side fill for tagged unions. INTEGER columns get a 0 sentinel,
+    not nulls: an arrow int column with any null converts to float64 in
+    pandas, silently corrupting values above 2^53 (ids are often 64-bit
+    hashes). The filled rows belong to the other side and are dropped or
+    ignored before any value is read, so the sentinel never leaks."""
+    if pa.types.is_integer(t):
+        return pa.array(np.zeros(n, dtype=t.to_pandas_dtype()))
+    return pa.nulls(n, t)
 
 
 def _join_key_caster(*key_types):
@@ -312,7 +323,7 @@ def bucketed_join(
                     else:
                         cols[c] = pc.cast(col, types[c])
                 else:
-                    cols[c] = pa.nulls(n, types[c])
+                    cols[c] = _neutral_fill(n, types[c])
             return pa.table(cols)
 
         return fn

@@ -102,6 +102,34 @@ def test_anti_semi_join_matches_pandas_isin(pkeys, bkeys, anti):
     assert got_ds.count() == len(want)
     if len(want) == 0:
         return  # Dataset.to_pandas drops columns on zero rows (Ray quirk)
-    got = got_ds.to_pandas().sort_values(["k", "x"], ignore_index=True).astype("int64")
+    # cast BEFORE sorting: the probe columns can come back object-typed,
+    # and object sort orders "10" < "2"
+    got = got_ds.to_pandas().astype("int64").sort_values(["k", "x"], ignore_index=True)
     want = want.sort_values(["k", "x"], ignore_index=True).reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_join_preserves_int64_ids_beyond_float53():
+    """Mixed tagged-union buckets must not route int64 ids through float64:
+    ids above 2^53 (hash-valued ids) would silently change. Covers both
+    bucketed_join carried columns and anti-semi-join probe columns."""
+    from ertransfer_ray.stages.joins import bucketed_anti_semi_join
+
+    big = (1 << 60) + 1  # not representable in float64
+    ldf = pd.DataFrame({"k": np.array([1, 2], dtype=np.int64),
+                        "payload_id": np.array([big, big + 3], dtype=np.int64)})
+    rdf = pd.DataFrame({"k": np.array([1, 2], dtype=np.int64),
+                        "y": np.array([10, 20], dtype=np.int64)})
+    out = bucketed_join(rd.from_pandas(ldf), rd.from_pandas(rdf), "k",
+                        num_buckets=2).to_pandas()
+    got = dict(zip(out["k"].astype("int64"), out["payload_id"].astype("int64")))
+    assert got == {1: big, 2: big + 3}
+
+    probe = pd.DataFrame({"k": np.array([1, 2, 3], dtype=np.int64),
+                          "pid": np.array([big, big + 1, big + 2], dtype=np.int64)})
+    build = pd.DataFrame({"k": np.array([2], dtype=np.int64)})
+    kept = bucketed_anti_semi_join(
+        rd.from_pandas(probe), rd.from_pandas(build), "k", anti=True,
+        num_buckets=2,
+    ).to_pandas()
+    assert sorted(kept["pid"].astype("int64")) == [big, big + 2]
