@@ -43,14 +43,25 @@ def list_column_to_matrix(col, dtype=np.float64) -> np.ndarray:
 def matrix_to_list_column(mat: np.ndarray, value_type=None) -> pa.ListArray:
     """(n, d) numpy matrix → Arrow list column with NO per-element Python
     objects (the ``pa.array(mat.tolist())`` form builds n x d Python floats
-    per batch): one offsets array + the raveled value buffer."""
-    n, d = mat.shape if mat.ndim == 2 else (len(mat), 0)
+    per batch): one offsets array + the raveled value buffer.
+
+    A 1-D input is rejected (it used to fall into the d=0 branch and emit n
+    EMPTY lists), and blocks whose flat value count exceeds int32 offsets
+    switch to a LargeListArray instead of silently wrapping negative."""
+    if mat.ndim != 2:
+        raise ValueError(
+            f"matrix_to_list_column expects a 2-D (n, d) matrix, got ndim={mat.ndim}"
+        )
+    n, d = mat.shape
     if value_type is not None:
         np_t = value_type.to_pandas_dtype()
         mat = mat.astype(np_t, copy=False)
     values = pa.array(np.ascontiguousarray(mat).ravel())
     if d == 0:  # degenerate zero-width rows: n empty lists
         offsets = pa.array(np.zeros(n + 1, dtype=np.int32))
+    elif n * d > np.iinfo(np.int32).max:
+        offsets = pa.array(np.arange(0, (n + 1) * d, d, dtype=np.int64))
+        return pa.LargeListArray.from_arrays(offsets, values)
     else:
         offsets = pa.array(np.arange(0, (n + 1) * d, d, dtype=np.int32))
     return pa.ListArray.from_arrays(offsets, values)

@@ -78,6 +78,62 @@ def tokens_to_ids(tokens: list[str]) -> np.ndarray:
     )
 
 
+class WordPieceVocab:
+    """Real WordPiece vocabulary loaded from a BERT-style vocab file (one
+    token per line, id = line number) — the drop-in that replaces the hash
+    vocabulary when the learned vocab is available. ``tokenize`` is the
+    public greedy longest-match-first algorithm with ``##`` continuation
+    pieces and ``[UNK]`` fallback (BERT's published tokenizer semantics);
+    special-token ids come from the file itself."""
+
+    def __init__(self, vocab_path: str, unk_token: str = "[UNK]",
+                 max_chars_per_word: int = 100):
+        with open(vocab_path, encoding="utf-8") as f:
+            self.vocab = {line.rstrip("\n"): i for i, line in enumerate(f)}
+        if unk_token not in self.vocab:
+            raise ValueError(f"vocab file lacks {unk_token!r}: {vocab_path}")
+        self.unk_token = unk_token
+        self.max_chars_per_word = max_chars_per_word
+        self.pad_id = self.vocab.get("[PAD]", PAD_ID)
+        self.cls_id = self.vocab.get("[CLS]", CLS_ID)
+        self.sep_id = self.vocab.get("[SEP]", SEP_ID)
+
+    def wordpiece(self, word: str) -> list[str]:
+        if len(word) > self.max_chars_per_word:
+            return [self.unk_token]
+        pieces: list[str] = []
+        start = 0
+        while start < len(word):
+            end = len(word)
+            cur = None
+            while start < end:
+                sub = word[start:end]
+                if start > 0:
+                    sub = "##" + sub
+                if sub in self.vocab:
+                    cur = sub
+                    break
+                end -= 1
+            if cur is None:
+                return [self.unk_token]
+            pieces.append(cur)
+            start = end
+        return pieces
+
+    def tokenize(self, words: list[str]) -> list[str]:
+        out: list[str] = []
+        for w in words:
+            out.extend(self.wordpiece(w))
+        return out
+
+    def ids(self, tokens: list[str]) -> np.ndarray:
+        unk = self.vocab[self.unk_token]
+        return np.fromiter(
+            (self.vocab.get(t, unk) for t in tokens), dtype=np.int64,
+            count=len(tokens),
+        )
+
+
 def encode_pair(
     tokens_a: list[str],
     tokens_b: list[str] | None,
@@ -89,6 +145,10 @@ def encode_pair(
     sequence_a_segment_id: int = 0,
     sequence_b_segment_id: int = 1,
     pad_token_segment_id: int = 0,
+    ids_fn=None,
+    cls_id: int = CLS_ID,
+    sep_id: int = SEP_ID,
+    pad_id: int = PAD_ID,
 ) -> dict:
     """The reference's InputFeatures layout (feature_extraction.py:44-128):
 
@@ -124,22 +184,22 @@ def encode_pair(
 
     ids = np.empty(len(tokens), dtype=np.int64)
     plain_idx = [i for i, t in enumerate(tokens) if t not in ("[CLS]", "[SEP]")]
-    ids[:] = CLS_ID
+    ids[:] = cls_id
     for i, t in enumerate(tokens):
         if t == "[SEP]":
-            ids[i] = SEP_ID
+            ids[i] = sep_id
     if plain_idx:
-        ids[plain_idx] = tokens_to_ids([tokens[i] for i in plain_idx])
+        ids[plain_idx] = (ids_fn or tokens_to_ids)([tokens[i] for i in plain_idx])
 
     mask = np.ones(len(tokens), dtype=np.int64)
     seg = np.asarray(segment_ids, dtype=np.int64)
     pad = max_seq_length - len(tokens)
     if pad_on_left:
-        ids = np.concatenate([np.full(pad, PAD_ID, dtype=np.int64), ids])
+        ids = np.concatenate([np.full(pad, pad_id, dtype=np.int64), ids])
         mask = np.concatenate([np.zeros(pad, dtype=np.int64), mask])
         seg = np.concatenate([np.full(pad, pad_token_segment_id, dtype=np.int64), seg])
     else:
-        ids = np.concatenate([ids, np.full(pad, PAD_ID, dtype=np.int64)])
+        ids = np.concatenate([ids, np.full(pad, pad_id, dtype=np.int64)])
         mask = np.concatenate([mask, np.zeros(pad, dtype=np.int64)])
         seg = np.concatenate([seg, np.full(pad, pad_token_segment_id, dtype=np.int64)])
     assert len(ids) == len(mask) == len(seg) == max_seq_length
@@ -166,6 +226,7 @@ class PairTokenizer:
         cls_token_at_end: bool = False,
         sep_token_extra: bool = False,
         pad_on_left: bool = False,
+        vocab_path: str | None = None,
     ):
         self.left_col = left_col
         self.right_col = right_col
@@ -176,13 +237,30 @@ class PairTokenizer:
             sep_token_extra=sep_token_extra,
             pad_on_left=pad_on_left,
         )
+        if vocab_path is not None:
+            # the REAL-vocab drop-in: loaded ONCE per actor, exactly where a
+            # HF tokenizer would live (reference entrypoint.py:83-109) —
+            # WordPiece splits + file ids replace the hash vocabulary, layout
+            # semantics unchanged
+            vocab = WordPieceVocab(vocab_path)
+            self._split = vocab.tokenize
+            self.layout.update(
+                ids_fn=vocab.ids,
+                cls_id=vocab.cls_id, sep_id=vocab.sep_id, pad_id=vocab.pad_id,
+            )
+        else:
+            self._split = None
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         out_ids, out_mask, out_seg = [], [], []
         for a, b in zip(batch[self.left_col], batch[self.right_col]):
+            ta = basic_tokenize(a or "", self.do_lower_case)
+            tb = basic_tokenize(b or "", self.do_lower_case)
+            if self._split is not None:
+                ta, tb = self._split(ta), self._split(tb)
             enc = encode_pair(
-                basic_tokenize(a or "", self.do_lower_case),
-                basic_tokenize(b or "", self.do_lower_case),
+                ta,
+                tb,
                 self.max_seq_length,
                 **self.layout,
             )

@@ -277,6 +277,11 @@ def q_transfer_kl_scores(sf_dir: str) -> pd.DataFrame:
     mm = partial_aggregate(
         ev, "event_type", {"lo": ("value", "min"), "hi": ("value", "max")}
     ).set_index("event_type")
+    if target not in mm.index:
+        raise ValueError(
+            f"transfer_kl_scores: target event type {target!r} absent from events "
+            f"(present: {sorted(mm.index)})"
+        )
     tlo, thi = float(mm.loc[target, "lo"]), float(mm.loc[target, "hi"])
 
     sources = sorted(s for s in mm.index if s != target)
@@ -297,9 +302,15 @@ def q_transfer_kl_scores(sf_dir: str) -> pd.DataFrame:
             sel = (et == target) | (et == s)
             if not sel.any():
                 continue
-            b = np.minimum(
-                np.floor((v[sel] - lo) * bins / (hi - lo)), bins - 1
-            ).astype(np.int64)
+            span = hi - lo
+            if span > 0:
+                b = np.minimum(
+                    np.floor((v[sel] - lo) * bins / span), bins - 1
+                ).astype(np.int64)
+            else:
+                # degenerate shared range (both sides constant): everything
+                # lands in bin 0, matching what the SQL division would need
+                b = np.zeros(int(sel.sum()), dtype=np.int64)
             side = np.where(et[sel] == target, "p", "q")
             frames.append(pd.DataFrame({"source": s, "side": side, "bin": b}))
         if not frames:
@@ -399,15 +410,20 @@ def q_ngram_jaccard_pairs(sf_dir: str) -> pd.DataFrame:
 
 
 def q_doc_quality(sf_dir: str) -> pd.DataFrame:
-    """Language-ID + quality scoring + fingerprint (deterministic heuristics;
-    rows-only driver check — not SQL-expressible)."""
+    """Language-ID + composite quality scoring, VALUE-LEVEL oracled: the
+    score is a deterministic clip/product over the already-SQL-oracled
+    quality signals (functions/textstats.quality_score), so the same
+    arithmetic composes in SQL. The winnowing fingerprint column moved out
+    of this query (min-of-window SipHash is not SQL-expressible; it stays
+    pinned by tests/test_hashing.py + test_textstats.py)."""
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
     # instance → stateless tasks: TextStats state is a couple of strings, so
     # an actor pool only adds ~2 s of startup latency at bench scale (the
     # scoring.py stateless-scorer rationale)
     out = docs.map_batches(
-        TextStats(text_col="text"), batch_format="pyarrow", batch_size=2048
-    ).select_columns(["doc_id", "lang_pred", "token_count", "quality", "fingerprint"])
+        TextStats(text_col="text", fingerprint=False),
+        batch_format="pyarrow", batch_size=2048,
+    ).select_columns(["doc_id", "lang_pred", "token_count", "quality"])
     df = out.to_pandas()
     df["quality"] = df["quality"].round(4)
     return df.sort_values("doc_id", ignore_index=True)
@@ -841,6 +857,61 @@ ORACLE_SQL: dict[str, str] = {
                     ELSE round(GREATEST(de, en, es, fr) * 1.0
                                / (de + en + es + fr), 6) END AS lang_conf
         FROM hits ORDER BY doc_id
+    """,
+    # composite quality score: the exact clip/product arithmetic of
+    # functions/textstats.quality_score over UNROUNDED signal ratios, plus
+    # the language-ID argmax (same CTEs as doc_langid). Rounded to 4dp on
+    # both sides.
+    "doc_quality": """
+        WITH dw AS (
+            SELECT DISTINCT doc_id,
+                   unnest(regexp_split_to_array(lower(text), '\\s+')) AS w
+            FROM documents
+        ),
+        hits AS (
+            SELECT d.doc_id,
+                   COALESCE(sum(CASE WHEN w IN ('der','die','das','und','ist','nicht','mit','ein','eine','zu') THEN 1 ELSE 0 END), 0) AS de,
+                   COALESCE(sum(CASE WHEN w IN ('the','and','of','to','in','is','that','it','for','with') THEN 1 ELSE 0 END), 0) AS en,
+                   COALESCE(sum(CASE WHEN w IN ('el','la','los','las','es','y','que','en','por','con') THEN 1 ELSE 0 END), 0) AS es,
+                   COALESCE(sum(CASE WHEN w IN ('le','la','les','et','est','pas','pour','que','une','dans') THEN 1 ELSE 0 END), 0) AS fr
+            FROM (SELECT DISTINCT doc_id FROM documents) d
+            LEFT JOIN dw ON dw.doc_id = d.doc_id
+            GROUP BY d.doc_id
+        ),
+        lang AS (
+            SELECT doc_id,
+                   CASE WHEN GREATEST(de, en, es, fr) = 0 THEN 'und'
+                        WHEN de >= en AND de >= es AND de >= fr THEN 'de'
+                        WHEN en >= es AND en >= fr THEN 'en'
+                        WHEN es >= fr THEN 'es'
+                        ELSE 'fr' END AS lang_pred
+            FROM hits
+        ),
+        f AS (
+            SELECT doc_id,
+                   length(text) AS n_chars,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                   END AS n_tokens,
+                   length(regexp_replace(text, '[^.,;:!?"''()\\[\\]{}]', '', 'g')) AS punct_chars,
+                   length(regexp_replace(text, '[^0-9]', '', 'g')) AS digit_chars
+            FROM documents
+        ),
+        q AS (
+            SELECT doc_id, n_tokens,
+                   LEAST(GREATEST(n_tokens / 20.0, 0.0), 1.0)
+                 * LEAST(GREATEST(2.0 - n_tokens / 50000.0, 0.0), 1.0)
+                 * (1.0 - LEAST(GREATEST(CASE WHEN n_chars = 0 THEN 0.0
+                                              ELSE punct_chars * 3.0 / n_chars END, 0.0), 0.8))
+                 * (1.0 - LEAST(GREATEST(CASE WHEN n_chars = 0 THEN 0.0
+                                              ELSE digit_chars * 2.0 / n_chars END, 0.0), 0.8))
+                   AS raw
+            FROM f
+        )
+        SELECT q.doc_id, lang.lang_pred, q.n_tokens AS token_count,
+               round(LEAST(GREATEST(q.raw, 0.0), 1.0), 4) AS quality
+        FROM q JOIN lang ON lang.doc_id = q.doc_id
+        ORDER BY q.doc_id
     """,
     "doc_quality_features": """
         WITH f AS (

@@ -72,39 +72,47 @@ def _auto_strategy(
     id_col: str,
     payload_col: str,
     max_broadcast_bytes: int | None = None,
-    sample_rows: int = 2048,
 ) -> str:
     """Resolve ``strategy="auto"`` for the near-dup verifiers: ``broadcast``
     when the projected (id, payload) side fits a worker heap, else ``join``.
 
-    Same rule as blocking.attach_pair_payloads' gate, but ESTIMATED (mean
-    projected row bytes over a bounded sample x corpus row count) rather
-    than materialize-to-measure: the verify side here is the whole corpus,
-    so materializing it just to weigh it would itself be the beyond-heap
-    cost the gate exists to avoid. The estimate errs safe for web corpora
-    (long-tail payload sizes make the sample mean an underestimate only
-    when the sample misses giants — the 2x headroom below absorbs that).
+    Same rule as blocking.attach_pair_payloads' gate, measured EXACTLY by
+    one distributed metering pass: every batch of the two projected columns
+    emits a (rows, bytes) partial, summed on the driver. The round-3 form
+    estimated from the FIRST ~2048 rows and paid a separate ``ds.count()``
+    — on corpora where payload size correlates with input order (crawl
+    segments sorted by date, text sorted by length) the head-mean
+    underestimates and the gate could broadcast a beyond-heap side, the
+    exact failure it exists to prevent. The metering pass streams (nothing
+    materializes, only two int64s per batch reach the driver), is
+    column-pruned at the read for read-rooted corpora, and the row count
+    rides the same pass. Callers handing in a ds with expensive upstream
+    maps should materialize it once — the verify stage re-executes it for
+    the payload side either way.
     """
     from .blocking import BROADCAST_PAYLOAD_LIMIT
 
     if max_broadcast_bytes is None:
         max_broadcast_bytes = BROADCAST_PAYLOAD_LIMIT
-    n = ds.count()
-    if n == 0:
-        return "broadcast"
-    got = 0
-    nbytes = 0
-    for b in ds.select_columns([id_col, payload_col]).iter_batches(
-        batch_format="pyarrow", batch_size=min(sample_rows, 1024)
+
+    def meter(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "rows": pa.array([t.num_rows], pa.int64()),
+                "bytes": pa.array([t.nbytes], pa.int64()),
+            }
+        )
+
+    total_bytes = 0
+    for b in (
+        ds.select_columns([id_col, payload_col])
+        .map_batches(meter, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")
     ):
-        nbytes += b.nbytes
-        got += b.num_rows
-        if got >= sample_rows:
-            break
-    est = nbytes / max(got, 1) * n
+        total_bytes += int(pa.compute.sum(b.column("bytes")).as_py() or 0)
     # 2x headroom: the broadcast side additionally holds the assembled
     # per-worker lookup (index + fetched texts) on top of the table itself
-    return "broadcast" if 2 * est < max_broadcast_bytes else "join"
+    return "broadcast" if 2 * total_bytes < max_broadcast_bytes else "join"
 
 
 def _text_lookup_build(t: pa.Table):
@@ -115,7 +123,16 @@ def _text_lookup_build(t: pa.Table):
     against this one-time index is O(|bucket ids|) per bucket instead."""
     if t.num_rows == 0:
         return pd.Index([]), t.column("text") if "text" in t.column_names else pa.array([], pa.string())
-    return pd.Index(t.column("id").to_numpy(zero_copy_only=False)), t.column("text")
+    ids = t.column("id").to_numpy(zero_copy_only=False)
+    uniq, first_pos = np.unique(ids, return_index=True)
+    if len(uniq) != len(ids):
+        # keep-FIRST on duplicate ids: get_indexer raises InvalidIndexError
+        # on a non-unique Index, where the old pc.index_in path returned the
+        # first match — reproduce that semantics by dropping later dupes
+        first_pos.sort()
+        take = pa.array(first_pos, pa.int64())
+        return pd.Index(ids[first_pos]), pa.compute.take(t.column("text"), take)
+    return pd.Index(ids), t.column("text")
 
 
 def _empty_pairs_ds(score_col: str):

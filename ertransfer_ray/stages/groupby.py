@@ -236,6 +236,7 @@ def exchange_group_apply(
     keys: str | list[str],
     fn: Callable[[pd.DataFrame], pd.DataFrame],
     num_buckets: int | None = None,
+    fn_format: str = "pandas",
 ):
     """Bucketed group apply via a raw-Ray two-phase HASH EXCHANGE — no sort.
 
@@ -251,10 +252,19 @@ def exchange_group_apply(
     Same contract as :func:`bucketed_group_apply`; materializes the input
     (it must enumerate blocks). Use for the hottest shuffles; the Dataset
     version remains for everything modest.
+
+    ``fn_format="pyarrow"`` hands ``fn`` the bucket as one pyarrow Table
+    (permissive-promoted concat: blocks may carry DIFFERENT column subsets,
+    missing columns surface as typed nulls) and accepts a Table or DataFrame
+    back. This is the path for tagged unions whose sides ship disjoint
+    column sets — the bucket fn slices by side BEFORE any pandas
+    conversion, so absent-side nulls never force an int→float64 promotion.
     """
     import ray
     import ray.data as rd
 
+    if fn_format not in ("pandas", "pyarrow"):
+        raise ValueError(f"fn_format must be pandas|pyarrow, got {fn_format!r}")
     if num_buckets is None:
         num_buckets = default_num_buckets()
     keys = [keys] if isinstance(keys, str) else list(keys)
@@ -285,8 +295,13 @@ def exchange_group_apply(
                     )
             else:
                 base = pd.DataFrame()
-            out = fn(base)
-            return rd.from_arrow(pa.Table.from_pandas(out, preserve_index=False))
+            if fn_format == "pyarrow":
+                out = fn(pa.Table.from_pandas(base, preserve_index=False))
+            else:
+                out = fn(base)
+            if isinstance(out, pd.DataFrame):
+                out = pa.Table.from_pandas(out, preserve_index=False)
+            return rd.from_arrow(out)
         except Exception:  # noqa: BLE001 — fn needs real columns; empty in = empty out
             return ds
 
@@ -349,15 +364,18 @@ def exchange_group_apply(
         if not tbls:
             # all-empty bucket: hand fn an empty frame with the richest
             # available schema (schema-less empties carry no columns)
-            base = (
-                max(tables, key=lambda t: t.num_columns).to_pandas()
+            base_t = (
+                max(tables, key=lambda t: t.num_columns)
                 if tables
-                else pd.DataFrame()
+                else pa.table({})
             )
-            out = fn(base)
+            out = fn(base_t if fn_format == "pyarrow" else base_t.to_pandas())
         else:
-            out = fn(pa.concat_tables(tbls, promote_options="permissive").to_pandas())
-        return pa.Table.from_pandas(out, preserve_index=False)
+            cat = pa.concat_tables(tbls, promote_options="permissive")
+            out = fn(cat if fn_format == "pyarrow" else cat.to_pandas())
+        if isinstance(out, pd.DataFrame):
+            out = pa.Table.from_pandas(out, preserve_index=False)
+        return out
 
     if num_buckets == 1:
         outs = [apply_bucket.remote(*parts)]

@@ -148,6 +148,21 @@ def dataset_hash_join(
     )
 
 
+def _project_typed(t: pa.Table, cols: list[str], types: dict) -> pa.Table:
+    """Select ``cols`` in order, synthesizing typed-null columns for any the
+    bucket never saw (a bucket whose nonempty slices all came from the
+    OTHER side of a disjoint-column tagged union carries only that side's
+    columns)."""
+    out = {}
+    for c in cols:
+        if c in t.column_names:
+            out[c] = t.column(c)
+        else:
+            ty = types.get(c)
+            out[c] = pa.nulls(t.num_rows, ty if ty is not None and not pa.types.is_null(ty) else pa.string())
+    return pa.table(out)
+
+
 def bucketed_anti_semi_join(
     probe,
     build,
@@ -158,13 +173,20 @@ def bucketed_anti_semi_join(
 ):
     """Distributed (anti-)semi-join with NO driver materialization: keep
     probe rows whose key is absent from (``anti=True``) / present in the
-    build side. Both sides are tagged, EXCHANGED on the key
-    (groupby.exchange_group_apply, arrow-native tagged union with typed
-    nulls — the same form as ``bucketed_join``), and filtered per bucket
-    with a vectorized ``isin`` — one shuffle each, cogroup shape (Ray
+    build side. Both sides are tagged and EXCHANGED on the key
+    (groupby.exchange_group_apply) — one shuffle each, cogroup shape (Ray
     2.49's hash join chokes on empty partitions, which shrinking iterative
     frontiers hit constantly; its sort-based groupby measured ~10x slower
     than the exchange on string-heavy tagged unions).
+
+    The build side ships KEY + SIDE ONLY (16-24 bytes/row): the exchange's
+    permissive-promote concat unifies the two sides' disjoint column sets,
+    and the bucket fn slices by side in ARROW before any pandas conversion,
+    so the probe columns never need neutral-filled padding on build rows.
+    (The round-3 form padded build rows to the full probe schema with int
+    sentinels — width(probe) x |build| extra shuffle bytes that the filter
+    never read; measured 7.7x the build-side bytes on an 8-column probe
+    schema, 1.5x the whole tagged union at equal side sizes.)
     """
     import pyarrow.compute as pc
 
@@ -196,28 +218,36 @@ def bucketed_anti_semi_join(
         return pa.table(cols)
 
     def tag_build(t: pa.Table) -> pa.Table:
-        n = t.num_rows
-        cols: dict = {
-            "_jk": pc.cast(t.column(build_on), jk_type),
-            "_side": pa.array(np.ones(n, dtype=np.int8)),
-        }
-        for c in probe_cols:
-            cols[c] = _neutral_fill(n, types[c])
-        return pa.table(cols)
+        return pa.table(
+            {
+                "_jk": pc.cast(t.column(build_on), jk_type),
+                "_side": pa.array(np.ones(t.num_rows, dtype=np.int8)),
+            }
+        )
 
     both = probe.map_batches(tag_probe, batch_format="pyarrow").union(
         build.map_batches(tag_build, batch_format="pyarrow")
     )
 
-    def filter_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        present = df.loc[df["_side"] == 1, "_jk"].unique()
-        rows = df[df["_side"] == 0]
-        keep = rows["_jk"].isin(present)
+    def filter_bucket(t: pa.Table) -> pa.Table:
+        if "_side" not in t.column_names:  # schema-less all-empty bucket
+            return _project_typed(pa.table({}), probe_cols, types)
+        side = t.column("_side")
+        rows = t.filter(pc.equal(side, 0))
+        present = pc.unique(
+            t.filter(pc.equal(side, 1)).column("_jk").combine_chunks()
+        )
+        # null probe keys match null build keys (pandas isin parity)
+        keep = pc.fill_null(
+            pc.is_in(rows.column("_jk"), value_set=present), present.null_count > 0
+        )
         if anti:
-            keep = ~keep
-        return rows.loc[keep, probe_cols]
+            keep = pc.invert(keep)
+        return _project_typed(rows.filter(keep), probe_cols, types)
 
-    return exchange_group_apply(both, "_jk", filter_bucket, num_buckets)
+    return exchange_group_apply(
+        both, "_jk", filter_bucket, num_buckets, fn_format="pyarrow"
+    )
 
 
 def keys_of(ds, col: str) -> list:
@@ -226,25 +256,25 @@ def keys_of(ds, col: str) -> list:
     return [r[col] for r in ds.select_columns([col]).take_all()]
 
 
-def _neutral_fill(n: int, t: pa.DataType) -> pa.Array:
-    """Absent-side fill for tagged unions. INTEGER columns get a 0 sentinel,
-    not nulls: an arrow int column with any null converts to float64 in
-    pandas, silently corrupting values above 2^53 (ids are often 64-bit
-    hashes). The filled rows belong to the other side and are dropped or
-    ignored before any value is read, so the sentinel never leaks."""
-    if pa.types.is_integer(t):
-        return pa.array(np.zeros(n, dtype=t.to_pandas_dtype()))
-    return pa.nulls(n, t)
-
-
 def _join_key_caster(*key_types):
-    """How to normalize join-key columns into one ``_jk`` dtype: keep the
-    native integer type when every side's key is an integer (int keys then
-    ride the exchange's fixed-width fast path and merge as ints), else
-    cast to string (the historical astype(str) semantics)."""
+    """How to normalize join-key columns into one ``_jk`` dtype: keep a
+    native integer type when every side's key is an integer AND a single
+    integer type can hold every side's values (int keys then ride the
+    exchange's fixed-width fast path and merge as ints), else cast to
+    string (the historical astype(str) semantics).
+
+    Mixed signedness needs a SIGNED type strictly wider than the widest
+    unsigned key (uint32 → int64); past 64 bits no such integer exists, so
+    int64 + uint64 falls back to string rather than raising ArrowInvalid at
+    runtime on negative or >2^63 key values."""
     if all(pa.types.is_integer(t) for t in key_types):
-        target = max(key_types, key=lambda t: t.bit_width)
-        return target
+        signed = [t.bit_width for t in key_types if pa.types.is_signed_integer(t)]
+        unsigned = [t.bit_width for t in key_types if not pa.types.is_signed_integer(t)]
+        if not signed or not unsigned:
+            return max(key_types, key=lambda t: t.bit_width)
+        need = max(max(unsigned) * 2, max(signed))
+        if need <= 64:
+            return {8: pa.int8(), 16: pa.int16(), 32: pa.int32(), 64: pa.int64()}[need]
     return pa.string()
 
 
@@ -256,6 +286,10 @@ def _arrow_field_type(ds_schema, name: str):
     if isinstance(bs, pa.Schema):
         return bs.field(name).type
     t = dict(zip(ds_schema.names, ds_schema.types))[name]
+    if isinstance(t, pa.DataType):
+        # Ray's Schema wrapper yields Arrow types even for pandas-block
+        # datasets; from_numpy_dtype would reject them → spurious string
+        return t
     try:
         return pa.from_numpy_dtype(t)
     except (pa.ArrowNotImplementedError, TypeError, ValueError):
@@ -276,12 +310,17 @@ def bucketed_join(
     ``Dataset.join`` is not (empty hash partitions — see clustering.py) and
     shuffles each side exactly once.
 
-    The tagged union is ARROW-native: each side fills the other side's
-    columns with typed nulls (``pa.nulls``) so every block shares one
-    schema — the prerequisite for the exchange's arrow concat. The previous
-    pandas-block form rode Ray Data's sort-based groupby, which measured
-    8.5 s / 22 s for the two attach joins of a 6.7k-pair verify at 1.6M
-    docs where the exchange form takes ~1.6 s each.
+    The tagged union is ARROW-native and each side ships ONLY ITS OWN
+    columns plus (_jk, _side): the exchange's permissive-promote concat
+    unifies the disjoint column sets, and the bucket fn slices by side in
+    Arrow before converting either side to pandas — absent-side values
+    never exist, so no padding crosses the exchange and no null fill can
+    degrade an int column to float64. (The round-3 form padded each side
+    to the FULL union schema with typed nulls / int sentinels — measured
+    1.78x the tagged-union bytes on two balanced 4-int-col sides.) The previous pandas-block form rode Ray Data's sort-based
+    groupby, which measured 8.5 s / 22 s for the two attach joins of a
+    6.7k-pair verify at 1.6M docs where the exchange form takes ~1.6 s
+    each.
 
     Column sets of the two sides must be disjoint apart from the join key;
     the join key is matched ``left_on`` = ``right_on`` (compared as
@@ -307,30 +346,27 @@ def bucketed_join(
         _arrow_field_type(l_schema, left_on),
         _arrow_field_type(r_schema, right_on),
     )
+    types["_jk"] = jk_type
 
-    def tag(side: int, key_col: str, own: set):
+    def tag(side: int, key_col: str, own: list[str]):
         def fn(t: pa.Table) -> pa.Table:
-            n = t.num_rows
             cols: dict = {
                 "_jk": pc.cast(t.column(key_col), jk_type),
-                "_side": pa.array(np.full(n, side, dtype=np.int8)),
+                "_side": pa.array(np.full(t.num_rows, side, dtype=np.int8)),
             }
-            for c in l_cols + r_cols:
-                if c in own:
-                    col = t.column(c)
-                    if pa.types.is_null(types[c]) or col.type == types[c]:
-                        cols[c] = col
-                    else:
-                        cols[c] = pc.cast(col, types[c])
+            for c in own:
+                col = t.column(c)
+                if pa.types.is_null(types[c]) or col.type == types[c]:
+                    cols[c] = col
                 else:
-                    cols[c] = _neutral_fill(n, types[c])
+                    cols[c] = pc.cast(col, types[c])
             return pa.table(cols)
 
         return fn
 
     both = left.map_batches(
-        tag(0, left_on, set(l_cols)), batch_format="pyarrow"
-    ).union(right.map_batches(tag(1, right_on, set(r_cols)), batch_format="pyarrow"))
+        tag(0, left_on, l_cols), batch_format="pyarrow"
+    ).union(right.map_batches(tag(1, right_on, r_cols), batch_format="pyarrow"))
 
     # original dtypes: absent-side nulls degrade columns that rode a mixed
     # pandas conversion to object (e.g. int8 flags). Restore after the merge
@@ -348,12 +384,29 @@ def bucketed_join(
                 pass
         return out
 
-    dtypes = {**_dtype_map(left.schema()), **_dtype_map(right.schema())}
+    # the output key column carries LEFT values — drop the right side's key
+    # dtype so restoration can't cast it to the right's type (int64 keys
+    # wrapped to uint64 when the sides' key signedness differed)
+    rmap = _dtype_map(right.schema())
+    rmap.pop(right_on, None)
+    dtypes = {**_dtype_map(left.schema()), **rmap}
 
-    def merge_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        lpart = df[df["_side"] == 0][l_cols]
-        rpart = df[df["_side"] == 1][["_jk"] + r_cols]
-        lpart = lpart.assign(_jk=df.loc[df["_side"] == 0, "_jk"])
+    def merge_bucket(t: pa.Table) -> pd.DataFrame:
+        if "_side" not in t.column_names:  # schema-less all-empty bucket
+            t = pa.table(
+                {
+                    "_jk": pa.nulls(0, jk_type),
+                    "_side": pa.nulls(0, pa.int8()),
+                }
+            )
+        side = t.column("_side")
+        # slice by side IN ARROW, then convert each side's own columns only
+        lpart = _project_typed(
+            t.filter(pc.equal(side, 0)), ["_jk"] + l_cols, types
+        ).to_pandas()
+        rpart = _project_typed(
+            t.filter(pc.equal(side, 1)), ["_jk"] + r_cols, types
+        ).to_pandas()
         out = lpart.merge(rpart, on="_jk", how=how)
         out = out.drop(columns=["_jk"])
         for c, dt in dtypes.items():
@@ -364,4 +417,6 @@ def bucketed_join(
                     pass
         return out
 
-    return exchange_group_apply(both, "_jk", merge_bucket, num_buckets)
+    return exchange_group_apply(
+        both, "_jk", merge_bucket, num_buckets, fn_format="pyarrow"
+    )

@@ -19,8 +19,6 @@ blocking is the same shape (splitters/DeepBlocker/splitter.py:62-73).
 
 from __future__ import annotations
 
-import heapq
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -87,21 +85,39 @@ def brute_force_topk(
         batch_size=4096,
         concurrency=concurrency,
     )
-    best: dict[int, list] = {}
-    for b in partials.iter_batches(batch_format="pandas"):
-        for qid, vid, cos in b.itertuples(index=False):
-            heap = best.setdefault(qid, [])
-            item = (cos, -int(vid))  # max cos, then min id on ties
-            if len(heap) < k:
-                heapq.heappush(heap, item)
-            elif item > heap[0]:
-                heapq.heapreplace(heap, item)
-    rows = []
-    for qid in sorted(best):
-        ranked = sorted(best[qid], reverse=True)
-        for rank, (cos, neg_id) in enumerate(ranked, 1):
-            rows.append((qid, -neg_id, cos, rank))
-    return pd.DataFrame(rows, columns=["qid", id_col, "cosine", "rank"])
+    # vectorized partial merge: concat the <= k x num_batches x |queries|
+    # partial rows, ONE lexsort (qid asc, cosine desc, id asc for tie
+    # determinism), keep rank <= k per qid — no per-row Python heap
+    parts: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
+    for b in partials.iter_batches(batch_format="pyarrow"):
+        if b.num_rows:
+            parts.append(
+                (
+                    b.column("qid").to_numpy(zero_copy_only=False),
+                    b.column(id_col).to_numpy(zero_copy_only=False),
+                    b.column("cosine").to_numpy(zero_copy_only=False),
+                )
+            )
+    if not parts:
+        return pd.DataFrame(
+            {"qid": pd.Series([], dtype=np.int64),
+             id_col: pd.Series([], dtype=np.int64),
+             "cosine": pd.Series([], dtype=np.float64),
+             "rank": pd.Series([], dtype=np.int64)}
+        )
+    qid = np.concatenate([p[0] for p in parts])
+    vid = np.concatenate([p[1] for p in parts])
+    cos = np.concatenate([p[2] for p in parts])
+    order = np.lexsort((vid, -cos, qid))
+    qid, vid, cos = qid[order], vid[order], cos[order]
+    starts = np.flatnonzero(np.r_[True, qid[1:] != qid[:-1]])
+    group_len = np.diff(np.r_[starts, len(qid)])
+    rank = np.arange(len(qid)) - np.repeat(starts, group_len) + 1
+    keep = rank <= k
+    return pd.DataFrame(
+        {"qid": qid[keep], id_col: vid[keep], "cosine": cos[keep],
+         "rank": rank[keep].astype(np.int64)}
+    )
 
 
 def _sample_centroids(ds, vec_col: str, num_buckets: int, seed: int, sample_rows: int = 2048):

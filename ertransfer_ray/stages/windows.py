@@ -151,7 +151,9 @@ def global_histogram(
     lo, hi = float(value_range[0]), float(value_range[1])
 
     def partial(t: pa.Table) -> pa.Table:
-        v = np.asarray(t.column(value_col).to_pylist(), dtype=np.float64)
+        v = t.column(value_col).to_numpy(zero_copy_only=False).astype(
+            np.float64, copy=False
+        )
         counts, _ = np.histogram(v, bins=bins, range=(lo, hi))
         return pa.table(
             {
