@@ -1,0 +1,85 @@
+"""CLI for the three-step container contract (SURVEY §2.10):
+
+    python -m ertransfer_ray splitter  <input_dir> [output_dir] [-r R] [-d] [--method m] [-s SEED]
+    python -m ertransfer_ray matcher   <input_dir> [output_dir] [-t DIR ...] [-e N] [-pt] [-s SEED]
+    python -m ertransfer_ray clustering <predictions_file> [output_dir] [-d]
+
+Argument shapes mirror the reference entrypoints
+(/root/reference/splitters/KNN-Join/splitter.py:135-158,
+methods/emtransformer/entrypoint.py:19-46,
+clustering/Probabilities/entrypoint.py:52-58). The CLI owns the Ray session
+(guarded — a host process, e.g. pytest, may already hold one); stages are
+resolved from the registry, so a user-registered stage runs the same way.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="ertransfer_ray")
+    sub = p.add_subparsers(dest="stage", required=True)
+
+    sp = sub.add_parser("splitter", help="tableA/tableB/matches.csv -> splits")
+    sp.add_argument("input")
+    sp.add_argument("output", nargs="?", default=None)
+    sp.add_argument("-r", "--recall", type=float, default=0.90)
+    sp.add_argument("-d", "--default", action="store_true")
+    sp.add_argument("-s", "--seed", type=int, default=42)
+    sp.add_argument("--method", choices=["knn", "deepblocker"], default="knn")
+
+    mt = sub.add_parser("matcher", help="split bundle -> predictions + metrics")
+    mt.add_argument("input")
+    mt.add_argument("output", nargs="?", default=None)
+    mt.add_argument("-t", "--test_data", nargs="*", default=[])
+    mt.add_argument("-e", "--epochs", type=int, default=5)
+    mt.add_argument("-s", "--seed", type=int, default=42)
+    mt.add_argument("-pt", "--prev_trained", action="store_true")
+
+    cl = sub.add_parser("clustering", help="predictions_<ds>.csv -> report")
+    cl.add_argument("input")
+    cl.add_argument("output", nargs="?", default=None)
+    cl.add_argument("-d", "--default", action="store_true")
+    cl.add_argument("-s", "--seed", type=int, default=42)
+    return p
+
+
+def main(argv: list[str] | None = None) -> dict:
+    args = build_parser().parse_args(argv)
+
+    import ray
+
+    from .pipelines.steps import get_stage
+
+    owns_ray = not ray.is_initialized()
+    if owns_ray:
+        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+    try:
+        stage = get_stage(args.stage)()
+        if args.stage == "splitter":
+            result = stage.run(
+                args.input, args.output, recall=args.recall,
+                default=args.default, seed=args.seed, method=args.method,
+            )
+        elif args.stage == "matcher":
+            result = stage.run(
+                args.input, args.output, test_dirs=tuple(args.test_data),
+                epochs=args.epochs, seed=args.seed,
+                prev_trained=args.prev_trained,
+            )
+        else:
+            result = stage.run(
+                args.input, args.output, default=args.default, seed=args.seed,
+            )
+    finally:
+        if owns_ray:
+            ray.shutdown()
+    print(json.dumps({"stage": args.stage, "ok": True}, sort_keys=True))
+    return result
+
+
+if __name__ == "__main__":
+    sys.exit(0 if main() is not None else 1)

@@ -223,6 +223,38 @@ def score_pairs(
     )
 
 
+def fit_logistic_weights(
+    pairs_df: pd.DataFrame,
+    epochs: int = 5,
+    lr: float = 2.0,
+    l2: float = 1e-3,
+    iters_per_epoch: int = 100,
+) -> dict:
+    """Deterministic matcher training: full-batch gradient descent on the
+    logistic loss over the pair-feature kernel (the train half of the
+    reference's matcher step, methods/emtransformer/training.py:16-103 —
+    the torch loop replaced by a closed numpy one since features are 6-dim
+    and bounded). Same (features, labels) → same weights at any
+    parallelism: init 0, fixed lr/l2, no sampling. Returns a weights dict
+    in the PairScorer/DEFAULT_WEIGHTS shape, storable as model.json (S9).
+    """
+    feats = compute_pair_features(pairs_df)
+    X = feats[FEATURE_COLUMNS].to_numpy(dtype=np.float64)
+    y = pairs_df["label"].to_numpy(dtype=np.float64)
+    n = max(len(y), 1)
+    w = np.zeros(X.shape[1])
+    b = 0.0
+    for _ in range(max(1, epochs) * iters_per_epoch):
+        z = X @ w + b
+        p = 1.0 / (1.0 + np.exp(-z))
+        err = p - y
+        w -= lr * (X.T @ err / n + l2 * w)
+        b -= lr * float(err.mean())
+    out = {"bias": float(b)}
+    out.update({name: float(v) for name, v in zip(FEATURE_COLUMNS, w)})
+    return out
+
+
 def matcher_metrics(predictions_df: pd.DataFrame, truth_pos: set, theta: float = 0.5) -> dict:
     """A2 global matcher metrics with the reference's zero-prediction guard
     (/root/reference/methods/emtransformer/transform.py:81-92)."""

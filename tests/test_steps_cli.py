@@ -1,0 +1,135 @@
+"""SURVEY §2.10 step contract: PipelineStage registry + the three-step CLI
+(splitter → matcher → clustering) over a bundled dataset fixture, with the
+reference's file formats byte-checked
+(/root/reference/splitters/KNN-Join/splitter.py:190-207 split stats,
+methods/magellan/transform.py:15-17 predictions,
+clustering/Probabilities/entrypoint.py:81-106 report)."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from ertransfer_ray.__main__ import main
+from ertransfer_ray.pipelines.steps import (
+    PipelineStage,
+    available_stages,
+    get_stage,
+    register_stage,
+)
+
+
+def _write_bundle(d, n=60, seed=11):
+    rng = np.random.default_rng(seed)
+    adjectives = ["red", "blue", "fast", "slim", "bold", "calm"]
+    nouns = ["widget", "gadget", "panel", "router", "sensor", "valve"]
+    rows_a, rows_b, matches = [], [], []
+    for i in range(n):
+        name = f"{adjectives[i % 6]} {nouns[(i // 6) % 6]} {1000 + i}"
+        desc = " ".join(rng.choice(["premium", "series", "model", "compact",
+                                    "deluxe", "standard", "edition"], 6).tolist())
+        rows_a.append({"id": i, "name": name, "description": desc,
+                       "price": f"{10 + i}.99"})
+        words = (name + " " + desc).split()
+        if len(words) > 4 and rng.random() < 0.5:
+            del words[int(rng.integers(1, len(words)))]
+        rows_b.append({"id": 1000 + i, "name": " ".join(words[:3]),
+                       "description": " ".join(words[3:]),
+                       "price": f"{10 + i}.99"})
+        matches.append({"tableA_id": i, "tableB_id": 1000 + i})
+    pd.DataFrame(rows_a).to_csv(os.path.join(d, "tableA.csv"), index=False)
+    pd.DataFrame(rows_b).to_csv(os.path.join(d, "tableB.csv"), index=False)
+    pd.DataFrame(matches).to_csv(os.path.join(d, "matches.csv"), index=False)
+
+
+def test_registry_resolves_and_rejects():
+    assert {"splitter", "matcher", "clustering"} <= set(available_stages())
+    assert isinstance(get_stage("splitter")(), PipelineStage)
+    with pytest.raises(KeyError, match="unknown stage"):
+        get_stage("no-such-stage")
+
+
+def test_user_stage_registration():
+    @register_stage
+    class EchoStage:
+        name = "echo-stage"
+
+        def run(self, input_path, output_dir=None, **options):
+            return {"input": input_path, **options}
+
+    got = get_stage("echo-stage")().run("/x", foo=1)
+    assert got == {"input": "/x", "foo": 1}
+    assert isinstance(EchoStage(), PipelineStage)
+
+
+def test_three_step_cli_end_to_end(tmp_path):
+    ds_dir = tmp_path / "d99_products"
+    ds_dir.mkdir()
+    _write_bundle(str(ds_dir))
+
+    # ---- splitter ----------------------------------------------------
+    split_dir = tmp_path / "kj_split"
+    main(["splitter", str(ds_dir), str(split_dir), "-d", "-s", "3"])
+    for f in ("train.csv", "valid.csv", "test.csv", "tableA.csv",
+              "tableB.csv", "matches.csv", "split_statistics.txt"):
+        assert (split_dir / f).exists(), f
+
+    lines = (split_dir / "split_statistics.txt").read_text().splitlines()
+    assert lines[0] == "Dataset statistics:"
+    assert lines[1] == "Entries Table A: 60; Entries Table B: 60"
+    assert lines[2] == "Num Matches: 60"
+    assert lines[3].startswith("Blocking time: ")
+    assert lines[4] == "Split Statistics:"
+    assert lines[5] == "\tNum Entries\tNum Matches\tPrecision\tRecall"
+    assert len(lines) == 9  # one row per split
+    splits_seen = sorted(ln.split("\t")[0] for ln in lines[6:9])
+    assert splits_seen == ["test", "train", "valid"]
+
+    train = pd.read_csv(split_dir / "train.csv")
+    assert list(train.columns) == [
+        "tableA_id", "tableA_name", "tableA_description", "tableA_price",
+        "tableB_id", "tableB_name", "tableB_description", "tableB_price",
+        "label",
+    ]
+    assert set(train["label"].unique()) <= {0, 1}
+
+    # ---- matcher ------------------------------------------------------
+    match_dir = tmp_path / "match_out"
+    main(["matcher", str(split_dir), str(match_dir), "-e", "3"])
+    preds_path = match_dir / "predictions_kj_split.csv"
+    metrics_path = match_dir / "metrics_kj_split.csv"
+    assert preds_path.exists() and metrics_path.exists()
+
+    preds = pd.read_csv(preds_path)
+    assert list(preds.columns) == ["tableA_id", "tableB_id", "label", "prob_class1"]
+    test_rows = pd.read_csv(split_dir / "test.csv")
+    assert len(preds) == len(test_rows)
+    assert preds["prob_class1"].between(0, 1).all()
+
+    metrics = pd.read_csv(metrics_path)
+    assert list(metrics.columns) == [
+        "f1", "precision", "recall",
+        "preprocess_time", "train_time", "eval_time", "train_size",
+    ]
+    assert metrics["f1"][0] >= 0.8  # trained matcher separates the fixture
+    assert metrics["train_size"][0] == len(pd.read_csv(split_dir / "train.csv"))
+
+    # -pt reuses the stored model (S9): zero train time, identical preds
+    main(["matcher", str(split_dir), str(match_dir), "-pt"])
+    metrics2 = pd.read_csv(metrics_path)
+    assert metrics2["train_time"][0] == 0.0
+    preds2 = pd.read_csv(preds_path)
+    pd.testing.assert_frame_equal(preds, preds2)
+
+    # ---- clustering ---------------------------------------------------
+    main(["clustering", str(preds_path), "-d"])
+    report = (match_dir / "kj_split_clustering.txt").read_text()
+    rlines = report.splitlines()
+    assert rlines[0] == "Unique Mapping Clustering"
+    assert rlines[1] == "F1\tP\tR\tCluster Time\tTune Time\tThreshold"
+    assert "Exact Clustering" in rlines
+    assert sum(ln.startswith("Average F1 +- STD: ") for ln in rlines) == 2
+    # default mode: threshold column is the fixed 0.5
+    assert rlines[2].split("\t")[5] == "0.5"
+    assert (match_dir / "kj_split_histogram.txt").exists()
