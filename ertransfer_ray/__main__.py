@@ -38,6 +38,10 @@ def build_parser() -> argparse.ArgumentParser:
     mt.add_argument("-e", "--epochs", type=int, default=5)
     mt.add_argument("-s", "--seed", type=int, default=42)
     mt.add_argument("-pt", "--prev_trained", action="store_true")
+    mt.add_argument("-if", "--input_train_full", choices=["v", "vt"],
+                    default=None, dest="input_train_full")
+    mt.add_argument("--weights", default=None,
+                    help="stored weights JSON — skips training (T9 swap)")
 
     cl = sub.add_parser("clustering", help="predictions_<ds>.csv -> report")
     cl.add_argument("input")
@@ -69,6 +73,8 @@ def main(argv: list[str] | None = None) -> dict:
                 args.input, args.output, test_dirs=tuple(args.test_data),
                 epochs=args.epochs, seed=args.seed,
                 prev_trained=args.prev_trained,
+                input_train_full=args.input_train_full,
+                weights_path=args.weights,
             )
         else:
             result = stage.run(

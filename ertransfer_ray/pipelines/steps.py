@@ -231,6 +231,8 @@ class MatcherStage:
         epochs: int = 5,
         seed: int = 42,
         prev_trained: bool = False,
+        input_train_full: str | None = None,
+        weights_path: str | None = None,
         theta: float = 0.5,
         **_options,
     ) -> dict:
@@ -244,22 +246,41 @@ class MatcherStage:
         os.makedirs(output_dir, exist_ok=True)
 
         t0 = time.perf_counter()
-        train = pair_frame_from_bundle(
-            _read_split_csv(os.path.join(input_path, "train.csv"))
+        # -if v|vt folds valid (and test) into train
+        # (methods/emtransformer/transform.py:35-41)
+        splits = ["train"]
+        if input_train_full in ("v", "vt"):
+            splits.append("valid")
+        if input_train_full == "vt":
+            splits.append("test")
+        train = pd.concat(
+            [
+                pair_frame_from_bundle(
+                    _read_split_csv(os.path.join(input_path, f"{s}.csv"))
+                )
+                for s in splits
+            ],
+            ignore_index=True,
         )
         preprocess_time = time.perf_counter() - t0
 
         model_path = os.path.join(output_dir, "model.json")
         t0 = time.perf_counter()
-        if prev_trained and os.path.exists(model_path):
+        if weights_path is not None:
+            # T9 weights-swap path: a stored matcher artifact replaces
+            # training outright (DADER/Unicorn scorer shape)
+            with open(weights_path) as f:
+                weights = json.load(f)
+            train_time = 0.0
+        elif prev_trained and os.path.exists(model_path):
             with open(model_path) as f:
                 weights = json.load(f)
             train_time = 0.0
         else:
             weights = fit_logistic_weights(train, epochs=epochs)
-            with open(model_path, "w") as f:
-                json.dump(weights, f, sort_keys=True)
             train_time = time.perf_counter() - t0
+        with open(model_path, "w") as f:
+            json.dump(weights, f, sort_keys=True)
 
         scorer = PairScorer(weights=weights)
         summaries = {}

@@ -122,6 +122,25 @@ def test_three_step_cli_end_to_end(tmp_path):
     preds2 = pd.read_csv(preds_path)
     pd.testing.assert_frame_equal(preds, preds2)
 
+    # -if vt folds valid+test into train (transform.py:35-41): train_size
+    # grows to the whole candidate set
+    match_full = tmp_path / "match_full"
+    main(["matcher", str(split_dir), str(match_full), "-e", "1", "-if", "vt"])
+    m_full = pd.read_csv(match_full / "metrics_kj_split.csv")
+    n_all = sum(
+        len(pd.read_csv(split_dir / f"{s}.csv")) for s in ("train", "valid", "test")
+    )
+    assert m_full["train_size"][0] == n_all
+
+    # --weights swaps in a stored artifact and skips training (T9)
+    match_swap = tmp_path / "match_swap"
+    main(["matcher", str(split_dir), str(match_swap),
+          "--weights", str(match_dir / "model.json")])
+    m_swap = pd.read_csv(match_swap / "metrics_kj_split.csv")
+    assert m_swap["train_time"][0] == 0.0
+    preds_swap = pd.read_csv(match_swap / "predictions_kj_split.csv")
+    pd.testing.assert_frame_equal(preds, preds_swap)
+
     # ---- clustering ---------------------------------------------------
     main(["clustering", str(preds_path), "-d"])
     report = (match_dir / "kj_split_clustering.txt").read_text()
