@@ -533,6 +533,31 @@ def q_doc_quality_features(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id", ignore_index=True)
 
 
+def q_doc_boilerplate_stats(sf_dir: str) -> pd.DataFrame:
+    """Gopher/CCNet boilerplate signal (round 4): per doc, distinct
+    word-3-shingles and how many are corpus-HOT (doc freq > 5) — the
+    count pass → broadcast hot set → map-side recount pipeline
+    (stages/dedup.boilerplate_shingle_stats), value-level SQL-oracled."""
+    from ..stages.dedup import boilerplate_shingle_stats
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = boilerplate_shingle_stats(docs, hot_doc_freq=5).to_pandas()
+    out["boilerplate_ratio"] = out["boilerplate_ratio"].round(6)
+    return out.sort_values("doc_id", ignore_index=True)
+
+
+def q_event_value_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Exact per-group quantiles (linear interpolation = quantile_cont),
+    bucketed one-pass (stages/windows.grouped_quantiles)."""
+    from ..stages.windows import grouped_quantiles
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+    out = grouped_quantiles(ev, "event_type", "value").to_pandas()
+    for c in ("q50", "q90", "q99"):
+        out[c] = out[c].round(6)
+    return out.sort_values("event_type", ignore_index=True)
+
+
 def q_kmeans_embeddings(sf_dir: str) -> pd.DataFrame:
     """A9 family: distributed Lloyd's KMeans over the embeddings table →
     per-cluster sizes + mean vector norm (stable diagnostics under seeded
@@ -623,6 +648,8 @@ def build_queries() -> dict:
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "doc_quality": q_doc_quality,
         "doc_quality_features": q_doc_quality_features,
+        "doc_boilerplate_stats": q_doc_boilerplate_stats,
+        "event_value_quantiles": q_event_value_quantiles,
         "doc_langid": q_doc_langid,
         "embedding_knn": q_embedding_knn,
         "embedding_neardup_exact": q_embedding_neardup_exact,
@@ -941,6 +968,52 @@ ORACLE_SQL: dict[str, str] = {
     "exact_dedup_docs": """
         SELECT min(doc_id) AS keep_id, count(*) AS dup_count
         FROM documents GROUP BY text ORDER BY keep_id
+    """,
+    # boilerplate signal: hot = word-3-shingle with doc frequency > 5; the
+    # shingle CTEs mirror ngram_jaccard_pairs' tokenization exactly
+    "doc_boilerplate_stats": """
+        WITH norm AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                               x -> x <> '') AS w
+            FROM documents
+        ), norm2 AS (
+            SELECT doc_id, w, array_to_string(w, ' ') AS s
+            FROM norm WHERE len(w) > 0
+        ), shingles AS (
+            SELECT DISTINCT doc_id, sh FROM (
+                SELECT doc_id,
+                       unnest(CASE WHEN len(w) <= 3 THEN [s]
+                              ELSE list_transform(range(1, len(w) - 1),
+                                                  i -> array_to_string(w[i:i+2], ' '))
+                              END) AS sh
+                FROM norm2
+            )
+        ), df AS (
+            SELECT sh, count(*) AS d FROM shingles GROUP BY sh
+        ), per_doc AS (
+            SELECT s.doc_id,
+                   count(*) AS n_shingles,
+                   count(*) FILTER (WHERE df.d > 5) AS n_boilerplate
+            FROM shingles s JOIN df ON df.sh = s.sh
+            GROUP BY s.doc_id
+        )
+        SELECT d.doc_id,
+               COALESCE(p.n_shingles, 0) AS n_shingles,
+               COALESCE(p.n_boilerplate, 0) AS n_boilerplate,
+               round(CASE WHEN COALESCE(p.n_shingles, 0) = 0 THEN 0.0
+                          ELSE p.n_boilerplate * 1.0 / p.n_shingles END, 6)
+                   AS boilerplate_ratio
+        FROM (SELECT DISTINCT doc_id FROM documents) d
+        LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+        ORDER BY d.doc_id
+    """,
+    "event_value_quantiles": """
+        SELECT event_type,
+               round(quantile_cont(value, 0.50), 6) AS q50,
+               round(quantile_cont(value, 0.90), 6) AS q90,
+               round(quantile_cont(value, 0.99), 6) AS q99
+        FROM events GROUP BY event_type ORDER BY event_type
     """,
     # near-dup verification oracle: word-3-shingle inverted-index blocking
     # (hot shingles with doc-frequency > 50 dropped on both sides) + exact

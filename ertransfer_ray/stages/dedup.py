@@ -208,6 +208,167 @@ def _fetch_gram_codes(side_refs, uniq_ids) -> dict:
     return out
 
 
+def _doc_shingle_hashes(txt: str, shingle_words: int) -> np.ndarray:
+    """Distinct word-``shingle_words``-shingle hashes of one doc (int64,
+    unsorted-unique in first-seen order): lowercase, whitespace split,
+    whole-string shingle when the doc has ≤ shingle_words words — the exact
+    tokenization of the ngram_jaccard SQL oracle."""
+    ws = (txt or "").lower().split()
+    if len(ws) <= shingle_words:
+        sh = [" ".join(ws)] if ws else []
+    else:
+        sh = [
+            " ".join(ws[j : j + shingle_words])
+            for j in range(len(ws) - shingle_words + 1)
+        ]
+    if not sh:
+        return np.empty(0, np.int64)
+    uniq = list(dict.fromkeys(sh))
+    return (stable_hash64(uniq) >> np.uint64(1)).astype(np.int64)
+
+
+def _shingle_doc_keys(id_col: str, text_col: str, shingle_words: int):
+    """map_batches fn emitting ID-ONLY (shingle:int64, doc_id) rows, one per
+    DISTINCT shingle per doc — the inverted-index-as-a-shuffle emitter shared
+    by ngram_jaccard_pairs and boilerplate_shingle_stats."""
+
+    def emit(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_pylist()
+        texts = t.column(text_col).to_pylist()
+        out_k: list[np.ndarray] = []
+        out_i: list[int] = []
+        for i, txt in enumerate(texts):
+            h = _doc_shingle_hashes(txt, shingle_words)
+            if h.size == 0:
+                continue
+            out_k.append(h)
+            out_i.extend([ids[i]] * h.size)
+        if not out_k:
+            return pa.table(
+                {"shingle": pa.array([], pa.int64()), "doc_id": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "shingle": pa.array(np.concatenate(out_k), pa.int64()),
+                "doc_id": pa.array(out_i, pa.int64()),
+            }
+        )
+
+    return emit
+
+
+def boilerplate_shingle_stats(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_words: int = 3,
+    hot_doc_freq: int = 50,
+    num_buckets: int | None = None,
+    max_broadcast_keys: int = 50_000_000,
+):
+    """Gopher/CCNet-style boilerplate statistic: per document, how many of
+    its distinct word shingles are HOT (document frequency > ``hot_doc_freq``
+    across the corpus) — the repetition/boilerplate quality signal a
+    web-corpus filter thresholds on.
+
+    Output: (id_col, n_shingles, n_boilerplate, boilerplate_ratio) with one
+    row per input document (zero-shingle docs get 0/0/0.0).
+
+    Scale shape — default path has ZERO row-level shuffles:
+      pass 1: id-only (shingle_hash, id) emit → compact numpy count
+              exchange (counted_key_survivors) → hot-shingle set broadcast
+              (``ray.put`` once, sorted int64 array);
+      pass 2: map-side per-doc recount + ``searchsorted`` membership against
+              the broadcast hot set.
+    Past ``max_broadcast_keys`` hot shingles the hot set exceeds a worker
+    heap; the fallback arm computes document frequencies with a grouped
+    aggregate, semi-joins the keyed rows against the hot Dataset, and
+    grouped-counts per doc — two bucketed exchanges, same output.
+    """
+    import ray
+
+    from .groupby import counted_key_survivors
+
+    def totals_fn(t: pa.Table, hot: np.ndarray | None) -> pa.Table:
+        texts = t.column(text_col).to_pylist()
+        n = np.zeros(len(texts), np.int64)
+        nh = np.zeros(len(texts), np.int64)
+        for i, txt in enumerate(texts):
+            h = _doc_shingle_hashes(txt, shingle_words)
+            n[i] = h.size
+            if hot is not None and h.size and hot.size:
+                pos = np.searchsorted(hot, h)
+                pos[pos >= hot.size] = hot.size - 1
+                nh[i] = int((hot[pos] == h).sum())
+        cols = {
+            id_col: t.column(id_col),
+            "n_shingles": pa.array(n),
+            "n_boilerplate": pa.array(nh),
+        }
+        if hot is not None:
+            ratio = np.where(n > 0, nh / np.maximum(n, 1), 0.0)
+            cols["boilerplate_ratio"] = pa.array(ratio)
+        return pa.table(cols)
+
+    keyed = ds.map_batches(
+        _shingle_doc_keys(id_col, text_col, shingle_words), batch_format="pyarrow"
+    ).materialize()
+
+    surv = counted_key_survivors(
+        keyed, "shingle", num_buckets, max_broadcast_keys,
+        min_count=hot_doc_freq + 1,
+    )
+    if surv is not None:
+        hot_sorted = np.sort(surv.to_numpy(zero_copy_only=False))
+        hot_ref = ray.put(hot_sorted)
+
+        def stats(t: pa.Table) -> pa.Table:
+            return totals_fn(t, ray.get(hot_ref))
+
+        return ds.map_batches(stats, batch_format="pyarrow")
+
+    # distributed fallback: hot set beyond a worker heap
+    from .groupby import grouped_aggregate
+    from .joins import bucketed_anti_semi_join, bucketed_join
+
+    # keyed rows always carry the id as "doc_id" (the emitter's contract)
+    dfreq = grouped_aggregate(keyed, "shingle", {"df": ("doc_id", "count")})
+    hot_ds = dfreq.map_batches(
+        lambda df: df.loc[df["df"] > hot_doc_freq, ["shingle"]],
+        batch_format="pandas",
+    )
+    hot_rows = bucketed_anti_semi_join(
+        keyed, hot_ds, "shingle", anti=False, num_buckets=num_buckets
+    )
+    hot_counts = grouped_aggregate(
+        hot_rows, "doc_id", {"n_boilerplate_hot": ("shingle", "count")},
+        num_buckets,
+    ).map_batches(
+        lambda df: df.rename(columns={"doc_id": id_col}), batch_format="pandas"
+    )
+    totals = ds.map_batches(
+        lambda t: totals_fn(t, None).select([id_col, "n_shingles"]),
+        batch_format="pyarrow",
+    )
+    joined = bucketed_join(
+        totals, hot_counts, id_col, how="left", num_buckets=num_buckets
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        nh = df["n_boilerplate_hot"].fillna(0).astype(np.int64)
+        n = df["n_shingles"].astype(np.int64)
+        return pd.DataFrame(
+            {
+                id_col: df[id_col],
+                "n_shingles": n,
+                "n_boilerplate": nh,
+                "boilerplate_ratio": np.where(n > 0, nh / np.maximum(n, 1), 0.0),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # exact dedup (D1)
 # ---------------------------------------------------------------------------
@@ -666,37 +827,9 @@ def ngram_jaccard_pairs(
     if strategy == "auto":
         strategy = _auto_strategy(ds, id_col, text_col, max_broadcast_bytes)
 
-    def emit(t: pa.Table) -> pa.Table:
-        ids = t.column(id_col).to_pylist()
-        texts = t.column(text_col).to_pylist()
-        out_k: list[np.ndarray] = []
-        out_i: list[int] = []
-        for i, txt in enumerate(texts):
-            ws = txt.lower().split()
-            if len(ws) <= shingle_words:
-                sh = [" ".join(ws)] if ws else []
-            else:
-                sh = [
-                    " ".join(ws[j : j + shingle_words])
-                    for j in range(len(ws) - shingle_words + 1)
-                ]
-            if not sh:
-                continue
-            uniq = list(dict.fromkeys(sh))
-            out_k.append((stable_hash64(uniq) >> np.uint64(1)).astype(np.int64))
-            out_i.extend([ids[i]] * len(uniq))
-        if not out_k:
-            return pa.table(
-                {"shingle": pa.array([], pa.int64()), "doc_id": pa.array([], pa.int64())}
-            )
-        return pa.table(
-            {
-                "shingle": pa.array(np.concatenate(out_k), pa.int64()),
-                "doc_id": pa.array(out_i, pa.int64()),
-            }
-        )
-
-    keyed = ds.map_batches(emit, batch_format="pyarrow")
+    keyed = ds.map_batches(
+        _shingle_doc_keys(id_col, text_col, shingle_words), batch_format="pyarrow"
+    )
 
     def pairs_under_cap(df: pd.DataFrame) -> pd.DataFrame:
         df = df[df.duplicated("shingle", keep=False)]

@@ -186,6 +186,38 @@ def global_histogram(
     )
 
 
+def grouped_quantiles(
+    ds,
+    key_col: str,
+    value_col: str,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    num_buckets: int | None = None,
+):
+    """Exact per-group quantiles with linear interpolation — the same
+    definition as ANSI ``quantile_cont`` / ``percentile_cont``, so the
+    result is SQL-oracle-checkable. Hash-bucket on the group key, then ONE
+    vectorized pandas groupby-quantile per bucket.
+
+    Contract: every group lands whole in one bucket (the
+    bucketed_group_apply shape), so a single group must fit a worker; for
+    one unbounded group use ``global_histogram``'s mergeable counts
+    instead — exact quantiles of one giant group don't decompose.
+    Output columns: (key_col, q50, q90, ... one per requested quantile).
+    """
+    cols = [f"q{int(round(q * 100))}" for q in qs]
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({key_col: [], **{c: [] for c in cols}})
+        g = df.groupby(key_col, sort=False)[value_col].quantile(list(qs)).unstack()
+        g.columns = cols
+        return g.reset_index()
+
+    return bucketed_group_apply(
+        ds.select_columns([key_col, value_col]), key_col, per_bucket, num_buckets
+    )
+
+
 def kl_divergence(p: np.ndarray, q: np.ndarray, eps: float = 1e-12) -> float:
     """A5: KL(p‖q) between two normalized histograms (reference
     methods/embeddings/entrypoint.py:263 via scipy.stats.entropy)."""

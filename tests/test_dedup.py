@@ -188,3 +188,60 @@ def test_dedup_family_empty_corpus_keeps_output_schema():
     out = embedding_neardup_pairs(emb, num_buckets=2)
     assert out.count() == 0
     assert {"left_id", "right_id", "cosine"} <= set(out.schema().names)
+
+
+# ---------------------------------------------------------------------------
+# round 4: boilerplate shingle stats (Gopher/CCNet repetition signal)
+# ---------------------------------------------------------------------------
+
+def _boiler_docs():
+    import pandas as pd
+    import ray.data as rd
+
+    hot = "the quick brown fox jumps"          # shared by many docs → hot
+    rows = [{"doc_id": i, "text": f"{hot} unique{i} tail{i} words{i}"}
+            for i in range(10)]
+    rows.append({"doc_id": 10, "text": "completely different content here now"})
+    rows.append({"doc_id": 11, "text": ""})    # zero-shingle doc
+    return rd.from_pandas(pd.DataFrame(rows))
+
+
+def test_boilerplate_stats_broadcast_arm():
+    from ertransfer_ray.stages.dedup import boilerplate_shingle_stats
+
+    out = (
+        boilerplate_shingle_stats(_boiler_docs(), hot_doc_freq=5)
+        .to_pandas().sort_values("doc_id", ignore_index=True)
+    )
+    assert len(out) == 12
+    # docs 0-9 share the 3 shingles of the hot prefix ("the quick brown",
+    # "quick brown fox", "brown fox jumps") with df=10 > 5 → hot
+    first = out.iloc[0]
+    assert first["n_boilerplate"] == 3
+    assert first["n_shingles"] == 6  # 8 words → 6 shingles, all distinct
+    assert abs(first["boilerplate_ratio"] - 0.5) < 1e-12
+    assert out.iloc[10]["n_boilerplate"] == 0          # unique doc
+    assert out.iloc[11]["n_shingles"] == 0             # empty doc
+    assert out.iloc[11]["boilerplate_ratio"] == 0.0
+
+
+def test_boilerplate_stats_join_arm_agrees():
+    """Force the beyond-broadcast fallback (hot set 'too big' for a worker)
+    and require identical output to the broadcast arm."""
+    from ertransfer_ray.stages.dedup import boilerplate_shingle_stats
+
+    want = (
+        boilerplate_shingle_stats(_boiler_docs(), hot_doc_freq=5)
+        .to_pandas().sort_values("doc_id", ignore_index=True)
+    )
+    got = (
+        boilerplate_shingle_stats(
+            _boiler_docs(), hot_doc_freq=5, max_broadcast_keys=1
+        )
+        .to_pandas().sort_values("doc_id", ignore_index=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        got[want.columns].astype(want.dtypes.to_dict()), want
+    )

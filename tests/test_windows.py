@@ -72,3 +72,26 @@ def test_kl_divergence():
     assert kl_divergence(p, p) < 1e-12
     q = np.array([0.9, 0.05, 0.05])
     assert kl_divergence(p, q) > 0.1
+
+
+def test_grouped_quantiles_matches_pandas():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from ertransfer_ray.stages.windows import grouped_quantiles
+
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame({
+        "k": rng.choice(["a", "b", "c"], 500),
+        "v": rng.normal(0, 10, 500),
+    })
+    got = (
+        grouped_quantiles(rd.from_pandas(df), "k", "v", qs=(0.5, 0.9, 0.99))
+        .to_pandas().sort_values("k", ignore_index=True)
+    )
+    want = df.groupby("k")["v"].quantile([0.5, 0.9, 0.99]).unstack()
+    for q, c in ((0.5, "q50"), (0.9, "q90"), (0.99, "q99")):
+        np.testing.assert_allclose(
+            got[c].to_numpy(), want[q].to_numpy(), rtol=1e-12
+        )
