@@ -163,6 +163,58 @@ def quality_features(texts: list[str]) -> pd.DataFrame:
     )
 
 
+def repetition_stats(texts: list[str]) -> pd.DataFrame:
+    """Within-document repetition signals (the Gopher-style duplicate-n-gram
+    quality filters): per doc, the fraction of words (resp. adjacent word
+    2-grams) that are repeats of an earlier occurrence —
+    ``1 − distinct/total`` over lowercase whitespace tokens. SQL-expressible
+    via ``list_distinct`` (oracle `doc_repetition_stats`). Vectorized: one
+    explode pass; 2-grams built by a shift within doc groups."""
+    n = len(texts)
+    s = pd.Series(texts, dtype="object").fillna("").str.lower().str.split()
+    n_words = s.str.len().to_numpy(dtype=np.int64)
+
+    ex = s.explode().dropna()
+    idx = pd.RangeIndex(n)
+    if len(ex):
+        uniq_w = ex.groupby(level=0).nunique().reindex(idx, fill_value=0)
+        uniq_w = uniq_w.to_numpy(dtype=np.int64)
+        doc = np.asarray(ex.index, dtype=np.int64)
+        words = ex.to_numpy(dtype=object)
+        same_doc = doc[:-1] == doc[1:]
+        grams = pd.DataFrame(
+            {
+                "doc": doc[:-1][same_doc],
+                "g": pd.Series(words[:-1][same_doc]).str.cat(
+                    pd.Series(words[1:][same_doc]), sep=" "
+                ),
+            }
+        )
+        uniq_g = (
+            grams.groupby("doc")["g"].nunique().reindex(idx, fill_value=0)
+            .to_numpy(dtype=np.int64)
+        )
+    else:
+        uniq_w = np.zeros(n, dtype=np.int64)
+        uniq_g = np.zeros(n, dtype=np.int64)
+
+    n_2grams = np.maximum(n_words - 1, 0)
+    dup_word_frac = np.where(
+        n_words > 0, 1.0 - uniq_w / np.maximum(n_words, 1), 0.0
+    )
+    dup_2gram_frac = np.where(
+        n_2grams > 0, 1.0 - uniq_g / np.maximum(n_2grams, 1), 0.0
+    )
+    return pd.DataFrame(
+        {
+            "n_words": n_words,
+            "n_2grams": n_2grams,
+            "dup_word_frac": dup_word_frac,
+            "dup_2gram_frac": dup_2gram_frac,
+        }
+    )
+
+
 def quality_score(texts: list[str]) -> np.ndarray:
     """Scalar quality score in [0,1]: penalize extreme length, high punct,
     low stopword ratio (boilerplate), high digit ratio. Deterministic."""

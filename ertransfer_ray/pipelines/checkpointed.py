@@ -105,15 +105,22 @@ def run_er_checkpointed(
     metrics["block_s"] = round(time.perf_counter() - t0, 3)
     status["pairs"] = "resumed" if not r["completed"] else "computed"
 
-    # ---- stage 2: scoring → predictions ----
+    # ---- stage 2: scoring → predictions (sharded by left_url hash) ----
+    # scoring is embarrassingly parallel over pairs, so unlike the global
+    # blocking shuffle it CAN resume mid-stage: each shard filters the pair
+    # table map-side and scores independently — a kill between shard writes
+    # loses at most one shard's work (round 4; was a single logical shard)
     pairs_fp = _stage_fingerprint(pairs_dir)
     preds_dir = _stage_dir(workdir, "predictions")
 
     def make_preds(shard: int, n: int):
-        return score(_read_stage(pairs_dir), cfg)
+        pairs = _read_stage(pairs_dir).map_batches(
+            shard_filter(shard, n, "left_url"), batch_format="pyarrow"
+        )
+        return score(pairs, cfg)
 
     t0 = time.perf_counter()
-    r = run_sharded(make_preds, preds_dir, 1, input_fingerprint=pairs_fp)
+    r = run_sharded(make_preds, preds_dir, num_shards, input_fingerprint=pairs_fp)
     metrics["score_s"] = round(time.perf_counter() - t0, 3)
     status["predictions"] = "resumed" if not r["completed"] else "computed"
 

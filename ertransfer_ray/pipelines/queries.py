@@ -546,6 +546,28 @@ def q_doc_boilerplate_stats(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id", ignore_index=True)
 
 
+def q_doc_repetition_stats(sf_dir: str) -> pd.DataFrame:
+    """Gopher within-doc repetition filters: duplicate-word and duplicate-
+    2-gram fractions (functions/textstats.repetition_stats), map-side only,
+    value-level oracled via list_distinct arithmetic."""
+    from ..functions.textstats import repetition_stats
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        out = repetition_stats(df["text"].tolist())
+        out.insert(0, "doc_id", df["doc_id"].to_numpy())
+        for c in ("dup_word_frac", "dup_2gram_frac"):
+            out[c] = out[c].round(6)
+        return out
+
+    return (
+        docs.map_batches(fn, batch_format="pandas")
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+
+
 def q_event_value_quantiles(sf_dir: str) -> pd.DataFrame:
     """Exact per-group quantiles (linear interpolation = quantile_cont),
     bucketed one-pass (stages/windows.grouped_quantiles)."""
@@ -649,6 +671,7 @@ def build_queries() -> dict:
         "doc_quality": q_doc_quality,
         "doc_quality_features": q_doc_quality_features,
         "doc_boilerplate_stats": q_doc_boilerplate_stats,
+        "doc_repetition_stats": q_doc_repetition_stats,
         "event_value_quantiles": q_event_value_quantiles,
         "doc_langid": q_doc_langid,
         "embedding_knn": q_embedding_knn,
@@ -1007,6 +1030,29 @@ ORACLE_SQL: dict[str, str] = {
         FROM (SELECT DISTINCT doc_id FROM documents) d
         LEFT JOIN per_doc p ON p.doc_id = d.doc_id
         ORDER BY d.doc_id
+    """,
+    "doc_repetition_stats": """
+        WITH norm AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                               x -> x <> '') AS w
+            FROM documents
+        ), g AS (
+            SELECT doc_id, w,
+                   list_transform(range(1, len(w)),
+                                  i -> w[i] || ' ' || w[i + 1]) AS tg
+            FROM norm
+        )
+        SELECT doc_id,
+               len(w) AS n_words,
+               greatest(len(w) - 1, 0) AS n_2grams,
+               round(CASE WHEN len(w) = 0 THEN 0.0
+                          ELSE 1.0 - len(list_distinct(w)) * 1.0 / len(w)
+                     END, 6) AS dup_word_frac,
+               round(CASE WHEN len(w) <= 1 THEN 0.0
+                          ELSE 1.0 - len(list_distinct(tg)) * 1.0 / (len(w) - 1)
+                     END, 6) AS dup_2gram_frac
+        FROM g ORDER BY doc_id
     """,
     "event_value_quantiles": """
         SELECT event_type,

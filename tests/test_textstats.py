@@ -48,3 +48,21 @@ def test_textstats_stage_in_dataset():
         "bpe_token_count", "quality", "fingerprint",
     }
     assert out["token_count"].tolist() == [5, 1]
+
+
+def test_repetition_stats_hand_computed():
+    from ertransfer_ray.functions.textstats import repetition_stats
+
+    out = repetition_stats([
+        "a b a b",        # words: 4 total / 2 distinct; 2grams: a b, b a, a b → 3 total / 2 distinct
+        "x y z",          # no repeats
+        "",               # empty
+        "w",              # single word → no 2grams
+    ])
+    assert out["n_words"].tolist() == [4, 3, 0, 1]
+    assert out["n_2grams"].tolist() == [3, 2, 0, 0]
+    assert out["dup_word_frac"].round(6).tolist() == [0.5, 0.0, 0.0, 0.0]
+    import numpy as np
+    np.testing.assert_allclose(
+        out["dup_2gram_frac"].to_numpy(), [1 / 3, 0.0, 0.0, 0.0], rtol=1e-12
+    )
