@@ -568,6 +568,18 @@ def q_doc_repetition_stats(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_doc_top_tfidf(sf_dir: str) -> pd.DataFrame:
+    """Frequency-based vocabulary op: per doc the top-1 TF-IDF term
+    (tf · ln(N/df), ties by term asc) — stages/tfidf.top_tfidf_terms,
+    map-side ranking against the broadcast vocabulary."""
+    from ..stages.tfidf import top_tfidf_terms
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = top_tfidf_terms(docs, k=1).to_pandas()
+    out["tfidf"] = out["tfidf"].round(6)
+    return out.sort_values("doc_id", ignore_index=True)
+
+
 def q_event_value_quantiles(sf_dir: str) -> pd.DataFrame:
     """Exact per-group quantiles (linear interpolation = quantile_cont),
     bucketed one-pass (stages/windows.grouped_quantiles)."""
@@ -672,6 +684,7 @@ def build_queries() -> dict:
         "doc_quality_features": q_doc_quality_features,
         "doc_boilerplate_stats": q_doc_boilerplate_stats,
         "doc_repetition_stats": q_doc_repetition_stats,
+        "doc_top_tfidf": q_doc_top_tfidf,
         "event_value_quantiles": q_event_value_quantiles,
         "doc_langid": q_doc_langid,
         "embedding_knn": q_embedding_knn,
@@ -1053,6 +1066,34 @@ ORACLE_SQL: dict[str, str] = {
                           ELSE 1.0 - len(list_distinct(tg)) * 1.0 / (len(w) - 1)
                      END, 6) AS dup_2gram_frac
         FROM g ORDER BY doc_id
+    """,
+    # tf = raw in-doc count, idf = ln(N/df) over distinct-doc frequency;
+    # rank on the UNROUNDED score (ties broken by term asc), round for output
+    "doc_top_tfidf": """
+        WITH w AS (
+            SELECT doc_id,
+                   unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                      x -> x <> '')) AS term
+            FROM documents
+        ), tf AS (
+            SELECT doc_id, term, count(*) AS tf FROM w GROUP BY doc_id, term
+        ), df AS (
+            SELECT term, count(DISTINCT doc_id) AS df FROM w GROUP BY term
+        ), n AS (
+            SELECT count(*) AS n FROM documents
+        ), scored AS (
+            SELECT tf.doc_id, tf.term, tf.tf,
+                   tf.tf * ln(n.n * 1.0 / df.df) AS raw
+            FROM tf JOIN df USING (term) CROSS JOIN n
+        )
+        SELECT doc_id, term, tf, round(raw, 6) AS tfidf
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY raw DESC, term
+            ) AS rn
+            FROM scored
+        )
+        WHERE rn = 1 ORDER BY doc_id
     """,
     "event_value_quantiles": """
         SELECT event_type,
