@@ -75,6 +75,8 @@ BENCH_QUERIES = [
     "exact_dedup_docs",      # D1 id-only dedup summary (round 3)
     "simhash_neardup_pairs",  # sketch near-dup (round 3)
     "transfer_kl_scores",    # A4+A5 transfer-source selection (round 3)
+    "doc_boilerplate_stats",  # hot-shingle boilerplate signal (round 4)
+    "doc_top_tfidf",          # corpus TF-IDF top term per doc (round 4)
 ]
 
 HEADLINE = "er_documents"
