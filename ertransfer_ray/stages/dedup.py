@@ -383,6 +383,102 @@ def add_content_hash(ds, text_col: str = "text", out: str = "content_hash"):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def exact_dedup_incremental(
+    ds,
+    state_dir: str,
+    increment: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_broadcast_ids: int = 50_000_000,
+    num_buckets: int | None = None,
+):
+    """Incremental exact dedup against a PERSISTED content-hash store — the
+    daily-increment ingestion shape: a new crawl increment keeps only
+    documents whose content was seen neither in any EARLIER increment nor
+    earlier (smaller id) within this one, then appends its new hashes to the
+    store so the next increment dedups against everything so far.
+
+    Store layout: ``state_dir/increment=<name>/*.parquet`` holding one
+    int64 ``content_hash`` column per ingested increment, written via the
+    atomic ``state/manifest.write_shard`` (temp dir + manifest + rename), so
+    a killed ingest never leaves a half-registered increment; re-running the
+    SAME increment name is idempotent (its store entry is replaced, and the
+    seen-set excludes the increment's own hashes).
+
+    Scale shape: the seen side is hash-only (8 B/row). Below
+    ``max_broadcast_ids`` stored hashes it broadcasts once and the filter is
+    map-side; past that the increment anti-joins the store on content_hash
+    through the bucketed exchange. Within-increment dedup is
+    :func:`exact_dedup` (id-only exchange).
+
+    Returns the surviving rows of ``ds`` (original schema) as a Dataset.
+    """
+    import os
+
+    import ray
+    import ray.data as rd
+
+    from ..state.manifest import write_shard
+    from .joins import BroadcastSemiJoin, bucketed_anti_semi_join
+
+    os.makedirs(state_dir, exist_ok=True)
+    prior_dirs = [
+        p
+        for d in sorted(os.listdir(state_dir))
+        if d.startswith("increment=") and d != f"increment={increment}"
+        and not d.endswith((".tmp", ".staging"))
+        # an increment that deduped to zero rows has a manifest but no
+        # parquet files — nothing to read
+        for p in [os.path.join(state_dir, d)]
+        if any(f.endswith(".parquet") for f in os.listdir(p))
+    ]
+
+    # within-increment dedup first (keep smallest id per content)
+    survivors = exact_dedup(ds, id_col, text_col, max_broadcast_ids)
+    hashed = add_content_hash(survivors, text_col).materialize()
+
+    if prior_dirs:
+        seen = rd.read_parquet(prior_dirs, file_extensions=["parquet"])
+        n_seen = seen.count()
+        if n_seen <= max_broadcast_ids:
+            keys = pa.concat_tables(
+                ray.get(seen.materialize().to_arrow_refs())
+            ).column("content_hash").combine_chunks()
+            ref = ray.put(keys)
+            hashed = hashed.map_batches(
+                BroadcastSemiJoin(ref, "content_hash", anti=True),
+                batch_format="pyarrow",
+            )
+        else:
+            hashed = bucketed_anti_semi_join(
+                hashed, seen, "content_hash", anti=True,
+                num_buckets=num_buckets,
+            )
+        hashed = hashed.materialize()
+
+    # register this increment's new hashes atomically (idempotent by name:
+    # shard id 0 under the increment's own directory)
+    inc_dir = os.path.join(state_dir, f"increment={increment}")
+    tmp_parent = state_dir
+    new_hashes = hashed.map_batches(
+        lambda t: t.select(["content_hash"]), batch_format="pyarrow"
+    )
+    # write_shard writes <out_dir>/shard=<k>; wrap so the final path is the
+    # increment dir itself
+    write_shard(new_hashes, tmp_parent + f"/increment={increment}.staging",
+                0, input_fingerprint=increment)
+    staged = tmp_parent + f"/increment={increment}.staging/shard=0"
+    import shutil
+
+    if os.path.exists(inc_dir):
+        shutil.rmtree(inc_dir)
+    os.rename(staged, inc_dir)
+    shutil.rmtree(tmp_parent + f"/increment={increment}.staging",
+                  ignore_errors=True)
+
+    return hashed.drop_columns(["content_hash"])
+
+
 def exact_dedup(ds, id_col: str, text_col: str = "text",
                 max_broadcast_ids: int = 50_000_000):
     """Exact dedup: keep the smallest id per distinct content.

@@ -82,6 +82,9 @@ def write_shard(
         shutil.rmtree(tmp)
     t0 = time.perf_counter()
     ds.write_parquet(tmp)
+    # a zero-row dataset writes no files and may not even create the dir —
+    # an empty shard is still a valid, manifest-tracked outcome
+    os.makedirs(tmp, exist_ok=True)
     # row count from parquet footers — no second pass over the data
     import pyarrow.parquet as pq
 

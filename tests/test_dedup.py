@@ -245,3 +245,78 @@ def test_boilerplate_stats_join_arm_agrees():
     pd.testing.assert_frame_equal(
         got[want.columns].astype(want.dtypes.to_dict()), want
     )
+
+
+# ---------------------------------------------------------------------------
+# round 4: incremental exact dedup against a persisted hash store
+# ---------------------------------------------------------------------------
+
+def test_exact_dedup_incremental_across_increments(tmp_path):
+    import pandas as pd
+    import ray.data as rd
+
+    from ertransfer_ray.stages.dedup import exact_dedup_incremental
+
+    state = str(tmp_path / "state")
+
+    inc1 = rd.from_pandas(pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["alpha", "beta", "alpha", "gamma"],   # 3 ∈ dup of 1
+    }))
+    out1 = exact_dedup_incremental(inc1, state, "day1").to_pandas()
+    assert sorted(out1["doc_id"]) == [1, 2, 4]
+
+    inc2 = rd.from_pandas(pd.DataFrame({
+        "doc_id": [10, 11, 12, 13],
+        "text": ["beta", "delta", "delta", "epsilon"],  # beta seen on day1
+    }))
+    out2 = exact_dedup_incremental(inc2, state, "day2").to_pandas()
+    assert sorted(out2["doc_id"]) == [11, 13]
+    assert list(out2.columns) == ["doc_id", "text"]
+
+    inc3 = rd.from_pandas(pd.DataFrame({
+        "doc_id": [20], "text": ["delta"],              # seen on day2
+    }))
+    out3 = exact_dedup_incremental(inc3, state, "day3").to_pandas()
+    assert len(out3) == 0
+
+
+def test_exact_dedup_incremental_rerun_is_idempotent(tmp_path):
+    import pandas as pd
+    import ray.data as rd
+
+    from ertransfer_ray.stages.dedup import exact_dedup_incremental
+
+    state = str(tmp_path / "state")
+    inc = rd.from_pandas(pd.DataFrame({
+        "doc_id": [1, 2], "text": ["a", "b"],
+    }))
+    first = exact_dedup_incremental(inc, state, "day1").to_pandas()
+    # re-running the SAME increment name must not dedup against itself
+    again = exact_dedup_incremental(inc, state, "day1").to_pandas()
+    assert sorted(first["doc_id"]) == sorted(again["doc_id"]) == [1, 2]
+
+
+def test_exact_dedup_incremental_join_arm(tmp_path):
+    """Force the beyond-broadcast store path (max_broadcast_ids=0 makes the
+    seen side 'too big') and require the same survivors."""
+    import pandas as pd
+    import ray.data as rd
+
+    from ertransfer_ray.stages.dedup import exact_dedup_incremental
+
+    s_b, s_j = str(tmp_path / "sb"), str(tmp_path / "sj")
+    inc1 = rd.from_pandas(pd.DataFrame({
+        "doc_id": [1, 2], "text": ["x", "y"],
+    }))
+    inc2 = rd.from_pandas(pd.DataFrame({
+        "doc_id": [5, 6, 7], "text": ["y", "z", "z"],
+    }))
+    exact_dedup_incremental(inc1, s_b, "d1")
+    want = exact_dedup_incremental(inc2, s_b, "d2").to_pandas()
+    exact_dedup_incremental(inc1, s_j, "d1")
+    got = exact_dedup_incremental(
+        inc2, s_j, "d2", max_broadcast_ids=0
+    ).to_pandas()
+    # doc 5 ("y") was seen on d1; doc 7 duplicates 6 within the increment
+    assert sorted(got["doc_id"]) == sorted(want["doc_id"]) == [6]
