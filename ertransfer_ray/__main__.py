@@ -23,6 +23,10 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="ertransfer_ray")
     sub = p.add_subparsers(dest="stage", required=True)
 
+    nm = sub.add_parser("normalize", help="raw dataset dir -> canonical bundle")
+    nm.add_argument("input")
+    nm.add_argument("output", nargs="?", default=None)
+
     sp = sub.add_parser("splitter", help="tableA/tableB/matches.csv -> splits")
     sp.add_argument("input")
     sp.add_argument("output", nargs="?", default=None)
@@ -63,7 +67,9 @@ def main(argv: list[str] | None = None) -> dict:
         ray.init(address="local", include_dashboard=False, logging_level="ERROR")
     try:
         stage = get_stage(args.stage)()
-        if args.stage == "splitter":
+        if args.stage == "normalize":
+            result = stage.run(args.input, args.output)
+        elif args.stage == "splitter":
             result = stage.run(
                 args.input, args.output, recall=args.recall,
                 default=args.default, seed=args.seed, method=args.method,

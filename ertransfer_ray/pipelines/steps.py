@@ -118,6 +118,27 @@ def _read_split_csv(path: str) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# normalize step (the reference's 4th container, run before the splitter)
+# ---------------------------------------------------------------------------
+
+@register_stage
+class NormalizeStage:
+    """Reference normanizer contract (splitters/random-split/
+    normanizer.py:42-81): canonicalize a raw dataset directory into the
+    ``tableA/tableB/matches.csv`` bundle — delimiter sniffing, per-dataset
+    file renames, D1/D2 match-column renames, entity-id enforcement."""
+
+    name = "normalize"
+
+    def run(self, input_path: str, output_dir: str | None = None,
+            **_options) -> dict:
+        from ..sources.csv_normalize import normalize_dataset_dir
+
+        renamed = normalize_dataset_dir(input_path, output_dir)
+        return {"renamed": renamed, "output_dir": output_dir or input_path}
+
+
+# ---------------------------------------------------------------------------
 # splitter step
 # ---------------------------------------------------------------------------
 

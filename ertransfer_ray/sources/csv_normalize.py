@@ -47,6 +47,70 @@ def normalize_matches_columns(df: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+#: dataset-name → (tableA file hint, tableB file hint): the reference's
+#: per-dataset rename registry (configuration DATA, normanizer.py:7-18 —
+#: replicated like pipelines/settings.py replicates the blocking settings).
+DATASET_FILE_HINTS = {
+    "d1": ("rest1", "rest2"),
+    "d2": ("abt", "buy"),
+    "d3": ("amazon", "gp"),
+    "d4": ("dblp", "acm"),
+    "d5": ("imdb", "tmdb"),
+    "d6": ("imdb", "tvdb"),
+    "d7": ("tmdb", "tvdb"),
+    "d8": ("walmart", "amazon"),
+    "d9": ("dblp", "scholar"),
+    "d10": ("imdb", "dbpedia"),
+}
+
+
+def canonical_file_name(file_name: str, dataset_name: str = "") -> str:
+    """The reference's rename rules (normanizer.py:26-40): ``*clean.csv`` →
+    ``*.csv``, ``gt.csv`` → ``matches.csv``, per-dataset source hints →
+    ``tableA.csv``/``tableB.csv``; anything else passes through."""
+    if file_name.endswith("clean.csv"):
+        file_name = file_name.replace("clean.csv", ".csv")
+    if file_name == "gt.csv":
+        return "matches.csv"
+    ds = dataset_name.lower()
+    for key, (a_hint, b_hint) in DATASET_FILE_HINTS.items():
+        if key in ds:
+            if a_hint in file_name:
+                return "tableA.csv"
+            if b_hint in file_name:
+                return "tableB.csv"
+    return file_name
+
+
+def normalize_dataset_dir(input_dir: str, output_dir: str | None = None) -> dict:
+    """The normanizer STEP (normanizer.py:42-81): for every ``*.csv`` in
+    ``input_dir``, sniff the delimiter, rename the file to its canonical
+    bundle name, rename D1/D2 match columns, enforce the entity-table ``id``
+    contract, and write canonical comma CSV into ``output_dir``. Unlike the
+    reference this never deletes source files (pure-read by design).
+    Returns {source file → canonical file}."""
+    import os
+
+    output_dir = output_dir or input_dir
+    os.makedirs(output_dir, exist_ok=True)
+    ds_name = os.path.basename(os.path.normpath(input_dir))
+    renamed: dict[str, str] = {}
+    for f in sorted(os.listdir(input_dir)):
+        if not f.endswith(".csv"):
+            continue
+        target = canonical_file_name(f, ds_name)
+        src = os.path.join(input_dir, f)
+        if target == "matches.csv":
+            df = read_matches_csv(src)
+        elif target in ("tableA.csv", "tableB.csv"):
+            df = read_entity_csv(src, require_id=True)
+        else:
+            df = read_entity_csv(src, require_id=False)
+        df.to_csv(os.path.join(output_dir, target), index=False)
+        renamed[f] = target
+    return renamed
+
+
 def read_entity_csv(path: str, require_id: bool = True) -> pd.DataFrame:
     """S1+S2: sniff delimiter, read with replacement on bad bytes
     (reference uses ``encoding_errors='replace'``, splitter.py:160-165),

@@ -152,3 +152,35 @@ def test_three_step_cli_end_to_end(tmp_path):
     # default mode: threshold column is the fixed 0.5
     assert rlines[2].split("\t")[5] == "0.5"
     assert (match_dir / "kj_split_histogram.txt").exists()
+
+
+def test_normalize_stage_canonicalizes_messy_bundle(tmp_path):
+    """The normanizer step: pipe-delimited per-dataset file names + gt.csv
+    with D1/D2 columns → the canonical comma bundle, then the splitter runs
+    on the result (the reference's normanizer → splitter chain)."""
+    raw = tmp_path / "d2_abt_buy"
+    raw.mkdir()
+    (raw / "abt.csv").write_text(
+        "id|name|price\n0|red widget 1000|9.99\n1|blue gadget 1001|19.99\n"
+    )
+    (raw / "buy.csv").write_text(
+        "id|name|price\n100|red widget 1000|9.99\n101|blue gadget 1001|19.99\n"
+    )
+    (raw / "gt.csv").write_text("D1|D2\n0|100\n1|101\n")
+
+    out = tmp_path / "canon"
+    main(["normalize", str(raw), str(out)])
+    for f in ("tableA.csv", "tableB.csv", "matches.csv"):
+        assert (out / f).exists(), f
+    # sources untouched (divergence from the reference's unlink, by design)
+    assert (raw / "abt.csv").exists()
+
+    a = pd.read_csv(out / "tableA.csv")
+    assert list(a.columns) == ["id", "name", "price"]  # comma-canonical
+    m = pd.read_csv(out / "matches.csv")
+    assert list(m.columns) == ["tableA_id", "tableB_id"]
+
+    # composes with the splitter step
+    split_dir = tmp_path / "split"
+    main(["splitter", str(out), str(split_dir), "-d"])
+    assert (split_dir / "split_statistics.txt").exists()
