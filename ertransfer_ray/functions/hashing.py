@@ -212,6 +212,92 @@ def hamming_distance64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return cnt
 
 
+class HllSketch:
+    """HyperLogLog distinct-count sketch (public algorithm, Flajolet et al.
+    2007): ``2^p`` one-byte registers, mergeable by element-wise max — the
+    100 TB cardinality estimator (exact ``unique`` is an all-to-all
+    shuffle; this is one numpy register array per batch plus a driver max).
+
+    Vectorized: one stable hash pass per batch; register index = top ``p``
+    bits, rank = leading-zero count of the remainder + 1. Uses the standard
+    bias correction and the small-range (linear counting) correction."""
+
+    __slots__ = ("p", "m", "registers")
+
+    def __init__(self, p: int = 12, registers: np.ndarray | None = None):
+        if not 4 <= p <= 18:
+            raise ValueError(f"HLL precision p must be in [4, 18], got {p}")
+        self.p = p
+        self.m = 1 << p
+        self.registers = (
+            np.zeros(self.m, dtype=np.uint8) if registers is None else registers
+        )
+
+    def add_hashes(self, h: np.ndarray) -> "HllSketch":
+        h = h.astype(np.uint64, copy=False)
+        idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
+        rest = (h << np.uint64(self.p)) | (np.uint64(1) << np.uint64(self.p - 1))
+        # leading-zero count of the remaining 64-p bits, +1
+        rank = np.ones(len(h), dtype=np.uint8)
+        mask = np.uint64(1) << np.uint64(63)
+        cur = rest.copy()
+        active = np.ones(len(h), dtype=bool)
+        for _ in range(64 - self.p + 1):
+            zero_top = active & ((cur & mask) == 0)
+            rank[zero_top] += 1
+            active &= zero_top
+            if not active.any():
+                break
+            cur = cur << np.uint64(1)
+        np.maximum.at(self.registers, idx, rank)
+        return self
+
+    def add(self, values) -> "HllSketch":
+        vals = np.asarray(values, dtype=object)
+        if len(vals):
+            self.add_hashes(stable_hash64(vals))
+        return self
+
+    def merge(self, other: "HllSketch") -> "HllSketch":
+        if other.p != self.p:
+            raise ValueError("cannot merge sketches of different precision")
+        np.maximum(self.registers, other.registers, out=self.registers)
+        return self
+
+    def estimate(self) -> float:
+        m = float(self.m)
+        alpha = 0.7213 / (1.0 + 1.079 / m)
+        inv_sum = np.sum(np.ldexp(1.0, -self.registers.astype(np.int64)))
+        e = alpha * m * m / inv_sum
+        zeros = int(np.count_nonzero(self.registers == 0))
+        if e <= 2.5 * m and zeros:
+            return m * np.log(m / zeros)  # linear counting, small range
+        return float(e)
+
+
+def approx_distinct(ds, col: str, p: int = 12) -> float:
+    """Distributed approximate distinct count of one column: per-batch HLL
+    partials (a 2^p-byte register array each) merged on the driver —
+    shuffle-free, standard error ≈ 1.04/sqrt(2^p) (~1.6 % at p=12)."""
+
+    def partial(t) -> "pa.Table":  # noqa: F821 - pyarrow imported lazily
+        import pyarrow as pa
+
+        sk = HllSketch(p)
+        vals = t.column(col).to_pylist()
+        if vals:
+            sk.add(vals)
+        return pa.table({"registers": pa.array([sk.registers.tobytes()])})
+
+    merged = HllSketch(p)
+    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for buf in b.column("registers").to_pylist():
+            merged.merge(HllSketch(p, np.frombuffer(buf, dtype=np.uint8).copy()))
+    return merged.estimate()
+
+
 def rolling_fingerprint(
     texts: list[str], k: int = 8, window: int = 16
 ) -> np.ndarray:

@@ -85,3 +85,37 @@ def test_minhash_chunking_invariant():
         [H.minhash_signatures([d], num_perm=64, seed=5) for d in docs]
     )
     np.testing.assert_array_equal(whole, per_doc)
+
+
+def test_hll_estimate_within_error_bound():
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    for true_n in (100, 5_000, 200_000):
+        vals = [f"item-{i}" for i in range(true_n)]
+        sk = H.HllSketch(p=12)
+        # feed in chunks with repeats to exercise register max semantics
+        sk.add(vals)
+        sk.add(vals[: true_n // 2])
+        est = sk.estimate()
+        rel = abs(est - true_n) / true_n
+        assert rel < 0.05, (true_n, est, rel)
+
+
+def test_hll_merge_equals_union():
+    a = H.HllSketch(p=10).add([f"a{i}" for i in range(3000)])
+    b = H.HllSketch(p=10).add([f"b{i}" for i in range(3000)])
+    u = H.HllSketch(p=10).add(
+        [f"a{i}" for i in range(3000)] + [f"b{i}" for i in range(3000)]
+    )
+    merged = a.merge(b)
+    assert (merged.registers == u.registers).all()
+
+
+def test_approx_distinct_on_dataset():
+    import pandas as pd
+    import ray.data as rd
+
+    df = pd.DataFrame({"k": [f"u{i % 4096}" for i in range(50_000)]})
+    est = H.approx_distinct(rd.from_pandas(df), "k", p=12)
+    assert abs(est - 4096) / 4096 < 0.05
