@@ -27,6 +27,10 @@ def build_parser() -> argparse.ArgumentParser:
     nm.add_argument("input")
     nm.add_argument("output", nargs="?", default=None)
 
+    mg = sub.add_parser("merger", help="split bundle -> matches.csv")
+    mg.add_argument("input")
+    mg.add_argument("output", nargs="?", default=None)
+
     sp = sub.add_parser("splitter", help="tableA/tableB/matches.csv -> splits")
     sp.add_argument("input")
     sp.add_argument("output", nargs="?", default=None)
@@ -67,7 +71,7 @@ def main(argv: list[str] | None = None) -> dict:
         ray.init(address="local", include_dashboard=False, logging_level="ERROR")
     try:
         stage = get_stage(args.stage)()
-        if args.stage == "normalize":
+        if args.stage in ("normalize", "merger"):
             result = stage.run(args.input, args.output)
         elif args.stage == "splitter":
             result = stage.run(

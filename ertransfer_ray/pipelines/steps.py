@@ -139,6 +139,44 @@ class NormalizeStage:
 
 
 # ---------------------------------------------------------------------------
+# merger step (splits → matches, the reference's random-split merger)
+# ---------------------------------------------------------------------------
+
+@register_stage
+class MergerStage:
+    """Reference merger contract (splitters/random-split/merger.py:17-38):
+    concat train/test (+valid when present), keep label==1, project the id
+    pair (renaming ``table1.id``/``table2.id`` when present), dedup, sort by
+    tableA_id, write ``matches.csv``."""
+
+    name = "merger"
+
+    def run(self, input_path: str, output_dir: str | None = None,
+            **_options) -> dict:
+        output_dir = output_dir or input_path
+        os.makedirs(output_dir, exist_ok=True)
+        frames = []
+        for split in ("test", "train", "valid"):
+            p = os.path.join(input_path, f"{split}.csv")
+            if os.path.exists(p):
+                frames.append(_read_split_csv(p))
+        if not frames:
+            raise FileNotFoundError(f"{input_path}: no train/test/valid.csv")
+        m = pd.concat(frames, ignore_index=True)
+        m = m[m["label"] == 1]
+        if "table1.id" in m.columns:
+            m = m.rename(columns={"table1.id": "tableA_id",
+                                  "table2.id": "tableB_id"})
+        m = (
+            m[["tableA_id", "tableB_id"]]
+            .drop_duplicates()
+            .sort_values("tableA_id", ignore_index=True)
+        )
+        m.to_csv(os.path.join(output_dir, "matches.csv"), index=False)
+        return {"n_matches": len(m), "output_dir": output_dir}
+
+
+# ---------------------------------------------------------------------------
 # splitter step
 # ---------------------------------------------------------------------------
 

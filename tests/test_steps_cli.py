@@ -184,3 +184,29 @@ def test_normalize_stage_canonicalizes_messy_bundle(tmp_path):
     split_dir = tmp_path / "split"
     main(["splitter", str(out), str(split_dir), "-d"])
     assert (split_dir / "split_statistics.txt").exists()
+
+
+def test_merger_stage_round_trips_matches(tmp_path):
+    """merger (splits → matches.csv) after the splitter must recover exactly
+    the labeled positives — the reference's D2 round-trip invariant
+    (merger.py:27-38 + random-split splitter assert)."""
+    ds_dir = tmp_path / "d98_products"
+    ds_dir.mkdir()
+    _write_bundle(str(ds_dir))
+    split_dir = tmp_path / "split"
+    main(["splitter", str(ds_dir), str(split_dir), "-d"])
+
+    out = tmp_path / "merged"
+    main(["merger", str(split_dir), str(out)])
+    merged = pd.read_csv(out / "matches.csv")
+    assert list(merged.columns) == ["tableA_id", "tableB_id"]
+    truth = pd.read_csv(ds_dir / "matches.csv")
+    truth_set = set(zip(truth["tableA_id"], truth["tableB_id"]))
+    got_set = set(zip(merged["tableA_id"], merged["tableB_id"]))
+    # merged positives ⊆ golden truth; count = blocking-recall share
+    assert got_set <= truth_set
+    labeled_pos = sum(
+        pd.read_csv(split_dir / f"{s}.csv")["label"].sum()
+        for s in ("train", "valid", "test")
+    )
+    assert len(got_set) == labeled_pos
