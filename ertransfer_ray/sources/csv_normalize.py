@@ -69,7 +69,7 @@ def canonical_file_name(file_name: str, dataset_name: str = "") -> str:
     ``*.csv``, ``gt.csv`` → ``matches.csv``, per-dataset source hints →
     ``tableA.csv``/``tableB.csv``; anything else passes through."""
     if file_name.endswith("clean.csv"):
-        file_name = file_name.replace("clean.csv", ".csv")
+        file_name = file_name[: -len("clean.csv")] + ".csv"
     if file_name == "gt.csv":
         return "matches.csv"
     ds = dataset_name.lower()
