@@ -580,6 +580,31 @@ def q_doc_top_tfidf(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id", ignore_index=True)
 
 
+def q_corpus_top_terms(sf_dir: str) -> pd.DataFrame:
+    """Global heavy hitters: top-10 most frequent corpus terms — per-batch
+    partial counts shrink before the bucketed combine, then one tiny
+    sort+limit (ties by term asc)."""
+    from ..stages.groupby import grouped_aggregate
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ex = df["text"].fillna("").str.lower().str.split().explode().dropna()
+        out = ex.value_counts().rename_axis("term").reset_index(name="n")
+        return out
+
+    counts = grouped_aggregate(
+        docs.map_batches(partial, batch_format="pandas"),
+        "term",
+        {"n": ("n", "sum")},
+    ).to_pandas()
+    return (
+        counts.sort_values(["n", "term"], ascending=[False, True])
+        .head(10)
+        .reset_index(drop=True)
+    )
+
+
 def q_event_value_quantiles(sf_dir: str) -> pd.DataFrame:
     """Exact per-group quantiles (linear interpolation = quantile_cont),
     bucketed one-pass (stages/windows.grouped_quantiles)."""
@@ -685,6 +710,7 @@ def build_queries() -> dict:
         "doc_boilerplate_stats": q_doc_boilerplate_stats,
         "doc_repetition_stats": q_doc_repetition_stats,
         "doc_top_tfidf": q_doc_top_tfidf,
+        "corpus_top_terms": q_corpus_top_terms,
         "event_value_quantiles": q_event_value_quantiles,
         "doc_langid": q_doc_langid,
         "embedding_knn": q_embedding_knn,
@@ -1094,6 +1120,15 @@ ORACLE_SQL: dict[str, str] = {
             FROM scored
         )
         WHERE rn = 1 ORDER BY doc_id
+    """,
+    "corpus_top_terms": """
+        SELECT term, count(*) AS n
+        FROM (
+            SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                      x -> x <> '')) AS term
+            FROM documents
+        )
+        GROUP BY term ORDER BY n DESC, term LIMIT 10
     """,
     "event_value_quantiles": """
         SELECT event_type,
