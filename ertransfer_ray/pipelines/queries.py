@@ -605,6 +605,72 @@ def q_corpus_top_terms(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_event_order_asof(sf_dir: str) -> pd.DataFrame:
+    """As-of join: each event picks the LATEST order of the same customer at
+    or before the event time (ties broken deterministically by max
+    o_orderkey) — the distributed asof_join: one hash exchange on the by
+    key, vectorized merge_asof per bucket."""
+    from ..stages.joins import asof_join
+
+    events = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]
+    )
+    out = asof_join(
+        events,
+        orders,
+        on="ts",
+        by="user_id",
+        right_on="o_orderdate",
+        right_by="o_custkey",
+        how="inner",
+        tie_breakers=["o_orderkey"],
+    ).to_pandas()
+    return _us(
+        out.sort_values("event_id", ignore_index=True), ["ts", "o_orderdate"]
+    )
+
+
+def q_orders_nearby_counts(sf_dir: str) -> pd.DataFrame:
+    """Range/interval self-join: for each order, how many OTHER orders the
+    same customer placed within ±30 days — distributed range_join (hash
+    exchange on the customer key + per-bucket equi-merge + one vectorized
+    interval mask) then the bucketed aggregate. Only orders with ≥1
+    neighbor appear (inner join shape, matching the SQL)."""
+    from ..stages.groupby import grouped_aggregate
+    from ..stages.joins import range_join
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def to_windows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "nbr_orderkey": df["o_orderkey"],
+                "nbr_custkey": df["o_custkey"],
+                "nbr_start": df["o_orderdate"] - pd.Timedelta(days=30),
+                "nbr_end": df["o_orderdate"] + pd.Timedelta(days=30),
+            }
+        )
+
+    pairs = range_join(
+        orders,
+        orders.map_batches(to_windows, batch_format="pandas"),
+        by="o_custkey",
+        right_by="nbr_custkey",
+        point="o_orderdate",
+        start="nbr_start",
+        end="nbr_end",
+        closed="both",
+    ).map_batches(
+        lambda df: df[df["o_orderkey"] != df["nbr_orderkey"]],
+        batch_format="pandas",
+    )
+    out = grouped_aggregate(
+        pairs, "o_orderkey", {"n_nearby": ("nbr_orderkey", "count")}
+    ).to_pandas()
+    return out.sort_values("o_orderkey", ignore_index=True)
+
+
 def q_event_value_quantiles(sf_dir: str) -> pd.DataFrame:
     """Exact per-group quantiles (linear interpolation = quantile_cont),
     bucketed one-pass (stages/windows.grouped_quantiles)."""
@@ -711,6 +777,8 @@ def build_queries() -> dict:
         "doc_repetition_stats": q_doc_repetition_stats,
         "doc_top_tfidf": q_doc_top_tfidf,
         "corpus_top_terms": q_corpus_top_terms,
+        "event_order_asof": q_event_order_asof,
+        "orders_nearby_counts": q_orders_nearby_counts,
         "event_value_quantiles": q_event_value_quantiles,
         "doc_langid": q_doc_langid,
         "embedding_knn": q_embedding_knn,
@@ -1129,6 +1197,29 @@ ORACLE_SQL: dict[str, str] = {
             FROM documents
         )
         GROUP BY term ORDER BY n DESC, term LIMIT 10
+    """,
+    "event_order_asof": """
+        SELECT event_id, ts, user_id, value, o_orderkey, o_orderdate, o_totalprice
+        FROM (
+            SELECT e.event_id, e.ts, e.user_id, e.value,
+                   o.o_orderkey, o.o_orderdate, o.o_totalprice,
+                   row_number() OVER (
+                       PARTITION BY e.event_id
+                       ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+                   ) AS rn
+            FROM events e JOIN orders o
+              ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+        )
+        WHERE rn = 1 ORDER BY event_id
+    """,
+    "orders_nearby_counts": """
+        SELECT a.o_orderkey, count(*) AS n_nearby
+        FROM orders a JOIN orders b
+          ON a.o_custkey = b.o_custkey
+         AND a.o_orderkey <> b.o_orderkey
+         AND a.o_orderdate BETWEEN b.o_orderdate - INTERVAL 30 DAY
+                               AND b.o_orderdate + INTERVAL 30 DAY
+        GROUP BY a.o_orderkey ORDER BY a.o_orderkey
     """,
     "event_value_quantiles": """
         SELECT event_type,

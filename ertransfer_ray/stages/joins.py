@@ -250,6 +250,247 @@ def bucketed_anti_semi_join(
     )
 
 
+def _dtype_map(ds_schema) -> dict:
+    """Column → pandas dtype for post-merge restoration (mixed-bucket NaN
+    fills degrade int columns to float64; restore where lossless)."""
+    out = {}
+    for name, typ in zip(ds_schema.names, ds_schema.types):
+        if isinstance(typ, np.dtype):  # pandas-block datasets
+            out[name] = typ
+            continue
+        try:
+            out[name] = typ.to_pandas_dtype()
+        except Exception:  # noqa: BLE001
+            pass
+    return out
+
+
+def asof_join(
+    left,
+    right,
+    *,
+    on: str,
+    by: str,
+    right_on: str | None = None,
+    right_by: str | None = None,
+    how: str = "left",
+    direction: str = "backward",
+    tolerance=None,
+    tie_breakers: list[str] | None = None,
+    num_buckets: int | None = None,
+):
+    """Distributed as-of join: attach to each left row the temporally
+    closest right row of the same ``by`` key (``direction="backward"``:
+    greatest ``right_on`` <= ``on``; ``"forward"``: least >= ; exact
+    matches always allowed). Ray Data has no as-of join; this composes one
+    from the engine's primitives per the custom-operator ladder: tagged
+    Arrow union (each side ships only its own columns), ONE raw hash
+    exchange on the ``by`` key, then a vectorized ``pd.merge_asof`` inside
+    each bucket — the partitioning assumption is that a single ``by``
+    bucket's rows fit a worker heap, the same contract as every grouped
+    stage here.
+
+    Ties (several right rows sharing one ``right_on`` value) are broken
+    deterministically by ``tie_breakers`` (right-side columns; the LARGEST
+    tuple wins), so output is reproducible across parallelism levels —
+    required for the driver's value-hash oracle and this engine's
+    determinism invariant (FIXTURES.md). Rows with a null ``by`` key or
+    null ``on`` value never match (SQL semantics); ``how="left"`` keeps
+    them unmatched, ``how="inner"`` drops them.
+
+    Non-key column names must be disjoint across sides (as in
+    :func:`bucketed_join`). ``tolerance`` passes through to ``merge_asof``
+    (e.g. ``pd.Timedelta("7d")``).
+    """
+    import pyarrow.compute as pc
+
+    from .groupby import exchange_group_apply
+
+    right_on = right_on or on
+    right_by = right_by or by
+    if how not in ("left", "inner"):
+        raise ValueError(f"asof_join: how={how!r} (use 'left' or 'inner')")
+
+    l_schema = left.schema()
+    r_schema = right.schema()
+    overlap = set(l_schema.names) & set(r_schema.names)
+    if overlap:
+        raise ValueError(f"asof_join: overlapping columns {overlap}")
+
+    l_cols = list(l_schema.names)
+    r_cols = [c for c in r_schema.names if c != right_by]
+    types = {c: _arrow_field_type(l_schema, c) for c in l_cols}
+    types.update({c: _arrow_field_type(r_schema, c) for c in r_cols})
+    jk_type = _join_key_caster(
+        _arrow_field_type(l_schema, by), _arrow_field_type(r_schema, right_by)
+    )
+    types["_jk"] = jk_type
+    on_type = _arrow_field_type(l_schema, on)
+    ties = list(tie_breakers or [])
+    # merge_asof keeps the LAST equal-on row going backward but the FIRST
+    # going forward — order the tie columns so the largest tuple wins both ways
+    ties_asc = direction == "backward"
+    rmap = _dtype_map(r_schema)
+    rmap.pop(right_by, None)
+    dtypes = {**_dtype_map(l_schema), **rmap}
+
+    def tag(side: int, key_col: str, own: list[str], on_col: str):
+        def fn(t: pa.Table) -> pa.Table:
+            cols: dict = {
+                "_jk": pc.cast(t.column(key_col), jk_type),
+                "_side": pa.array(np.full(t.num_rows, side, dtype=np.int8)),
+            }
+            for c in own:
+                col = t.column(c)
+                if c == on_col and col.type != on_type:
+                    col = pc.cast(col, on_type)  # merge_asof needs equal on dtypes
+                elif not pa.types.is_null(types[c]) and col.type != types[c]:
+                    col = pc.cast(col, types[c])
+                cols[c] = col
+            return pa.table(cols)
+
+        return fn
+
+    both = left.map_batches(
+        tag(0, by, l_cols, on), batch_format="pyarrow"
+    ).union(right.map_batches(tag(1, right_by, r_cols, right_on), batch_format="pyarrow"))
+
+    def merge_bucket(t: pa.Table) -> pd.DataFrame:
+        if "_side" not in t.column_names:  # schema-less all-empty bucket
+            t = pa.table({"_jk": pa.nulls(0, jk_type), "_side": pa.nulls(0, pa.int8())})
+        side = t.column("_side")
+        lpart = _project_typed(
+            t.filter(pc.equal(side, 0)), ["_jk"] + l_cols, types
+        ).to_pandas()
+        rpart = _project_typed(
+            t.filter(pc.equal(side, 1)), ["_jk"] + r_cols, types
+        ).to_pandas()
+        # null by-keys / on-values never match; merge_asof rejects them
+        l_ok = lpart["_jk"].notna() & lpart[on].notna()
+        r_ok = rpart["_jk"].notna() & rpart[right_on].notna()
+        lmiss = lpart[~l_ok]
+        lpart = lpart[l_ok].sort_values(on, kind="stable")
+        # among equal right_on values merge_asof keeps the LAST row → sort
+        # tie-breakers ascending so the largest tuple wins
+        rpart = (
+            rpart[r_ok]
+            .sort_values(
+                [right_on] + ties,
+                ascending=[True] + [ties_asc] * len(ties),
+                kind="stable",
+            )
+            .assign(_matched=1)
+        )
+        out = pd.merge_asof(
+            lpart,
+            rpart,
+            left_on=on,
+            right_on=right_on,
+            by="_jk",
+            direction=direction,
+            tolerance=tolerance,
+        )
+        if how == "inner":
+            out = out[out["_matched"].notna()]
+        elif len(lmiss):
+            out = pd.concat([out, lmiss], ignore_index=True)
+        out = out.drop(columns=["_jk", "_matched"], errors="ignore")
+        for c, dt in dtypes.items():
+            if c in out.columns and out[c].dtype != dt:
+                try:
+                    out[c] = out[c].astype(dt)
+                except (ValueError, TypeError):
+                    pass
+        return out
+
+    return exchange_group_apply(
+        both, "_jk", merge_bucket, num_buckets, fn_format="pyarrow"
+    )
+
+
+def range_join(
+    left,
+    right,
+    *,
+    by: str,
+    right_by: str | None = None,
+    point: str,
+    start: str,
+    end: str,
+    closed: str = "both",
+    num_buckets: int | None = None,
+):
+    """Distributed interval/range join: pair each left row with every right
+    row of the same ``by`` key whose ``[start, end]`` interval contains the
+    left ``point`` (``closed``: "both" | "left" | "right" | "neither").
+    Composition: the same tagged-union hash exchange as
+    :func:`bucketed_join`, then inside each bucket an equi-merge on the key
+    followed by one vectorized interval mask — never a global cross
+    product. Partitioning assumption: per-key match multiplicity is
+    bounded (the key×key merge inside a bucket materializes candidate
+    pairs before the mask), the usual contract for band joins.
+    """
+    import pyarrow.compute as pc
+
+    from .groupby import exchange_group_apply
+
+    right_by = right_by or by
+    l_schema = left.schema()
+    r_schema = right.schema()
+    overlap = set(l_schema.names) & set(r_schema.names)
+    if overlap:
+        raise ValueError(f"range_join: overlapping columns {overlap}")
+
+    l_cols = list(l_schema.names)
+    r_cols = [c for c in r_schema.names if c != right_by]
+    types = {c: _arrow_field_type(l_schema, c) for c in l_cols}
+    types.update({c: _arrow_field_type(r_schema, c) for c in r_cols})
+    jk_type = _join_key_caster(
+        _arrow_field_type(l_schema, by), _arrow_field_type(r_schema, right_by)
+    )
+    types["_jk"] = jk_type
+    lo_inc = closed in ("both", "left")
+    hi_inc = closed in ("both", "right")
+
+    def tag(side: int, key_col: str, own: list[str]):
+        def fn(t: pa.Table) -> pa.Table:
+            cols: dict = {
+                "_jk": pc.cast(t.column(key_col), jk_type),
+                "_side": pa.array(np.full(t.num_rows, side, dtype=np.int8)),
+            }
+            for c in own:
+                col = t.column(c)
+                if not pa.types.is_null(types[c]) and col.type != types[c]:
+                    col = pc.cast(col, types[c])
+                cols[c] = col
+            return pa.table(cols)
+
+        return fn
+
+    both = left.map_batches(
+        tag(0, by, l_cols), batch_format="pyarrow"
+    ).union(right.map_batches(tag(1, right_by, r_cols), batch_format="pyarrow"))
+
+    def merge_bucket(t: pa.Table) -> pd.DataFrame:
+        if "_side" not in t.column_names:
+            t = pa.table({"_jk": pa.nulls(0, jk_type), "_side": pa.nulls(0, pa.int8())})
+        side = t.column("_side")
+        lpart = _project_typed(
+            t.filter(pc.equal(side, 0)), ["_jk"] + l_cols, types
+        ).to_pandas()
+        rpart = _project_typed(
+            t.filter(pc.equal(side, 1)), ["_jk"] + r_cols, types
+        ).to_pandas()
+        out = lpart.merge(rpart, on="_jk", how="inner")
+        lo = out[point] >= out[start] if lo_inc else out[point] > out[start]
+        hi = out[point] <= out[end] if hi_inc else out[point] < out[end]
+        return out[lo & hi].drop(columns=["_jk"])
+
+    return exchange_group_apply(
+        both, "_jk", merge_bucket, num_buckets, fn_format="pyarrow"
+    )
+
+
 def keys_of(ds, col: str) -> list:
     """Collect one small key column to the driver (for broadcast joins).
     Only valid when the column is known-small (dimension side)."""
@@ -372,18 +613,6 @@ def bucketed_join(
     # pandas conversion to object (e.g. int8 flags). Restore after the merge
     # where the cast is lossless; columns that legitimately hold NaN
     # (outer-join misses) keep object.
-    def _dtype_map(ds_schema):
-        out = {}
-        for name, typ in zip(ds_schema.names, ds_schema.types):
-            if isinstance(typ, np.dtype):  # pandas-block datasets
-                out[name] = typ
-                continue
-            try:
-                out[name] = typ.to_pandas_dtype()
-            except Exception:  # noqa: BLE001
-                pass
-        return out
-
     # the output key column carries LEFT values — drop the right side's key
     # dtype so restoration can't cast it to the right's type (int64 keys
     # wrapped to uint64 when the sides' key signedness differed)
