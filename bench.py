@@ -77,6 +77,8 @@ BENCH_QUERIES = [
     "transfer_kl_scores",    # A4+A5 transfer-source selection (round 3)
     "doc_boilerplate_stats",  # hot-shingle boilerplate signal (round 4)
     "doc_top_tfidf",          # corpus TF-IDF top term per doc (round 4)
+    "event_order_asof",       # distributed as-of join (round 4)
+    "orders_nearby_counts",   # distributed range/interval join (round 4)
 ]
 
 HEADLINE = "er_documents"

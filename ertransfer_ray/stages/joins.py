@@ -408,6 +408,20 @@ def asof_join(
     )
 
 
+def _band_index(col: "pa.ChunkedArray", granule) -> np.ndarray:
+    """int64 band id per row: floor(value / granule). Temporal columns are
+    normalized to ns (mixed-unit timestamp inputs band consistently);
+    granule is a Timedelta-like for temporal columns, a number otherwise.
+    Caller must have filtered out nulls."""
+    s = col.to_pandas()
+    if pd.api.types.is_datetime64_any_dtype(s):
+        v = s.astype("datetime64[ns]").astype("int64").to_numpy()
+        g = int(pd.Timedelta(granule).value)
+        return v // g
+    v = s.to_numpy(dtype=np.float64)
+    return np.floor(v / float(granule)).astype(np.int64)
+
+
 def range_join(
     left,
     right,
@@ -418,6 +432,7 @@ def range_join(
     start: str,
     end: str,
     closed: str = "both",
+    band=None,
     num_buckets: int | None = None,
 ):
     """Distributed interval/range join: pair each left row with every right
@@ -429,6 +444,19 @@ def range_join(
     product. Partitioning assumption: per-key match multiplicity is
     bounded (the key×key merge inside a bucket materializes candidate
     pairs before the mask), the usual contract for band joins.
+
+    ``band`` (a Timedelta-like granule for temporal columns, a number for
+    numeric ones) is the HOT-KEY SALT: the exchange key becomes
+    ``(by, floor(point / band))`` and each right interval is replicated to
+    every band it overlaps, so one hot ``by`` key spreads across many
+    buckets and the per-bucket merge only pairs rows whose times are
+    within one granule of each other — the quadratic |L_k|·|R_k| term
+    becomes |L_k,b|·|R_k,b| per band. Each (left, right) match meets in
+    EXACTLY one band (the left point's), so no dedup pass is needed and
+    banded output equals unbanded output. Pick ``band`` ≈ the typical
+    interval width: replication factor is width/band + 1. Rows whose
+    banding columns are null are dropped up front (they can never satisfy
+    the interval predicate).
     """
     import pyarrow.compute as pc
 
@@ -451,13 +479,41 @@ def range_join(
     types["_jk"] = jk_type
     lo_inc = closed in ("both", "left")
     hi_inc = closed in ("both", "right")
+    keys = ["_jk", "_band"] if band is not None else ["_jk"]
+    if band is not None:
+        types["_band"] = pa.int64()
 
     def tag(side: int, key_col: str, own: list[str]):
         def fn(t: pa.Table) -> pa.Table:
+            if band is not None:
+                if side == 0:
+                    t = t.filter(pc.is_valid(t.column(point)))
+                    bands = _band_index(t.column(point), band)
+                else:
+                    t = t.filter(
+                        pc.and_(pc.is_valid(t.column(start)), pc.is_valid(t.column(end)))
+                    )
+                    b0 = _band_index(t.column(start), band)
+                    b1 = _band_index(t.column(end), band)
+                    lengths = b1 - b0 + 1
+                    live = lengths > 0  # end < start ⇒ empty interval
+                    if not live.all():
+                        t = t.take(pa.array(np.flatnonzero(live)))
+                        b0, lengths = b0[live], lengths[live]
+                    # replicate each interval row once per overlapped band
+                    idx = np.repeat(np.arange(len(lengths), dtype=np.int64), lengths)
+                    offsets = np.zeros(len(lengths), dtype=np.int64)
+                    np.cumsum(lengths[:-1], out=offsets[1:])
+                    bands = b0.repeat(lengths) + (
+                        np.arange(idx.size, dtype=np.int64) - offsets.repeat(lengths)
+                    )
+                    t = t.take(pa.array(idx))
             cols: dict = {
                 "_jk": pc.cast(t.column(key_col), jk_type),
                 "_side": pa.array(np.full(t.num_rows, side, dtype=np.int8)),
             }
+            if band is not None:
+                cols["_band"] = pa.array(bands)
             for c in own:
                 col = t.column(c)
                 if not pa.types.is_null(types[c]) and col.type != types[c]:
@@ -476,18 +532,20 @@ def range_join(
             t = pa.table({"_jk": pa.nulls(0, jk_type), "_side": pa.nulls(0, pa.int8())})
         side = t.column("_side")
         lpart = _project_typed(
-            t.filter(pc.equal(side, 0)), ["_jk"] + l_cols, types
+            t.filter(pc.equal(side, 0)), keys + l_cols, types
         ).to_pandas()
         rpart = _project_typed(
-            t.filter(pc.equal(side, 1)), ["_jk"] + r_cols, types
+            t.filter(pc.equal(side, 1)), keys + r_cols, types
         ).to_pandas()
-        out = lpart.merge(rpart, on="_jk", how="inner")
+        # with banding, merging on (_jk, _band) pairs each left row only with
+        # the ONE replica of each interval in its own band — exactly-once
+        out = lpart.merge(rpart, on=keys, how="inner")
         lo = out[point] >= out[start] if lo_inc else out[point] > out[start]
         hi = out[point] <= out[end] if hi_inc else out[point] < out[end]
-        return out[lo & hi].drop(columns=["_jk"])
+        return out[lo & hi].drop(columns=keys)
 
     return exchange_group_apply(
-        both, "_jk", merge_bucket, num_buckets, fn_format="pyarrow"
+        both, keys, merge_bucket, num_buckets, fn_format="pyarrow"
     )
 
 

@@ -159,8 +159,13 @@ _INTERVALS = st.lists(
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
 )
-@given(_ROWS, _INTERVALS, st.sampled_from(["both", "left", "right", "neither"]))
-def test_range_join_matches_bruteforce(lrows, intervals, closed):
+@given(
+    _ROWS,
+    _INTERVALS,
+    st.sampled_from(["both", "left", "right", "neither"]),
+    st.sampled_from([None, 2, 7]),
+)
+def test_range_join_matches_bruteforce(lrows, intervals, closed, band):
     if not lrows:
         return
     ldf = pd.DataFrame(
@@ -187,6 +192,7 @@ def test_range_join_matches_bruteforce(lrows, intervals, closed):
         start="lo",
         end="hi",
         closed=closed,
+        band=band,  # None = plain by-key exchange; numeric = hot-key salt
         num_buckets=3,
     ).to_pandas()
     lo_ok = (lambda t, lo: t >= lo) if closed in ("both", "left") else (lambda t, lo: t > lo)
@@ -204,3 +210,49 @@ def test_range_join_matches_bruteforce(lrows, intervals, closed):
     )
     assert got_pairs == want
     assert len(got) == len(want)  # no duplicate pairs
+
+
+def test_range_join_band_timestamp_parity_hot_key():
+    """Banded == unbanded on temporal intervals with MIXED timestamp units
+    (us points, ns interval ends) and one hot key carrying 90% of rows —
+    the exact shape the band salt exists for."""
+    rng = np.random.default_rng(7)
+    n = 300
+    base = pd.Timestamp("2024-03-01")
+    ldf = pd.DataFrame(
+        {
+            "k": np.where(rng.random(n) < 0.9, 1, 2).astype(np.int64),
+            "t": (base + pd.to_timedelta(rng.integers(0, 72 * 60, n), unit="m"))
+            .astype("datetime64[us]"),
+            "lid": np.arange(n, dtype=np.int64),
+        }
+    )
+    starts = base + pd.to_timedelta(rng.integers(0, 72 * 60, n // 3), unit="m")
+    rdf = pd.DataFrame(
+        {
+            "rk": np.where(rng.random(n // 3) < 0.9, 1, 2).astype(np.int64),
+            "lo": starts.astype("datetime64[us]"),
+            "hi": (starts + pd.Timedelta(hours=2)).astype("datetime64[ns]"),
+            "rid": np.arange(n // 3, dtype=np.int64),
+        }
+    )
+
+    def pairs(band):
+        got = range_join(
+            rd.from_pandas(ldf),
+            rd.from_pandas(rdf),
+            by="k",
+            right_by="rk",
+            point="t",
+            start="lo",
+            end="hi",
+            closed="both",
+            band=band,
+            num_buckets=4,
+        ).to_pandas()
+        return set(zip(got["lid"].astype("int64"), got["rid"].astype("int64")))
+
+    plain = pairs(None)
+    assert len(plain) > 100  # non-trivial fixture
+    assert pairs(pd.Timedelta(hours=1)) == plain
+    assert pairs(pd.Timedelta(minutes=37)) == plain  # granule ∤ window width
