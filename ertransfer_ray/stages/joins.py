@@ -457,6 +457,10 @@ def range_join(
     interval width: replication factor is width/band + 1. Rows whose
     banding columns are null are dropped up front (they can never satisfy
     the interval predicate).
+
+    Measured (100k points × 10k 2h-intervals / 30 days, 20 % of both sides
+    on one key, 32 CPUs, identical 114,613-pair output): band=2h 0.31 s
+    warm / 3.7 s cold vs 40.8–65.6 s unbanded — see BASELINE.md.
     """
     import pyarrow.compute as pc
 
