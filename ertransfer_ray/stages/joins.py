@@ -277,6 +277,7 @@ def asof_join(
     direction: str = "backward",
     tolerance=None,
     tie_breakers: list[str] | None = None,
+    band=None,
     num_buckets: int | None = None,
 ):
     """Distributed as-of join: attach to each left row the temporally
@@ -301,6 +302,23 @@ def asof_join(
     Non-key column names must be disjoint across sides (as in
     :func:`bucketed_join`). ``tolerance`` passes through to ``merge_asof``
     (e.g. ``pd.Timedelta("7d")``).
+
+    ``band`` (a Timedelta-like granule for temporal ``on`` columns, a
+    number for numeric ones) is the HOT-KEY SALT, as in :func:`range_join`:
+    the exchange key becomes ``(by, floor(on / band))`` so one hot ``by``
+    key spreads across many buckets instead of serializing into one. An
+    as-of match may live in an EARLIER band than the probe (backward; later
+    for forward), so a small per-key side exchange first computes each
+    (key, band)'s best right row and ``merge_asof``s the left side's
+    distinct (key, band) demands onto strictly-earlier band bests — the
+    winning "carry-in" rows are re-tagged to the demanding band and ride
+    the main exchange as ordinary right rows. Any extra earlier-band rows a
+    bucket picks up from key co-hashing are dominated by the carry-in, and
+    duplicate candidates cannot duplicate output (merge_asof picks exactly
+    one match per probe row), so banded output is IDENTICAL to unbanded
+    (property-pinned). The side exchange carries one row per (key, band) —
+    tiny even for the hottest key. Only ``direction`` backward/forward
+    support banding.
     """
     import pyarrow.compute as pc
 
@@ -310,6 +328,8 @@ def asof_join(
     right_by = right_by or by
     if how not in ("left", "inner"):
         raise ValueError(f"asof_join: how={how!r} (use 'left' or 'inner')")
+    if band is not None and direction not in ("backward", "forward"):
+        raise ValueError("asof_join: band salting supports backward/forward only")
 
     l_schema = left.schema()
     r_schema = right.schema()
@@ -334,12 +354,23 @@ def asof_join(
     rmap.pop(right_by, None)
     dtypes = {**_dtype_map(l_schema), **rmap}
 
+    keys = ["_jk"] if band is None else ["_jk", "_band"]
+    if band is not None:
+        types["_band"] = pa.int64()
+
     def tag(side: int, key_col: str, own: list[str], on_col: str):
         def fn(t: pa.Table) -> pa.Table:
+            if band is not None and side == 1:
+                # null right keys/times never match — drop before banding
+                t = t.filter(
+                    pc.and_(pc.is_valid(t.column(key_col)), pc.is_valid(t.column(on_col)))
+                )
             cols: dict = {
                 "_jk": pc.cast(t.column(key_col), jk_type),
                 "_side": pa.array(np.full(t.num_rows, side, dtype=np.int8)),
             }
+            if band is not None:
+                cols["_band"] = pa.array(_band_index(t.column(on_col), band))
             for c in own:
                 col = t.column(c)
                 if c == on_col and col.type != on_type:
@@ -351,9 +382,16 @@ def asof_join(
 
         return fn
 
-    both = left.map_batches(
-        tag(0, by, l_cols, on), batch_format="pyarrow"
-    ).union(right.map_batches(tag(1, right_by, r_cols, right_on), batch_format="pyarrow"))
+    l_tag = left.map_batches(tag(0, by, l_cols, on), batch_format="pyarrow")
+    r_tag = right.map_batches(tag(1, right_by, r_cols, right_on), batch_format="pyarrow")
+    both = l_tag.union(r_tag)
+    if band is not None:
+        both = both.union(
+            _asof_carry_rows(
+                l_tag, r_tag, right_on, ties, ties_asc, direction, types,
+                r_cols, jk_type, on_type, num_buckets,
+            )
+        )
 
     def merge_bucket(t: pa.Table) -> pd.DataFrame:
         if "_side" not in t.column_names:  # schema-less all-empty bucket
@@ -404,22 +442,115 @@ def asof_join(
         return out
 
     return exchange_group_apply(
-        both, "_jk", merge_bucket, num_buckets, fn_format="pyarrow"
+        both, keys, merge_bucket, num_buckets, fn_format="pyarrow"
     )
+
+
+def _asof_carry_rows(
+    l_tag, r_tag, right_on, ties, ties_asc, direction, types, r_cols,
+    jk_type, on_type, num_buckets,
+):
+    """The band salt's side channel: for every (key, band) the LEFT side
+    probes, the best right row from a STRICTLY earlier band (backward; later
+    for forward), re-tagged to the probing band so it rides the main
+    (key, band) exchange as an ordinary right row. Ships one demand row and
+    one band-best row per (key, band) — O(active bands per key), never
+    O(rows)."""
+    import pyarrow.compute as pc
+
+    from .groupby import exchange_group_apply
+
+    asc = [True] + [ties_asc] * len(ties)
+
+    def demands(t: pa.Table) -> pd.DataFrame:
+        df = t.select(["_jk", "_band"]).to_pandas().drop_duplicates()
+        df["_side"] = np.int8(0)
+        return df
+
+    def batch_bests(t: pa.Table) -> pd.DataFrame:
+        df = t.to_pandas()
+        df = df.sort_values([right_on] + ties, ascending=asc, kind="stable")
+        g = df.groupby(["_jk", "_band"], sort=False, dropna=False)
+        return g.tail(1) if direction == "backward" else g.head(1)
+
+    out_cols = ["_jk", "_band"] + r_cols + ["_side"]
+
+    def carry(df: pd.DataFrame) -> pd.DataFrame:
+        if "_side" not in df.columns or right_on not in df.columns:
+            return pd.DataFrame({c: [] for c in out_cols})
+        d = (
+            df[df["_side"] == 0][["_jk", "_band"]]
+            .drop_duplicates()
+            .sort_values("_band", kind="stable")
+        )
+        b = df[df["_side"] == 1].drop(columns=["_side"])
+        if not len(d) or not len(b):
+            return pd.DataFrame({c: [] for c in out_cols})
+        # exact global band-best (batch_bests only shrank per block)
+        b = b.sort_values([right_on] + ties, ascending=asc, kind="stable")
+        g = b.groupby(["_jk", "_band"], sort=False, dropna=False)
+        b = (g.tail(1) if direction == "backward" else g.head(1)).sort_values(
+            "_band", kind="stable"
+        )
+        m = pd.merge_asof(
+            d,
+            b,
+            on="_band",
+            by="_jk",
+            direction=direction,
+            allow_exact_matches=False,  # in-band rows are already in the bucket
+        )
+        m = m[m[right_on].notna()]
+        m["_side"] = np.int8(1)
+        return m[out_cols]
+
+    carried = exchange_group_apply(
+        l_tag.map_batches(demands, batch_format="pyarrow").union(
+            r_tag.map_batches(batch_bests, batch_format="pyarrow")
+        ),
+        "_jk",
+        carry,
+        num_buckets,
+        fn_format="pandas",
+    )
+
+    def recast(t: pa.Table) -> pa.Table:
+        want = {
+            "_jk": jk_type,
+            "_band": pa.int64(),
+            "_side": pa.int8(),
+            **{c: types[c] for c in r_cols},
+        }
+        # the tag stage casts right_on to the left on-dtype; match it so the
+        # main union's permissive concat never has to promote mixed units
+        want[right_on] = on_type
+        if t.num_rows == 0:
+            return pa.table({c: pa.nulls(0, ty) for c, ty in want.items()})
+        cols = {}
+        for c, ty in want.items():
+            col = t.column(c)
+            cols[c] = col if (pa.types.is_null(ty) or col.type == ty) else pc.cast(col, ty)
+        return pa.table(cols)
+
+    return carried.map_batches(recast, batch_format="pyarrow")
 
 
 def _band_index(col: "pa.ChunkedArray", granule) -> np.ndarray:
     """int64 band id per row: floor(value / granule). Temporal columns are
     normalized to ns (mixed-unit timestamp inputs band consistently);
     granule is a Timedelta-like for temporal columns, a number otherwise.
-    Caller must have filtered out nulls."""
+    Null values band to 0 (they can never satisfy a join predicate — the
+    caller either filters them or lets them ride to a bucket unmatched)."""
     s = col.to_pandas()
     if pd.api.types.is_datetime64_any_dtype(s):
-        v = s.astype("datetime64[ns]").astype("int64").to_numpy()
+        v = s.astype("datetime64[ns]").to_numpy()
+        nat = np.isnat(v)
         g = int(pd.Timedelta(granule).value)
-        return v // g
+        return np.where(nat, 0, v.view("i8") // g)
     v = s.to_numpy(dtype=np.float64)
-    return np.floor(v / float(granule)).astype(np.int64)
+    bad = ~np.isfinite(v)
+    b = np.floor(np.where(bad, 0.0, v) / float(granule))
+    return np.where(bad, 0, b).astype(np.int64)
 
 
 def range_join(

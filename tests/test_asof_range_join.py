@@ -50,8 +50,9 @@ def _brute_asof_rid(ldf, rdf, direction, tolerance):
     st.sampled_from(["backward", "forward"]),
     st.sampled_from(["left", "inner"]),
     st.sampled_from([None, 3]),
+    st.sampled_from([None, 4]),
 )
-def test_asof_join_matches_bruteforce(lrows, rrows, direction, how, tolerance):
+def test_asof_join_matches_bruteforce(lrows, rrows, direction, how, tolerance, band):
     if not lrows:
         return
     ldf = pd.DataFrame(
@@ -79,6 +80,7 @@ def test_asof_join_matches_bruteforce(lrows, rrows, direction, how, tolerance):
         direction=direction,
         tolerance=tolerance,
         tie_breakers=["rid"],
+        band=band,  # None = plain by-key exchange; numeric = hot-key salt
         num_buckets=3,
     ).to_pandas()
     want = _brute_asof_rid(ldf, rdf, direction, tolerance)
@@ -145,6 +147,54 @@ def test_asof_join_null_keys_and_times_never_match():
         num_buckets=2,
     ).to_pandas()
     assert list(inner["lid"].astype("int64")) == [0]
+
+
+def test_asof_join_band_timestamp_parity_hot_key():
+    """Banded == unbanded as-of on temporal data with one hot key carrying
+    90% of rows — carry-in rows must supply matches whose order lives in an
+    EARLIER band than the probing event."""
+    rng = np.random.default_rng(11)
+    n = 400
+    base = pd.Timestamp("2024-03-01")
+    ldf = pd.DataFrame(
+        {
+            "k": np.where(rng.random(n) < 0.9, 1, 2).astype(np.int64),
+            "t": (base + pd.to_timedelta(rng.integers(0, 96 * 60, n), unit="m"))
+            .astype("datetime64[us]"),
+            "lid": np.arange(n, dtype=np.int64),
+        }
+    )
+    m = n // 8  # sparse right side → most probes carry across bands
+    rdf = pd.DataFrame(
+        {
+            "rk": np.where(rng.random(m) < 0.9, 1, 2).astype(np.int64),
+            "rt": (base + pd.to_timedelta(rng.integers(0, 96 * 60, m), unit="m"))
+            .astype("datetime64[us]"),
+            "rid": np.arange(m, dtype=np.int64),
+        }
+    )
+
+    def matches(band):
+        got = asof_join(
+            rd.from_pandas(ldf),
+            rd.from_pandas(rdf),
+            on="t",
+            by="k",
+            right_on="rt",
+            right_by="rk",
+            how="left",
+            tie_breakers=["rid"],
+            band=band,
+            num_buckets=4,
+        ).to_pandas()
+        assert len(got) == n
+        got = got.sort_values("lid", ignore_index=True)
+        return [None if pd.isna(v) else int(v) for v in got["rid"]]
+
+    plain = matches(None)
+    assert sum(v is not None for v in plain) > 300  # non-trivial fixture
+    assert matches(pd.Timedelta(hours=2)) == plain
+    assert matches(pd.Timedelta(minutes=45)) == plain
 
 
 _INTERVALS = st.lists(
