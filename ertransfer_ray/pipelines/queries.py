@@ -605,6 +605,31 @@ def q_corpus_top_terms(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_doc_segment_dup_stats(sf_dir: str) -> pd.DataFrame:
+    """Line-level dedup signal (C4/RefinedWeb): per doc the count and
+    fraction of its 5-word segments whose exact text occurs more than once
+    in the corpus — stages/segdedup.segment_dup_stats, one segment-keyed
+    exchange emitting per-doc partials + one per-doc combine."""
+    from ..stages.segdedup import segment_dup_stats
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = segment_dup_stats(docs, k=5).to_pandas()
+    out["dup_frac"] = out["dup_frac"].round(6)
+    return out.sort_values("doc_id", ignore_index=True)
+
+
+def q_doc_clean_segments(sf_dir: str) -> pd.DataFrame:
+    """Line-level dedup rewrite: every duplicated 5-word-segment occurrence
+    except the global first (min (doc_id, seg_no)) removed, text rebuilt
+    from survivors + the <5-word tail — stages/segdedup.
+    drop_duplicate_segments, drop list broadcast map-side (auto strategy)."""
+    from ..stages.segdedup import drop_duplicate_segments
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = drop_duplicate_segments(docs, k=5).to_pandas()
+    return out.sort_values("doc_id", ignore_index=True)
+
+
 def q_event_order_asof(sf_dir: str) -> pd.DataFrame:
     """As-of join: each event picks the LATEST order of the same customer at
     or before the event time (ties broken deterministically by max
@@ -777,6 +802,8 @@ def build_queries() -> dict:
         "doc_repetition_stats": q_doc_repetition_stats,
         "doc_top_tfidf": q_doc_top_tfidf,
         "corpus_top_terms": q_corpus_top_terms,
+        "doc_segment_dup_stats": q_doc_segment_dup_stats,
+        "doc_clean_segments": q_doc_clean_segments,
         "event_order_asof": q_event_order_asof,
         "orders_nearby_counts": q_orders_nearby_counts,
         "event_value_quantiles": q_event_value_quantiles,
@@ -1197,6 +1224,61 @@ ORACLE_SQL: dict[str, str] = {
             FROM documents
         )
         GROUP BY term ORDER BY n DESC, term LIMIT 10
+    """,
+    "doc_segment_dup_stats": """
+        WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        ss AS (
+            SELECT doc_id, ws,
+                   unnest(generate_series(1, CAST(length(ws) // 5 AS BIGINT))) AS s
+            FROM d
+        ),
+        segs AS (
+            SELECT doc_id, array_to_string(ws[(s-1)*5+1 : s*5], ' ') AS seg
+            FROM ss
+        ),
+        counted AS (
+            SELECT doc_id, seg, count(*) OVER (PARTITION BY seg) AS gc FROM segs
+        )
+        SELECT doc_id,
+               count(*) AS n_segs,
+               CAST(sum(CASE WHEN gc > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_segs,
+               round(CAST(sum(CASE WHEN gc > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                     / count(*), 6) AS dup_frac
+        FROM counted GROUP BY doc_id ORDER BY doc_id
+    """,
+    "doc_clean_segments": """
+        WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        ss AS (
+            SELECT doc_id, ws,
+                   unnest(generate_series(1, CAST(length(ws) // 5 AS BIGINT))) AS s
+            FROM d
+        ),
+        segs AS (
+            SELECT doc_id, s, array_to_string(ws[(s-1)*5+1 : s*5], ' ') AS seg
+            FROM ss
+        ),
+        ranked AS (
+            SELECT doc_id, s, seg,
+                   row_number() OVER (PARTITION BY seg ORDER BY doc_id, s) AS rn
+            FROM segs
+        ),
+        kept AS (
+            SELECT doc_id, string_agg(seg, ' ' ORDER BY s) AS body
+            FROM ranked WHERE rn = 1 GROUP BY doc_id
+        ),
+        rem AS (
+            SELECT doc_id,
+                   array_to_string(
+                       ws[CAST(length(ws) // 5 AS BIGINT) * 5 + 1 : length(ws)],
+                       ' ') AS tail_words
+            FROM d
+        )
+        SELECT d.doc_id,
+               concat_ws(' ', k.body, nullif(r.tail_words, '')) AS clean_text
+        FROM d
+        LEFT JOIN kept k ON d.doc_id = k.doc_id
+        LEFT JOIN rem r ON d.doc_id = r.doc_id
+        ORDER BY d.doc_id
     """,
     "event_order_asof": """
         SELECT event_id, ts, user_id, value, o_orderkey, o_orderdate, o_totalprice
