@@ -79,6 +79,7 @@ BENCH_QUERIES = [
     "doc_top_tfidf",          # corpus TF-IDF top term per doc (round 4)
     "event_order_asof",       # distributed as-of join (round 4)
     "orders_nearby_counts",   # distributed range/interval join (round 4)
+    "doc_segment_dup_stats",  # line-level dedup signal (round 4)
 ]
 
 HEADLINE = "er_documents"

@@ -630,6 +630,44 @@ def q_doc_clean_segments(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id", ignore_index=True)
 
 
+def _mod50_split(docs, keep_eval: bool):
+    """Deterministic corpus/eval split for the decontamination queries:
+    doc_id % 50 == 0 is the stand-in benchmark set (SQL-reproducible)."""
+    def f(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        m = ids % 50 == 0
+        return t.filter(pa.array(m if keep_eval else ~m))
+
+    return docs.map_batches(f, batch_format="pyarrow")
+
+
+def q_doc_decontam_stats(sf_dir: str) -> pd.DataFrame:
+    """Train/eval n-gram-overlap decontamination signal: per corpus doc how
+    many of its distinct 5-word shingles appear in the eval set (doc_id %
+    50 == 0) — stages/decontam.contamination_stats, eval shingle set
+    broadcast, decision fully map-side."""
+    from ..stages.decontam import contamination_stats
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = contamination_stats(
+        _mod50_split(docs, False), _mod50_split(docs, True), shingle_words=5
+    ).to_pandas()
+    return out.sort_values("doc_id", ignore_index=True)
+
+
+def q_doc_decontaminated(sf_dir: str) -> pd.DataFrame:
+    """The decontamination filter itself: corpus docs (doc_id % 50 <> 0)
+    surviving removal of every doc sharing a 5-word shingle with the eval
+    set — stages/decontam.decontaminate, streaming map-side filter."""
+    from ..stages.decontam import decontaminate
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = decontaminate(
+        _mod50_split(docs, False), _mod50_split(docs, True), shingle_words=5
+    ).to_pandas()
+    return out.sort_values("doc_id", ignore_index=True)
+
+
 def q_event_order_asof(sf_dir: str) -> pd.DataFrame:
     """As-of join: each event picks the LATEST order of the same customer at
     or before the event time (ties broken deterministically by max
@@ -804,6 +842,8 @@ def build_queries() -> dict:
         "corpus_top_terms": q_corpus_top_terms,
         "doc_segment_dup_stats": q_doc_segment_dup_stats,
         "doc_clean_segments": q_doc_clean_segments,
+        "doc_decontam_stats": q_doc_decontam_stats,
+        "doc_decontaminated": q_doc_decontaminated,
         "event_order_asof": q_event_order_asof,
         "orders_nearby_counts": q_orders_nearby_counts,
         "event_value_quantiles": q_event_value_quantiles,
@@ -1278,6 +1318,60 @@ ORACLE_SQL: dict[str, str] = {
         FROM d
         LEFT JOIN kept k ON d.doc_id = k.doc_id
         LEFT JOIN rem r ON d.doc_id = r.doc_id
+        ORDER BY d.doc_id
+    """,
+    "doc_decontam_stats": """
+        WITH norm AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                               x -> x <> '') AS w
+            FROM documents
+        ), norm2 AS (
+            SELECT doc_id, w, array_to_string(w, ' ') AS s
+            FROM norm WHERE len(w) > 0
+        ), sh AS (
+            SELECT DISTINCT doc_id, sh FROM (
+                SELECT doc_id,
+                       unnest(CASE WHEN len(w) <= 5 THEN [s]
+                              ELSE list_transform(range(1, len(w) - 3),
+                                                  i -> array_to_string(w[i:i+4], ' '))
+                              END) AS sh
+                FROM norm2)
+        ), ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 50 = 0),
+        cs AS (SELECT doc_id, sh FROM sh WHERE doc_id % 50 <> 0)
+        SELECT cs.doc_id,
+               count(*) AS n_shingles,
+               CAST(sum(CASE WHEN ev.sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_hits,
+               (sum(CASE WHEN ev.sh IS NOT NULL THEN 1 ELSE 0 END) > 0)
+                   AS contaminated
+        FROM cs LEFT JOIN ev ON cs.sh = ev.sh
+        GROUP BY cs.doc_id ORDER BY cs.doc_id
+    """,
+    "doc_decontaminated": """
+        WITH norm AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                               x -> x <> '') AS w
+            FROM documents
+        ), norm2 AS (
+            SELECT doc_id, w, array_to_string(w, ' ') AS s
+            FROM norm WHERE len(w) > 0
+        ), sh AS (
+            SELECT DISTINCT doc_id, sh FROM (
+                SELECT doc_id,
+                       unnest(CASE WHEN len(w) <= 5 THEN [s]
+                              ELSE list_transform(range(1, len(w) - 3),
+                                                  i -> array_to_string(w[i:i+4], ' '))
+                              END) AS sh
+                FROM norm2)
+        ), ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 50 = 0),
+        cs AS (SELECT doc_id, sh FROM sh WHERE doc_id % 50 <> 0),
+        bad AS (SELECT DISTINCT cs.doc_id FROM cs JOIN ev ON cs.sh = ev.sh)
+        SELECT d.doc_id, d.text
+        FROM documents d
+        WHERE d.doc_id % 50 <> 0
+          AND d.doc_id NOT IN (SELECT doc_id FROM bad)
         ORDER BY d.doc_id
     """,
     "event_order_asof": """
