@@ -668,6 +668,47 @@ def q_doc_decontaminated(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id", ignore_index=True)
 
 
+#: corpus-mixing rates for the doc_source_mixture query (others keep 100 %)
+_MIX_RATES = {"src0": 0.2, "src1": 0.5, "src2": 0.8}
+
+
+def q_doc_source_mixture(sf_dir: str) -> pd.DataFrame:
+    """Corpus mixing / domain reweighting: deterministic per-source
+    downsampling (20 % of src0, 50 % of src1, 80 % of src2, all the rest)
+    — stages/sampling.rate_sample, one stateless map, keep decision a pure
+    function of (doc_id, source) so it is identical at any parallelism."""
+    from ..stages.sampling import rate_sample
+
+    docs = _read(sf_dir, "documents", ["doc_id", "source"])
+    out = rate_sample(docs, _MIX_RATES).to_pandas()
+    return out.sort_values("doc_id", ignore_index=True)
+
+
+def q_doc_token_p90_filter(sf_dir: str) -> pd.DataFrame:
+    """Global-quantile thresholding: docs whose whitespace token count is
+    strictly above the corpus-wide quantile_cont(0.9) —
+    stages/sampling.filter_by_quantile (one exact-quantile pass +
+    broadcast-scalar map-side filter)."""
+    from ..stages.sampling import filter_by_quantile
+    from ..functions.textstats import token_count_batch
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def counts(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "token_count": pa.compute.cast(
+                    token_count_batch(t.column("text")), pa.int64()
+                ),
+            }
+        )
+
+    tc = docs.map_batches(counts, batch_format="pyarrow")
+    out = filter_by_quantile(tc, "token_count", 0.9, keep="above").to_pandas()
+    return out.sort_values("doc_id", ignore_index=True)
+
+
 def q_event_order_asof(sf_dir: str) -> pd.DataFrame:
     """As-of join: each event picks the LATEST order of the same customer at
     or before the event time (ties broken deterministically by max
@@ -844,6 +885,8 @@ def build_queries() -> dict:
         "doc_clean_segments": q_doc_clean_segments,
         "doc_decontam_stats": q_doc_decontam_stats,
         "doc_decontaminated": q_doc_decontaminated,
+        "doc_source_mixture": q_doc_source_mixture,
+        "doc_token_p90_filter": q_doc_token_p90_filter,
         "event_order_asof": q_event_order_asof,
         "orders_nearby_counts": q_orders_nearby_counts,
         "event_value_quantiles": q_event_value_quantiles,
@@ -1373,6 +1416,25 @@ ORACLE_SQL: dict[str, str] = {
         WHERE d.doc_id % 50 <> 0
           AND d.doc_id NOT IN (SELECT doc_id FROM bad)
         ORDER BY d.doc_id
+    """,
+    "doc_source_mixture": """
+        SELECT doc_id, source FROM documents
+        WHERE (CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 % 100 <
+              CASE source WHEN 'src0' THEN 20 WHEN 'src1' THEN 50
+                          WHEN 'src2' THEN 80 ELSE 100 END
+        ORDER BY doc_id
+    """,
+    "doc_token_p90_filter": """
+        WITH tc AS (
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                   END AS token_count
+            FROM documents
+        )
+        SELECT doc_id, token_count FROM tc
+        WHERE token_count > (SELECT quantile_cont(token_count, 0.9) FROM tc)
+        ORDER BY doc_id
     """,
     "event_order_asof": """
         SELECT event_id, ts, user_id, value, o_orderkey, o_orderdate, o_totalprice

@@ -1,0 +1,113 @@
+"""Corpus mixing / filtering stages for training-data assembly:
+
+- :func:`rate_sample` — deterministic per-group downsampling ("domain
+  reweighting": keep 20 % of src0, 50 % of src1, all the rest), the mixing
+  step every multi-source LLM corpus build runs;
+- :func:`filter_by_quantile` — keep rows above/below a GLOBAL quantile of a
+  numeric column (quality-score thresholding at a percentile).
+
+Beyond-reference operators (the reference engine samples only at the
+pair/split level, splitter.py); both are SQL-oracle-checkable by design.
+
+Scale shape: ``rate_sample`` is one stateless map — the keep decision is a
+pure function of (id, group), so it is reproducible across runs, cluster
+sizes and retries (no RNG state, no coordination), and composable with
+resume-from-checkpoint. The hash is Knuth's multiplicative scheme folded to
+32 bits — chosen over the repo's SipHash ``stable_hash64`` ONLY because it
+is exactly expressible in ANSI SQL (HUGEINT multiply + mod), which keeps
+the operator value-level oracle-checkable; it decorrelates the keep set
+from id order, which plain ``id % mod`` sampling does not.
+``filter_by_quantile`` computes the global threshold with one tiny
+aggregate pass (exact ``quantile_cont`` via the windows stage), broadcasts
+the scalar, then filters map-side — two streaming passes, no shuffle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+_KNUTH = np.uint64(2654435761)
+_FOLD = np.uint64(1 << 32)
+
+
+def _mix_hash(ids: np.ndarray) -> np.ndarray:
+    """(id * 2654435761) mod 2^32 — SQL: (CAST(id AS HUGEINT) *
+    2654435761) % 4294967296."""
+    return (ids.astype(np.uint64, copy=False) * _KNUTH) % _FOLD
+
+
+def rate_sample(
+    ds,
+    rates: dict,
+    key_col: str = "source",
+    id_col: str = "doc_id",
+    default_rate: float = 1.0,
+    mod: int = 100,
+):
+    """Keep each row iff ``mix_hash(id) % mod < round(rate[key] * mod)``.
+
+    ``rates``: group value → keep fraction in [0, 1]; groups absent from the
+    dict use ``default_rate``. Rates are quantized to 1/``mod`` — raise
+    ``mod`` for finer control. All input columns pass through."""
+    import pyarrow.compute as pc
+
+    thresholds = {k: int(round(float(v) * mod)) for k, v in rates.items()}
+    default_t = int(round(float(default_rate) * mod))
+    mod_u = np.uint64(mod)
+
+    def fn(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        r = _mix_hash(ids) % mod_u
+        enc = pc.dictionary_encode(t.column(key_col)).combine_chunks()
+        uniq = enc.dictionary.to_pylist()
+        per_uniq = np.array(
+            [thresholds.get(u, default_t) for u in uniq], dtype=np.int64
+        )
+        idx = enc.indices.to_numpy(zero_copy_only=False)
+        keep = r.astype(np.int64) < per_uniq[idx]
+        return t.filter(pa.array(keep))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def filter_by_quantile(
+    ds,
+    value_col: str,
+    q: float,
+    keep: str = "above",
+    num_buckets: int | None = None,
+):
+    """Rows whose ``value_col`` is strictly above (``keep="above"``) or
+    at-or-below (``keep="below"``) the corpus-wide ``quantile_cont(q)``.
+
+    One exact-quantile aggregate, then a broadcast-scalar map-side filter
+    over the full rows. The threshold pass routes through
+    ``windows.grouped_quantiles`` with a single synthetic group, which
+    gathers the (one) value column into one worker — exact and fine to
+    ~10^9 rows; past that use ``windows.global_histogram``'s mergeable
+    counts for an approximate threshold instead (exact quantiles of one
+    unbounded group don't decompose)."""
+    import pyarrow.compute as pc
+
+    from .windows import grouped_quantiles
+
+    if keep not in ("above", "below"):
+        raise ValueError(f"keep must be above|below, got {keep!r}")
+    one = ds.select_columns([value_col]).map_batches(
+        lambda t: t.append_column("_g", pa.array(np.zeros(t.num_rows, np.int8))),
+        batch_format="pyarrow",
+    )
+    qdf = grouped_quantiles(one, "_g", value_col, [q], num_buckets).to_pandas()
+    if len(qdf) == 0:
+        return ds  # empty corpus: nothing to threshold
+    thresh = float(qdf.iloc[0, qdf.columns.get_loc(f"q{int(round(q * 100))}")])
+
+    def fn(t: pa.Table) -> pa.Table:
+        col = t.column(value_col)
+        mask = pc.greater(col, thresh) if keep == "above" else pc.less_equal(col, thresh)
+        return t.filter(pc.fill_null(mask, False))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
