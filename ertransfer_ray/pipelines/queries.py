@@ -23,6 +23,7 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
+from ..functions.pii import PII_PATTERNS
 from ..functions.textstats import TextStats, token_count_batch
 from ..stages.dedup import (
     exact_dedup_summary,
@@ -709,6 +710,69 @@ def q_doc_token_p90_filter(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id", ignore_index=True)
 
 
+def q_doc_pii_scrub(sf_dir: str) -> pd.DataFrame:
+    """PII scrub (RefinedWeb/Dolma-style): typed-token masking of emails,
+    phone numbers and IPv4 addresses via functions/pii.ScrubPII — Arrow's
+    RE2 kernels end-to-end, stateless map, no shuffle. The synthetic corpus
+    is PII-free, so deterministic PII spans (a pure function of doc_id,
+    reproduced verbatim in the SQL oracle) are appended map-side first;
+    the oracle then byte-checks the redacted text (DuckDB's regexp_* use
+    the same RE2 engine) plus the per-doc hit counts."""
+    import pyarrow.compute as pc
+
+    from ..functions.pii import ScrubPII
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    j = pc.binary_join_element_wise
+
+    def enrich(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+
+        def astr(a: np.ndarray) -> pa.Array:
+            return pa.array(a.astype("U"), pa.string())
+
+        email = pc.if_else(
+            pa.array(ids % 3 == 0),
+            j(" contact user", astr(ids), "@ex", astr(ids % 5), ".com", ""),
+            "",
+        )
+        phone = pc.if_else(
+            pa.array(ids % 4 == 0),
+            j(
+                " call ",
+                astr(100 + ids % 900),
+                "-",
+                astr(100 + (ids // 7) % 900),
+                "-",
+                astr(1000 + ids % 9000),
+                "",
+            ),
+            "",
+        )
+        ipv4 = pc.if_else(
+            pa.array(ids % 5 == 0),
+            j(
+                " from 10.",
+                astr(ids % 200),
+                ".",
+                astr((3 * ids) % 250),
+                ".",
+                astr(ids % 100),
+                "",
+            ),
+            "",
+        )
+        text = j(t.column("text"), email, phone, ipv4, "")
+        return pa.table({"doc_id": t.column("doc_id"), "text": text})
+
+    out = (
+        docs.map_batches(enrich, batch_format="pyarrow")
+        .map_batches(ScrubPII("text"), batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out.sort_values("doc_id", ignore_index=True)
+
+
 def q_event_order_asof(sf_dir: str) -> pd.DataFrame:
     """As-of join: each event picks the LATEST order of the same customer at
     or before the event time (ties broken deterministically by max
@@ -887,6 +951,7 @@ def build_queries() -> dict:
         "doc_decontaminated": q_doc_decontaminated,
         "doc_source_mixture": q_doc_source_mixture,
         "doc_token_p90_filter": q_doc_token_p90_filter,
+        "doc_pii_scrub": q_doc_pii_scrub,
         "event_order_asof": q_event_order_asof,
         "orders_nearby_counts": q_orders_nearby_counts,
         "event_value_quantiles": q_event_value_quantiles,
@@ -1435,6 +1500,40 @@ ORACLE_SQL: dict[str, str] = {
         SELECT doc_id, token_count FROM tc
         WHERE token_count > (SELECT quantile_cont(token_count, 0.9) FROM tc)
         ORDER BY doc_id
+    """,
+    # The regex literals are interpolated from functions/pii.PII_PATTERNS so
+    # the Ray stage and the oracle share ONE source of truth; Arrow and
+    # DuckDB both run RE2, so replacement output is byte-identical.
+    "doc_pii_scrub": f"""
+        WITH enriched AS (
+            SELECT doc_id,
+                   text
+                   || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || doc_id
+                           || '@ex' || (doc_id % 5) || '.com' ELSE '' END
+                   || CASE WHEN doc_id % 4 = 0 THEN ' call ' || (100 + doc_id % 900)
+                           || '-' || (100 + (doc_id // 7) % 900)
+                           || '-' || (1000 + doc_id % 9000) ELSE '' END
+                   || CASE WHEN doc_id % 5 = 0 THEN ' from 10.' || (doc_id % 200)
+                           || '.' || ((3 * doc_id) % 250)
+                           || '.' || (doc_id % 100) ELSE '' END AS t0
+            FROM documents
+        ), s1 AS (
+            SELECT doc_id,
+                   len(regexp_extract_all(t0, '{PII_PATTERNS[0][1]}')) AS n_email,
+                   regexp_replace(t0, '{PII_PATTERNS[0][1]}', '<EMAIL>', 'g') AS t1
+            FROM enriched
+        ), s2 AS (
+            SELECT doc_id, n_email,
+                   len(regexp_extract_all(t1, '{PII_PATTERNS[1][1]}')) AS n_phone,
+                   regexp_replace(t1, '{PII_PATTERNS[1][1]}', '<PHONE>', 'g') AS t2
+            FROM s1
+        ), s3 AS (
+            SELECT doc_id, n_email, n_phone,
+                   len(regexp_extract_all(t2, '{PII_PATTERNS[2][1]}')) AS n_ipv4,
+                   regexp_replace(t2, '{PII_PATTERNS[2][1]}', '<IP>', 'g') AS text
+            FROM s2
+        )
+        SELECT doc_id, text, n_email, n_phone, n_ipv4 FROM s3 ORDER BY doc_id
     """,
     "event_order_asof": """
         SELECT event_id, ts, user_id, value, o_orderkey, o_orderdate, o_totalprice
