@@ -24,6 +24,12 @@ import ray
 import ray.data as rd
 
 from ..functions.pii import PII_PATTERNS
+from ..functions.urlnorm import (
+    FRAGMENT_PATTERN,
+    HOST_PATTERN,
+    URL_NORM_STEPS,
+    URL_PREFIX_PATTERN,
+)
 from ..functions.textstats import TextStats, token_count_batch
 from ..stages.dedup import (
     exact_dedup_summary,
@@ -773,6 +779,57 @@ def q_doc_pii_scrub(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id", ignore_index=True)
 
 
+def q_doc_url_normalized(sf_dir: str) -> pd.DataFrame:
+    """URL canonicalization over a web-page-shaped table: messy URLs (a
+    deterministic function of doc_id — mixed-case scheme/host, www, default
+    port, utm/gclid tracking params, fragments, trailing slash) are
+    synthesized map-side and canonicalized by functions/urlnorm (host+scheme
+    lowercased, tracking stripped with healed separators, etc.) — Arrow RE2
+    kernels, stateless map, no shuffle. The oracle rebuilds the same URLs
+    and replays the SAME interpolated pattern chain in DuckDB (same RE2
+    engine), byte-checking url_norm and the extracted host."""
+    import pyarrow.compute as pc
+
+    from ..functions.urlnorm import NormalizeUrls
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    j = pc.binary_join_element_wise
+
+    def gen(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+
+        def astr(a: np.ndarray) -> pa.Array:
+            return pa.array(a.astype("U"), pa.string())
+
+        sid = astr(ids)
+        base = j(
+            "HTTPS://WWW.Site", astr(ids % 37), ".Example:443/Dir",
+            astr(ids % 7), "/p", sid, "",
+        )
+        m = ids % 4
+        sfx = pc.if_else(
+            pa.array(m == 0),
+            j("?utm_source=feed&id=", sid, ""),
+            pc.if_else(
+                pa.array(m == 1),
+                j("?id=", sid, "&utm_campaign=x&gclid=abc", sid, ""),
+                pc.if_else(
+                    pa.array(m == 2),
+                    "/?utm_x=1",
+                    j("#sec", astr(ids % 3), ""),
+                ),
+            ),
+        )
+        return pa.table({"doc_id": t.column("doc_id"), "url": j(base, sfx, "")})
+
+    out = (
+        docs.map_batches(gen, batch_format="pyarrow")
+        .map_batches(NormalizeUrls("url"), batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out.sort_values("doc_id", ignore_index=True)
+
+
 def q_event_order_asof(sf_dir: str) -> pd.DataFrame:
     """As-of join: each event picks the LATEST order of the same customer at
     or before the event time (ties broken deterministically by max
@@ -952,6 +1009,7 @@ def build_queries() -> dict:
         "doc_source_mixture": q_doc_source_mixture,
         "doc_token_p90_filter": q_doc_token_p90_filter,
         "doc_pii_scrub": q_doc_pii_scrub,
+        "doc_url_normalized": q_doc_url_normalized,
         "event_order_asof": q_event_order_asof,
         "orders_nearby_counts": q_orders_nearby_counts,
         "event_value_quantiles": q_event_value_quantiles,
@@ -1535,6 +1593,9 @@ ORACLE_SQL: dict[str, str] = {
         )
         SELECT doc_id, text, n_email, n_phone, n_ipv4 FROM s3 ORDER BY doc_id
     """,
+    # Pattern constants interpolated from functions/urlnorm (one source of
+    # truth); _SQL_URL_CHAIN is the URL_NORM_STEPS replace chain.
+    "doc_url_normalized": None,  # filled below (needs the computed chain)
     "event_order_asof": """
         SELECT event_id, ts, user_id, value, o_orderkey, o_orderdate, o_totalprice
         FROM (
@@ -1709,3 +1770,45 @@ ORACLE_SQL: dict[str, str] = {
         ORDER BY left_id, right_id
     """,
 }
+
+
+def _sql_url_norm_chain(expr: str) -> str:
+    """DuckDB expression replaying URL_NORM_STEPS over ``expr`` — the same
+    interpolated (pattern, replacement) constants the Arrow stage runs, so
+    both engines execute one shared RE2 program chain."""
+    for pat, repl in URL_NORM_STEPS:
+        expr = f"regexp_replace({expr}, '{pat}', '{repl}', 'g')"
+    return expr
+
+
+ORACLE_SQL["doc_url_normalized"] = f"""
+    WITH gen AS (
+        SELECT doc_id,
+               'HTTPS://WWW.Site' || (doc_id % 37) || '.Example:443/Dir'
+               || (doc_id % 7) || '/p' || doc_id
+               || CASE doc_id % 4
+                    WHEN 0 THEN '?utm_source=feed&id=' || doc_id
+                    WHEN 1 THEN '?id=' || doc_id || '&utm_campaign=x&gclid=abc' || doc_id
+                    WHEN 2 THEN '/?utm_x=1'
+                    ELSE '#sec' || (doc_id % 3)
+                  END AS url
+        FROM documents
+    ), defrag AS (
+        SELECT doc_id, url,
+               regexp_replace(url, '{FRAGMENT_PATTERN}', '', 'g') AS u0
+        FROM gen
+    ), lowered AS (
+        SELECT doc_id, url,
+               CASE WHEN regexp_matches(u0, '{URL_PREFIX_PATTERN}')
+                    THEN lower(regexp_extract(u0, '{URL_PREFIX_PATTERN}', 1))
+                         || regexp_extract(u0, '{URL_PREFIX_PATTERN}', 2)
+                    ELSE u0 END AS u1
+        FROM defrag
+    ), stepped AS (
+        SELECT doc_id, url, {_sql_url_norm_chain('u1')} AS url_norm
+        FROM lowered
+    )
+    SELECT doc_id, url, url_norm,
+           regexp_extract(url_norm, '{HOST_PATTERN}', 1) AS host
+    FROM stepped ORDER BY doc_id
+"""
