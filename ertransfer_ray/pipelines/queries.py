@@ -830,6 +830,21 @@ def q_doc_url_normalized(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id", ignore_index=True)
 
 
+def q_doc_bigram_ce(sf_dir: str) -> pd.DataFrame:
+    """CCNet-style LM quality signal: train a bigram LM on the corpus in ONE
+    distributed counting pass (per-batch vocab-bounded partials → bucketed
+    combine → broadcast model), then score each doc's bigram cross-entropy
+    -mean log2 p(w2|w1) under add-0.5 smoothing — stages/ngram_lm. The SQL
+    oracle rebuilds the same counts with string_split+lead and reproduces
+    the smoothing arithmetic value-level."""
+    from ..stages.ngram_lm import score_bigram_ce, train_bigram_lm
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    model = train_bigram_lm(docs, k=0.5)
+    out = score_bigram_ce(docs, model).to_pandas()
+    return out.sort_values("doc_id", ignore_index=True)
+
+
 def q_event_order_asof(sf_dir: str) -> pd.DataFrame:
     """As-of join: each event picks the LATEST order of the same customer at
     or before the event time (ties broken deterministically by max
@@ -1010,6 +1025,7 @@ def build_queries() -> dict:
         "doc_token_p90_filter": q_doc_token_p90_filter,
         "doc_pii_scrub": q_doc_pii_scrub,
         "doc_url_normalized": q_doc_url_normalized,
+        "doc_bigram_ce": q_doc_bigram_ce,
         "event_order_asof": q_event_order_asof,
         "orders_nearby_counts": q_orders_nearby_counts,
         "event_value_quantiles": q_event_value_quantiles,
@@ -1596,6 +1612,39 @@ ORACLE_SQL: dict[str, str] = {
     # Pattern constants interpolated from functions/urlnorm (one source of
     # truth); _SQL_URL_CHAIN is the URL_NORM_STEPS replace chain.
     "doc_url_normalized": None,  # filled below (needs the computed chain)
+    # Bigram-LM cross-entropy: same ' '-split tokenization (zipped unnest),
+    # same add-0.5 smoothing over the full-corpus counts, V = distinct
+    # unigrams. Docs with <2 tokens have no bigram row and drop out.
+    "doc_bigram_ce": """
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(string_split(text, ' ')) AS tok,
+                   unnest(generate_series(1, len(string_split(text, ' ')))) AS pos
+            FROM documents
+        ), big AS (
+            SELECT doc_id, tok AS w1,
+                   lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+            FROM toks
+        ), uc AS (
+            SELECT tok, count(*) AS cu FROM toks GROUP BY tok
+        ), vs AS (
+            SELECT count(*) AS v FROM uc
+        ), bc AS (
+            SELECT w1, w2, count(*) AS cb FROM big
+            WHERE w2 IS NOT NULL GROUP BY w1, w2
+        ), sc AS (
+            SELECT b.doc_id,
+                   -log2((coalesce(bc.cb, 0) + 0.5)
+                         / (uc.cu + 0.5 * (SELECT v FROM vs))) AS nll
+            FROM big b
+            JOIN uc ON b.w1 = uc.tok
+            LEFT JOIN bc ON b.w1 = bc.w1 AND b.w2 = bc.w2
+            WHERE b.w2 IS NOT NULL
+        )
+        SELECT doc_id, count(*) AS n_bigrams,
+               round(avg(nll), 6) AS cross_entropy
+        FROM sc GROUP BY doc_id ORDER BY doc_id
+    """,
     "event_order_asof": """
         SELECT event_id, ts, user_id, value, o_orderkey, o_orderdate, o_totalprice
         FROM (

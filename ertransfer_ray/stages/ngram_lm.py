@@ -1,0 +1,147 @@
+"""Distributed n-gram language-model quality scoring (CCNet-style).
+
+CCNet/RefinedWeb rank web documents by the perplexity of a small LM
+trained on a trusted corpus; documents far from the model's distribution
+are boilerplate/spam candidates. This module implements the torch-free
+version of that signal as two Ray Data passes:
+
+1. ``train_bigram_lm`` — ONE streaming pass over the corpus emitting
+   per-batch partial unigram/bigram counts (each partial is
+   vocab-bounded, so the count exchange ships counts, never tokens),
+   combined by the repo's bucketed grouped_aggregate; the finished model
+   (two count tables + vocab size) is collected to the driver and
+   broadcast via ``ray.put`` — read once per worker, never re-shipped
+   per batch.
+2. ``score_bigram_ce`` — a stateless map attaching each doc's bigram
+   cross-entropy ``-mean log2 p(w2|w1)`` under add-k smoothing
+   ``p(w2|w1) = (c(w1,w2)+k) / (c(w1)+k*V)``.
+
+Scale: the model size is the only driver-side object. At web scale pass
+``max_vocab`` / ``max_bigrams`` to cap the tables by count rank (the
+smoothing absorbs the dropped tail — a quality knob, not a correctness
+one); the caps are applied AFTER the distributed combine, so the
+exchange itself never materializes doc text. Tokenization is a single
+split on ' ' (reproduced exactly by the SQL oracle's string_split).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+
+from .groupby import grouped_aggregate
+
+#: joins bigram halves into one count key; never appears in text tokens.
+_SEP = "\x01"
+
+#: per-worker cache of the deserialized broadcast model (stateless tasks
+#: reuse worker processes; pickled pandas objects would otherwise be
+#: re-deserialized per ray.get).
+_MODEL_CACHE: dict[str, dict] = {}
+
+
+def _flat_bigrams(texts: pa.ChunkedArray | pa.Array):
+    """Vectorized (w1, w2, doc_lengths) from a text column: Arrow split →
+    flat token buffer + offsets → boundary masks in numpy. No per-row
+    Python loop; the only object-level work is the string concat for keys,
+    done by the callers that need it."""
+    lists = pc.split_pattern(texts, pattern=" ")
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
+    offs = lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = lists.flatten().to_numpy(zero_copy_only=False)
+    n = len(flat)
+    nonempty = offs[1:] > offs[:-1]
+    m1 = np.ones(n, dtype=bool)
+    m1[(offs[1:] - 1)[nonempty]] = False  # w1: drop each doc's last token
+    m2 = np.ones(n, dtype=bool)
+    m2[offs[:-1][nonempty]] = False  # w2: drop each doc's first token
+    return flat, m1, m2, offs
+
+
+def train_bigram_lm(
+    ds,
+    text_col: str = "text",
+    k: float = 0.5,
+    max_vocab: int | None = None,
+    max_bigrams: int | None = None,
+) -> "ray.ObjectRef":
+    """One-pass distributed bigram LM; returns a broadcast model ref."""
+
+    def partials(t: pa.Table) -> pd.DataFrame:
+        flat, m1, m2, _ = _flat_bigrams(t.column(text_col))
+        uni = pd.Series(flat).value_counts()
+        big = (pd.Series(flat[m1]) + _SEP + pd.Series(flat[m2])).value_counts()
+        return pd.DataFrame(
+            {
+                "key": np.concatenate([uni.index.to_numpy(), big.index.to_numpy()]),
+                "kind": np.repeat(
+                    np.array(["u", "b"]), [len(uni), len(big)]
+                ),
+                "n": np.concatenate([uni.to_numpy(), big.to_numpy()]),
+            }
+        )
+
+    counts = grouped_aggregate(
+        ds.map_batches(partials, batch_format="pyarrow"),
+        ["kind", "key"],
+        {"n": ("n", "sum")},
+    ).to_pandas()
+    uni = counts[counts["kind"] == "u"].set_index("key")["n"]
+    big = counts[counts["kind"] == "b"].set_index("key")["n"]
+    vocab_size = len(uni)  # BEFORE any cap: V is the corpus vocab measure
+    if max_vocab is not None and len(uni) > max_vocab:
+        uni = uni.nlargest(max_vocab)
+    if max_bigrams is not None and len(big) > max_bigrams:
+        big = big.nlargest(max_bigrams)
+    return ray.put(
+        {"uni": uni, "big": big, "V": vocab_size, "k": float(k)}
+    )
+
+
+def score_bigram_ce(
+    ds,
+    model_ref: "ray.ObjectRef",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_to: int | None = 6,
+):
+    """Attach ``n_bigrams`` + ``cross_entropy`` (bits/bigram) per doc.
+    Docs with fewer than 2 tokens are dropped (no bigram to score —
+    mirrors the SQL oracle's inner join on the bigram table)."""
+
+    def score(t: pa.Table) -> pa.Table:
+        key = model_ref.hex()
+        model = _MODEL_CACHE.get(key)
+        if model is None:
+            _MODEL_CACHE.clear()
+            model = _MODEL_CACHE[key] = ray.get(model_ref)
+        uni, big, V, k = model["uni"], model["big"], model["V"], model["k"]
+        flat, m1, m2, offs = _flat_bigrams(t.column(text_col))
+        w1 = pd.Series(flat[m1])
+        cb = (w1 + _SEP + pd.Series(flat[m2])).map(big).fillna(0.0).to_numpy()
+        cu = w1.map(uni).fillna(0.0).to_numpy()
+        nll = -np.log2((cb + k) / (cu + k * V))
+        lens = offs[1:] - offs[:-1]
+        n_big = np.maximum(lens - 1, 0)
+        ce = np.add.reduceat(
+            np.concatenate([nll, [0.0]]),  # sentinel guards 0-len reduceat tail
+            np.concatenate([[0], np.cumsum(n_big)[:-1]]),
+        )[: len(n_big)]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            ce = np.where(n_big > 0, ce / np.maximum(n_big, 1), np.nan)
+        if round_to is not None:
+            ce = np.round(ce, round_to)
+        keep = n_big > 0
+        return pa.table(
+            {
+                id_col: t.column(id_col).filter(pa.array(keep)),
+                "n_bigrams": pa.array(n_big[keep], pa.int64()),
+                "cross_entropy": pa.array(ce[keep], pa.float64()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
