@@ -173,14 +173,12 @@ def normalize_title(title: str) -> str:
 
 
 def canonical_url(url: str) -> str:
-    """Scheme/host lowercasing, strip fragments and trailing slash."""
-    u = url.strip()
-    u = u.split("#", 1)[0]
-    if "://" in u:
-        scheme, rest = u.split("://", 1)
-        host, _, path = rest.partition("/")
-        u = f"{scheme.lower()}://{host.lower()}" + (f"/{path}" if path else "")
-    return u.rstrip("/")
+    """Scalar convenience wrapper over functions/urlnorm.normalize_urls
+    (the vectorized Arrow-RE2 canonicalizer the pipeline uses); kept for
+    callers holding single URLs."""
+    from .urlnorm import normalize_urls
+
+    return normalize_urls(pa.array([url.strip()]))[0].as_py()
 
 
 def normalize_pages_batch(batch: pa.Table) -> pa.Table:
@@ -191,15 +189,17 @@ def normalize_pages_batch(batch: pa.Table) -> pa.Table:
     Python-loop over the binary html column is unavoidable for regex
     extraction, but all downstream per-token work is vectorized.
     """
+    from .urlnorm import normalize_urls
+
     html = batch.column("html").to_pylist()
-    urls = batch.column("url").to_pylist()
     texts = [extract_text_from_html(h) for h in html]
     titles = [extract_title_from_html(h) for h in html]
     norm_titles = [normalize_title(t) for t in titles]
     norm_texts = [" ".join(tokenize(t)) for t in texts]
+    urls = pc.utf8_trim_whitespace(batch.column("url"))
     return pa.table(
         {
-            "url": pa.array([canonical_url(u) for u in urls], pa.string()),
+            "url": normalize_urls(urls),
             "text": pa.array(texts, pa.string()),
             "norm_text": pa.array(norm_texts, pa.string()),
             "norm_title": pa.array(norm_titles, pa.string()),
