@@ -135,12 +135,19 @@ def run_er(
     cfg: ERConfig | None = None,
     normalized: bool = False,
     staged: bool = True,
+    dedup_captures: bool = False,
 ) -> dict:
     """Full pipeline. Returns dict of Datasets:
     ``{"normalized", "pairs", "predictions", "clusters"}``.
 
     ``normalized=True`` skips stage 0 when the input already has
     (url, norm_text, norm_title) — e.g. the documents-table adapter.
+
+    ``dedup_captures=True`` prepends stages/crawl.latest_capture_per_url:
+    crawl inputs repeat each page across captures (same canonical url,
+    different warc_ts); keeping only the newest capture removes the
+    trivial self-duplicate clusters before blocking pays for them.
+    Requires the raw pages shape (url, warc_ts, …).
 
     ``staged=True`` (default) materializes each stage boundary before the
     next starts. This mirrors the checkpoint/resume layout (stage outputs =
@@ -151,6 +158,10 @@ def run_er(
     whose stage-by-stage execution takes 37 s.
     """
     cfg = cfg or ERConfig()
+    if dedup_captures:
+        from ..stages.crawl import latest_capture_per_url
+
+        pages_ds = latest_capture_per_url(pages_ds).drop_columns(["url_norm"])
     norm = pages_ds if normalized else normalize_pages(pages_ds)
     # block() consumes the normalized table twice (key emission + payload
     # side of the pair join); pin it once instead of recomputing the DAG

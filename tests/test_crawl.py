@@ -78,3 +78,39 @@ def test_broadcast_join_arms_agree(ray_session):
     pd.testing.assert_frame_equal(
         a, b[a.columns], check_like=True
     )
+
+
+def test_run_er_dedup_captures(ray_session):
+    """run_er(dedup_captures=True) on a corpus with older duplicate
+    captures produces the same clusters as on the capture-free corpus."""
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+    from ertransfer_ray.pipelines.er_pipeline import ERConfig, run_er
+    from ertransfer_ray.sources.pages import write_pages_corpus
+
+    paths = write_pages_corpus("/tmp/test_crawl_er", num_entities=30, seed=3)
+    base = pq.read_table(paths["pages"])
+    ts = base.column("warc_ts").to_pandas() - pd.Timedelta(days=10)
+    old = base.set_column(
+        base.schema.get_field_index("warc_ts"),
+        "warc_ts",
+        pa.array(ts.astype("datetime64[us]")),
+    )
+    old = old.set_column(
+        old.schema.get_field_index("url"),
+        "url",
+        pa.compute.binary_join_element_wise(
+            old.column("url").combine_chunks(), "#old", ""
+        ),
+    )
+    cfg = ERConfig(num_buckets=8)
+
+    def clusters(tbl):
+        res = run_er(rd.from_arrow(tbl), cfg, dedup_captures=True)
+        df = res["clusters"].to_pandas()
+        return df.sort_values("url", ignore_index=True)
+
+    with_dups = clusters(pa.concat_tables([base, old]))
+    without = clusters(base)
+    pd.testing.assert_frame_equal(with_dups, without)
