@@ -42,7 +42,7 @@ URL_NORM_STEPS: list[tuple[str, str]] = [
     # last/only tracking param: drop it AND its leading separator
     (r"[?&](?:utm_[A-Za-z0-9]+|fbclid|gclid)=[^&#]*$", ""),
     (r"\?$", ""),
-    (r"/$", ""),
+    (r"/+$", ""),  # all trailing slashes (one pass = idempotent)
 ]
 
 #: fragment strip runs FIRST (before lowercasing) so `#` never splits the

@@ -79,3 +79,29 @@ def test_batch_stage_and_empty_batch():
     assert out.column_names == ["url", "url_norm", "host"]
     empty = NormalizeUrls("url")(t.slice(0, 0))
     assert empty.num_rows == 0 and empty.column_names == out.column_names
+
+
+def test_normalize_is_idempotent_on_url_shapes():
+    """normalize(normalize(u)) == normalize(u) over generated URL shapes."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    scheme = st.sampled_from(["http", "HTTPS", "ftp"])
+    host = st.from_regex(r"(WWW\.)?[A-Za-z0-9][A-Za-z0-9.\-]{0,12}", fullmatch=True)
+    port = st.sampled_from(["", ":80", ":443", ":8080"])
+    path = st.from_regex(r"(/[A-Za-z0-9._~%\-]{0,6}){0,3}/{0,3}", fullmatch=True)
+    par = st.from_regex(r"(utm_[a-z]{1,4}|gclid|id|q)=[A-Za-z0-9]{0,4}", fullmatch=True)
+    query = st.lists(par, max_size=3).map(lambda ps: "?" + "&".join(ps) if ps else "")
+    frag = st.sampled_from(["", "#x", "#frag/with?q"])
+    url = st.builds(
+        lambda s, h, po, pa_, q, f: f"{s}://{h}{po}{pa_}{q}{f}", scheme, host, port, path, query, frag
+    )
+
+    @given(url)
+    @settings(max_examples=300, deadline=None)
+    def check(u):
+        once = normalize_urls(pa.array([u]))[0].as_py()
+        twice = normalize_urls(pa.array([once]))[0].as_py()
+        assert twice == once, (u, once, twice)
+
+    check()
