@@ -73,37 +73,95 @@ def rate_sample(
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def approx_quantile(
+    ds, value_col: str, q: float, bins: int = 8192
+) -> float | None:
+    """Approximate corpus-wide quantile from one cheap min/max/count
+    partial pass plus ONE mergeable fixed-bin histogram pass: the driver
+    only ever sees ``bins`` counts per block, never values. Returns None
+    on an empty corpus.
+
+    Guarantee (rank bracketing): the estimate lies within one bin width
+    ((hi-lo)/bins) of the CLOSED interval between the two order
+    statistics bracketing the continuous rank q·(n-1) — i.e. it
+    separates the sorted data at the right rank. Inside a sparse value
+    gap the estimate may sit anywhere in the gap (any such threshold
+    filters identically); it is NOT guaranteed to match
+    ``quantile_cont``'s interpolated value there.
+
+    This is the web-scale arm of :func:`filter_by_quantile` — exact
+    quantiles of one unbounded group don't decompose, but binned counts
+    merge associatively at any parallelism."""
+    from .groupby import partial_aggregate
+    from .windows import global_histogram
+
+    mm = partial_aggregate(
+        ds.map_batches(lambda df: df.assign(_one=1), batch_format="pandas"),
+        "_one",
+        {
+            "lo": (value_col, "min"),
+            "hi": (value_col, "max"),
+            "n": (value_col, "count"),
+        },
+    )
+    if len(mm) == 0 or int(mm["n"][0]) == 0:
+        return None
+    lo, hi, total = float(mm["lo"][0]), float(mm["hi"][0]), int(mm["n"][0])
+    if hi == lo:
+        return lo  # constant column: every quantile is the value
+    hist = global_histogram(ds, value_col, bins=bins, value_range=(lo, hi))
+    cum = hist["count"].cumsum().to_numpy()
+    target = q * (total - 1) + 1  # quantile_cont rank, 1-based
+    i = min(int(np.searchsorted(cum, target)), bins - 1)
+    prev = cum[i - 1] if i > 0 else 0
+    within = hist["count"].iloc[i]
+    frac = (target - prev) / within if within else 0.0
+    blo, bhi = hist["bin_lo"].iloc[i], hist["bin_hi"].iloc[i]
+    return float(blo + frac * (bhi - blo))
+
+
 def filter_by_quantile(
     ds,
     value_col: str,
     q: float,
     keep: str = "above",
     num_buckets: int | None = None,
+    method: str = "exact",
+    bins: int = 8192,
 ):
     """Rows whose ``value_col`` is strictly above (``keep="above"``) or
     at-or-below (``keep="below"``) the corpus-wide ``quantile_cont(q)``.
 
-    One exact-quantile aggregate, then a broadcast-scalar map-side filter
-    over the full rows. The threshold pass routes through
+    One quantile aggregate, then a broadcast-scalar map-side filter over
+    the full rows. ``method="exact"`` routes through
     ``windows.grouped_quantiles`` with a single synthetic group, which
     gathers the (one) value column into one worker — exact and fine to
-    ~10^9 rows; past that use ``windows.global_histogram``'s mergeable
-    counts for an approximate threshold instead (exact quantiles of one
-    unbounded group don't decompose)."""
+    ~10^9 rows. ``method="approx"`` uses :func:`approx_quantile`'s
+    mergeable histogram (threshold within (hi-lo)/bins of exact; boundary
+    rows inside that band may classify differently) — the arm for
+    corpora where a single column no longer fits one worker."""
     import pyarrow.compute as pc
 
     from .windows import grouped_quantiles
 
     if keep not in ("above", "below"):
         raise ValueError(f"keep must be above|below, got {keep!r}")
-    one = ds.select_columns([value_col]).map_batches(
-        lambda t: t.append_column("_g", pa.array(np.zeros(t.num_rows, np.int8))),
-        batch_format="pyarrow",
-    )
-    qdf = grouped_quantiles(one, "_g", value_col, [q], num_buckets).to_pandas()
-    if len(qdf) == 0:
-        return ds  # empty corpus: nothing to threshold
-    thresh = float(qdf.iloc[0, qdf.columns.get_loc(f"q{int(round(q * 100))}")])
+    if method == "approx":
+        t = approx_quantile(ds, value_col, q, bins=bins)
+        if t is None:
+            return ds
+        thresh = t
+    elif method == "exact":
+        one = ds.select_columns([value_col]).map_batches(
+            lambda t: t.append_column("_g", pa.array(np.zeros(t.num_rows, np.int8))),
+            batch_format="pyarrow",
+        )
+        qdf = grouped_quantiles(one, "_g", value_col, [q], num_buckets).to_pandas()
+        if len(qdf) == 0:
+            return ds  # empty corpus: nothing to threshold
+        thresh = float(qdf.iloc[0, qdf.columns.get_loc(f"q{int(round(q * 100))}")])
+    else:
+        raise ValueError(f"method must be exact|approx, got {method!r}")
 
     def fn(t: pa.Table) -> pa.Table:
         col = t.column(value_col)

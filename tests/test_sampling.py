@@ -84,3 +84,55 @@ def test_empty_corpus_edges():
     )
     assert len(rate_sample(empty, {"s0": 0.5}, key_col="source").to_pandas()) == 0
     assert len(filter_by_quantile(empty, "score", 0.5).to_pandas()) == 0
+
+
+def test_approx_quantile_rank_bracketing():
+    """The estimate separates the sorted data at the right rank: it lies
+    within one bin width of the closed interval between the two order
+    statistics bracketing the continuous rank q*(n-1)."""
+    from ertransfer_ray.stages.sampling import approx_quantile
+
+    t = _docs(5000)
+    ds = rd.from_arrow(t).repartition(7)
+    v = np.sort(t.column("score").to_numpy())
+    binw = (v[-1] - v[0]) / 4096
+    for q in (0.1, 0.5, 0.9, 0.99):
+        approx = approx_quantile(ds, "score", q, bins=4096)
+        r = q * (len(v) - 1)
+        lo_stat = v[int(np.floor(r))]
+        hi_stat = v[min(int(np.ceil(r)), len(v) - 1)]
+        assert lo_stat - binw <= approx <= hi_stat + binw, (q, approx)
+
+
+def test_filter_by_quantile_approx_matches_exact_within_band():
+    """The approx arm's selection differs from exact only by rows whose
+    value sits within one bin width of the exact threshold."""
+    t = _docs(3000)
+    ds = rd.from_arrow(t).repartition(5)
+    exact = filter_by_quantile(ds, "score", 0.9, keep="above").to_pandas()
+    approx = filter_by_quantile(
+        ds, "score", 0.9, keep="above", method="approx", bins=1 << 20
+    ).to_pandas()
+    from ertransfer_ray.stages.sampling import approx_quantile
+
+    v = t.column("score").to_numpy()
+    t_exact = np.quantile(v, 0.9)
+    t_approx = approx_quantile(ds, "score", 0.9, bins=1 << 20)
+    binw = (v.max() - v.min()) / (1 << 20)
+    band = (min(t_exact, t_approx) - binw, max(t_exact, t_approx) + binw)
+    diff = set(exact["doc_id"]) ^ set(approx["doc_id"])
+    scores = dict(zip(t.column("doc_id").to_pylist(), v))
+    assert len(diff) <= 2 and all(
+        band[0] <= scores[d] <= band[1] for d in diff
+    ), (diff, band)
+
+
+def test_approx_quantile_constant_and_empty():
+    from ertransfer_ray.stages.sampling import approx_quantile
+
+    const = rd.from_arrow(
+        pa.table({"score": pa.array(np.full(100, 3.5))})
+    )
+    assert approx_quantile(const, "score", 0.7) == 3.5
+    empty = rd.from_arrow(pa.table({"score": pa.array([], pa.float64())}))
+    assert approx_quantile(empty, "score", 0.5) is None
