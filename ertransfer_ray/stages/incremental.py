@@ -1,0 +1,325 @@
+"""Incremental MinHash near-dup dedup against a persisted signature store.
+
+The daily-crawl ingestion shape for NEAR duplicates (the fuzzy sibling
+of ``dedup.exact_dedup_incremental``): each new increment keeps only
+documents that are near-dups of neither (a) any document registered by
+an EARLIER increment nor (b) a retained smaller-id document within this
+increment (transitively — clusters collapse to their min id via
+connected components), then registers its survivors' signatures so the
+next increment dedups against everything so far.
+
+Design points, all chosen for the 100 TB shape:
+
+- **The store holds sketches, not text**: one row per surviving doc —
+  (id, minhash signature, LSH band keys) ≈ 1 KB at 128 perms. Cross-
+  increment verification uses SIGNATURE AGREEMENT (fraction of matching
+  minhash components, an unbiased Jaccard estimator) instead of the
+  batch path's exact text Jaccard, so the store never duplicates corpus
+  bytes and verification needs no payload join.
+- **Band-keyed exchange, id-only**: new + stored band rows (band_key,
+  id, is_new) meet in one hash exchange; candidate pairs require at
+  least one new endpoint (old–old pairs are settled history). Signatures
+  attach to the surviving candidate pairs via bucketed joins — payloads
+  never ride any shuffle.
+- **Atomic, idempotent registration**: the increment's store entry is
+  staged via ``state/manifest.write_shard`` and renamed into place;
+  re-running the same increment name replaces its entry and excludes its
+  own rows from the seen side.
+
+Caller contract: ``id_col`` values must be unique ACROSS increments
+(crawl record ids are); ids are compared numerically for the keep-min
+rule.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions.arrays import matrix_to_list_column
+from ..functions.hashing import lsh_band_keys_u64, minhash_coeffs, minhash_signatures
+
+
+class SigBands:
+    """Actor-pool stage: per-doc (id, sig, bands) sketch rows."""
+
+    def __init__(self, id_col: str, text_col: str, num_perm: int,
+                 num_bands: int, shingle_words: int = 3, seed: int = 7):
+        self.id_col = id_col
+        self.text_col = text_col
+        self.num_perm = num_perm
+        self.num_bands = num_bands
+        self.shingle_words = shingle_words
+        self.coeffs = minhash_coeffs(num_perm, seed)
+
+    def _shingles(self, text: str) -> list[str]:
+        ws = text.lower().split()
+        k = self.shingle_words
+        if len(ws) <= k:
+            return [" ".join(ws)] if ws else []
+        return [" ".join(ws[i : i + k]) for i in range(len(ws) - k + 1)]
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        texts = t.column(self.text_col).to_pylist()
+        sig = minhash_signatures(
+            [self._shingles(x) for x in texts], self.num_perm, coeffs=self.coeffs
+        )
+        bands = np.stack(lsh_band_keys_u64(sig, self.num_bands), axis=1)
+        return pa.table(
+            {
+                self.id_col: t.column(self.id_col),
+                "sig": matrix_to_list_column(
+                    sig.astype(np.int64), value_type=pa.int64()
+                ),
+                "bands": matrix_to_list_column(bands, value_type=pa.int64()),
+            }
+        )
+
+
+def _flatten_bands(id_col: str, is_new: bool):
+    def fn(t: pa.Table) -> pa.Table:
+        bl = t.column("bands")
+        if isinstance(bl, pa.ChunkedArray):
+            bl = bl.combine_chunks()
+        n = t.num_rows
+        if n == 0:
+            return pa.table({"band_key": pa.array([], pa.int64()),
+                             "m_id": pa.array([], pa.int64()),
+                             "m_new": pa.array([], pa.int8())})
+        nb = len(bl[0])
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "band_key": bl.flatten(),
+                "m_id": pa.array(np.repeat(ids, nb)),
+                "m_new": pa.array(np.full(n * nb, 1 if is_new else 0, np.int8)),
+            }
+        )
+
+    return fn
+
+
+def _pairs_with_new(df: pd.DataFrame, max_block_size: int) -> pd.DataFrame:
+    """Per band group: capped all-pairs with ≥1 new endpoint, oriented as
+    (new_id, other_id, other_new)."""
+    df = df[df.duplicated("band_key", keep=False)]
+    frames = []
+    for _, g in df.groupby("band_key", sort=False):
+        g = g.drop_duplicates("m_id").sort_values("m_id").head(max_block_size)
+        if len(g) < 2 or not g["m_new"].any():
+            continue
+        ids = g["m_id"].to_numpy()
+        new = g["m_new"].to_numpy().astype(bool)
+        ii, jj = np.triu_indices(len(g), k=1)
+        keep = new[ii] | new[jj]
+        ii, jj = ii[keep], jj[keep]
+        # orient: the NEW endpoint first (new-new pairs: smaller id first)
+        swap = ~new[ii]
+        li, ri = np.where(swap, jj, ii), np.where(swap, ii, jj)
+        frames.append(
+            pd.DataFrame(
+                {
+                    "new_id": ids[li],
+                    "other_id": ids[ri],
+                    "other_new": new[ri].astype(np.int8),
+                }
+            )
+        )
+    if not frames:
+        return pd.DataFrame(
+            {
+                "new_id": pd.Series([], dtype="int64"),
+                "other_id": pd.Series([], dtype="int64"),
+                "other_new": pd.Series([], dtype="int8"),
+            }
+        )
+    return pd.concat(frames, ignore_index=True)
+
+
+def _sig_agreement_batch(df: pd.DataFrame) -> pd.DataFrame:
+    if len(df) == 0:
+        df["agreement"] = pd.Series([], dtype="float64")
+        return df[["new_id", "other_id", "other_new", "agreement"]]
+    L = np.stack(df["sig_l"].to_numpy())
+    R = np.stack(df["sig_r"].to_numpy())
+    df = df[["new_id", "other_id", "other_new"]].copy()
+    df["agreement"] = (L == R).mean(axis=1)
+    return df
+
+
+def minhash_dedup_incremental(
+    ds,
+    state_dir: str,
+    increment: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 128,
+    num_bands: int = 16,
+    shingle_words: int = 3,
+    agreement: float = 0.8,
+    max_block_size: int = 64,
+    max_broadcast_ids: int = 50_000_000,
+    num_buckets: int | None = None,
+):
+    """See module docstring. Returns surviving rows of ``ds`` (original
+    schema) as a Dataset; registers their sketches under
+    ``state_dir/increment=<name>/``."""
+    import ray
+    import ray.data as rd
+
+    from ..state.manifest import write_shard
+    from .clustering import connected_components
+    from .groupby import distinct_rows, exchange_group_apply
+    from .joins import BroadcastSemiJoin, bucketed_anti_semi_join, bucketed_join
+    from .scoring import default_pool_size
+
+    os.makedirs(state_dir, exist_ok=True)
+    prior_dirs = [
+        p
+        for d in sorted(os.listdir(state_dir))
+        if d.startswith("increment=") and d != f"increment={increment}"
+        and not d.endswith((".tmp", ".staging"))
+        for p in [os.path.join(state_dir, d)]
+        if any(f.endswith(".parquet") for f in os.listdir(p))
+    ]
+
+    sigt = ds.map_batches(
+        SigBands,
+        fn_constructor_kwargs=dict(
+            id_col=id_col, text_col=text_col, num_perm=num_perm,
+            num_bands=num_bands, shingle_words=shingle_words,
+        ),
+        batch_format="pyarrow",
+        batch_size=1024,
+        concurrency=(1, default_pool_size()),
+    ).materialize()
+
+    bands = sigt.map_batches(_flatten_bands(id_col, True), batch_format="pyarrow")
+    sig_lookup = sigt.map_batches(
+        lambda t: t.select([id_col, "sig"]), batch_format="pyarrow"
+    )
+    if prior_dirs:
+        prior = rd.read_parquet(prior_dirs, file_extensions=["parquet"])
+        bands = bands.union(
+            prior.map_batches(_flatten_bands(id_col, False), batch_format="pyarrow")
+        )
+        sig_lookup = sig_lookup.union(
+            prior.map_batches(
+                lambda t: t.select([id_col, "sig"]), batch_format="pyarrow"
+            )
+        )
+
+    cands = exchange_group_apply(
+        bands, "band_key", lambda df: _pairs_with_new(df, max_block_size),
+        num_buckets,
+    )
+    # materialize the join inputs: bucketed_join reads both schemas up
+    # front, and the candidate/sketch tables are id+sig-only (bounded)
+    cands = distinct_rows(cands, ["new_id", "other_id"]).materialize()
+    if cands.count() == 0:  # no band collisions at all: everything survives
+        _register(sigt, state_dir, increment)
+        return ds
+
+    # attach both signatures (id-keyed bucketed joins; sig rows only)
+    sl = sig_lookup.map_batches(
+        lambda t: t.rename_columns(["_sid", "sig_l"]), batch_format="pyarrow"
+    ).materialize()
+    sr = sig_lookup.map_batches(
+        lambda t: t.rename_columns(["_sid2", "sig_r"]), batch_format="pyarrow"
+    ).materialize()
+    j1 = bucketed_join(
+        cands, sl, "new_id", "_sid", num_buckets=num_buckets
+    ).materialize()  # right key is consumed by the merge; sig_l rides along
+    j2 = bucketed_join(j1, sr, "other_id", "_sid2", num_buckets=num_buckets)
+    import pyarrow.compute as pc
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        v = _sig_agreement_batch(df)
+        return v[v["agreement"] >= agreement]
+
+    verified = j2.map_batches(verify, batch_format="pandas").materialize()
+
+    # new docs matching ANY stored doc drop unconditionally; the dup-id set
+    # is bounded by the increment's duplicate count (gated below)
+    bad_cross_arr = pa.concat_tables(
+        [
+            b.filter(pc.equal(b.column("other_new"), 0)).select(["new_id"])
+            for b in verified.iter_batches(batch_format="pyarrow")
+        ]
+        or [pa.table({"new_id": pa.array([], pa.int64())})]
+    ).column("new_id").combine_chunks().unique()
+    bad_cross = set(bad_cross_arr.to_pylist())
+
+    # within-increment clusters collapse to their numeric-min id (CC over
+    # zero-padded string keys keeps lexicographic == numeric order)
+    def nn_edges(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.equal(t.column("other_new"), 1),
+            pc.and_(
+                pc.invert(pc.is_in(t.column("new_id"), value_set=bad_cross_arr)),
+                pc.invert(pc.is_in(t.column("other_id"), value_set=bad_cross_arr)),
+            ),
+        )
+        t = t.filter(pc.fill_null(m, False))
+        return pa.table(
+            {
+                "left_url": _pad_ids(t.column("new_id")),
+                "right_url": _pad_ids(t.column("other_id")),
+            }
+        )
+
+    edges = verified.map_batches(nn_edges, batch_format="pyarrow").materialize()
+    if edges.count() > 0:
+        cc = connected_components(edges).to_pandas()
+        dropped_nn = {int(u) for u, c in zip(cc["url"], cc["cluster_id"]) if u != c}
+    else:
+        dropped_nn = set()
+
+    bad_ids = pa.array(sorted(bad_cross | dropped_nn), pa.int64())
+    if len(bad_ids) <= max_broadcast_ids:
+        ref = ray.put(bad_ids)
+        survivors = ds.map_batches(
+            BroadcastSemiJoin(ref, id_col, anti=True), batch_format="pyarrow"
+        )
+        kept_sigs = sigt.map_batches(
+            BroadcastSemiJoin(ref, id_col, anti=True), batch_format="pyarrow"
+        )
+    else:  # pragma: no cover - needs a >50M-dup increment
+        bad_ds = rd.from_arrow(pa.table({"_bad": bad_ids}))
+        survivors = bucketed_anti_semi_join(
+            ds, bad_ds, id_col, "_bad", anti=True, num_buckets=num_buckets
+        )
+        kept_sigs = bucketed_anti_semi_join(
+            sigt, bad_ds, id_col, "_bad", anti=True, num_buckets=num_buckets
+        )
+
+    _register(kept_sigs, state_dir, increment)
+    return survivors
+
+
+def _register(kept_sigs, state_dir: str, increment: str) -> None:
+    """Atomic idempotent store registration (same staging dance as
+    dedup.exact_dedup_incremental): write_shard to a staging dir, rename
+    into place, replacing any prior entry for the same increment name."""
+    from ..state.manifest import write_shard
+
+    inc_dir = os.path.join(state_dir, f"increment={increment}")
+    staging = os.path.join(state_dir, f"increment={increment}.staging")
+    write_shard(kept_sigs, staging, 0, input_fingerprint=increment)
+    staged = os.path.join(staging, "shard=0")
+    if os.path.exists(inc_dir):
+        shutil.rmtree(inc_dir)
+    os.rename(staged, inc_dir)
+    shutil.rmtree(staging, ignore_errors=True)
+
+
+def _pad_ids(arr) -> pa.Array:
+    """Zero-pad int ids to fixed-width strings so CC's lexicographic
+    min-label equals the numeric min."""
+    import pyarrow.compute as pc
+
+    return pc.utf8_lpad(pc.cast(arr, pa.string()), 20, "0")

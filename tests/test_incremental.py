@@ -1,0 +1,91 @@
+"""Incremental MinHash near-dup dedup: cross-increment drops, transitive
+within-increment keep-min, idempotent re-runs, store growth."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from ertransfer_ray.stages.incremental import minhash_dedup_incremental
+
+_WORDS = np.array(
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu nu xi "
+    "omicron pi rho sigma tau upsilon phi chi psi omega red blue green".split()
+)
+
+
+def _text(rng, n=60):
+    return " ".join(rng.choice(_WORDS, n))
+
+
+def _perturb(text, rng, k=1):
+    ws = text.split()
+    for i in sorted(rng.choice(len(ws), k, replace=False)):
+        ws[i] = str(rng.choice(_WORDS))
+    return " ".join(ws)
+
+
+def _ds(rows):
+    ids, texts = zip(*rows)
+    return rd.from_arrow(
+        pa.table({"doc_id": pa.array(ids, pa.int64()), "text": list(texts)})
+    ).repartition(3)
+
+
+def _ids(ds):
+    return sorted(ds.to_pandas()["doc_id"])
+
+
+def test_incremental_minhash(ray_session, tmp_path):
+    state = str(tmp_path / "mh_store")
+    rng = np.random.default_rng(42)
+    base = [_text(rng) for _ in range(8)]
+
+    # increment A: docs 0-7 distinct, plus 8 ≈ 0 and 9 ≈ 8 (transitive
+    # chain 0-8-9 collapses to min id 0)
+    inc_a = [(i, base[i]) for i in range(8)]
+    inc_a += [(8, _perturb(base[0], rng)), (9, _perturb(base[0], rng))]
+    got_a = _ids(minhash_dedup_incremental(_ds(inc_a), state, "a", agreement=0.7))
+    assert got_a == list(range(8))
+
+    # increment B: 20 ≈ doc 3 (cross-increment drop), 21 fresh,
+    # 22 ≈ 23's near-dup pair within B (min 22 kept)
+    fresh = _text(rng)
+    pair = _text(rng)
+    inc_b = [
+        (20, _perturb(base[3], rng)),
+        (21, fresh),
+        (22, pair),
+        (23, _perturb(pair, rng)),
+    ]
+    got_b = _ids(minhash_dedup_incremental(_ds(inc_b), state, "b", agreement=0.7))
+    assert got_b == [21, 22]
+
+    # increment C: near-dup of B's survivor 21 → dropped; exact copy of a
+    # doc dropped in B (23's text) still matches the RETAINED 22 → dropped
+    inc_c = [(30, _perturb(fresh, rng)), (31, pair), (32, _text(rng))]
+    got_c = _ids(minhash_dedup_incremental(_ds(inc_c), state, "c", agreement=0.7))
+    assert got_c == [32]
+
+    # idempotent re-run of C: same result (its own store entry excluded)
+    again = _ids(minhash_dedup_incremental(_ds(inc_c), state, "c", agreement=0.7))
+    assert again == got_c
+
+    # store has exactly one entry per increment, survivors only
+    import os
+
+    entries = sorted(d for d in os.listdir(state) if d.startswith("increment="))
+    assert entries == ["increment=a", "increment=b", "increment=c"]
+    stored = rd.read_parquet(
+        [os.path.join(state, e) for e in entries], file_extensions=["parquet"]
+    ).to_pandas()
+    assert sorted(stored["doc_id"]) == sorted(got_a + got_b + got_c)
+    # read_parquet surfaces the hive partition dir as an "increment" column
+    assert set(stored.columns) == {"doc_id", "sig", "bands", "increment"}
+
+
+def test_first_increment_no_store(ray_session, tmp_path):
+    state = str(tmp_path / "mh0")
+    rng = np.random.default_rng(7)
+    rows = [(i, _text(rng)) for i in range(5)]
+    got = _ids(minhash_dedup_incremental(_ds(rows), state, "day0"))
+    assert got == list(range(5))
