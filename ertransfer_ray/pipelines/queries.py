@@ -845,6 +845,34 @@ def q_doc_bigram_ce(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id", ignore_index=True)
 
 
+def q_doc_clean_corpus(sf_dir: str) -> pd.DataFrame:
+    """C4-style cleaning COMPOSITION, pinned value-level end to end:
+    language filter (lang_pred == 'en') → min-length gate (≥ 30 whitespace
+    tokens) → exact dedup (keep min doc_id per surviving text) → PII scrub
+    of the survivors. Every stage is individually oracled elsewhere
+    (doc_langid / doc_token_p90_filter / exact_dedup_docs / doc_pii_scrub);
+    this query proves the stages compose without semantic drift. All maps
+    are streaming; the only exchange is the dedup's id-only hash pass."""
+    from ..functions.pii import ScrubPII
+    from ..functions.textstats import language_id
+    from ..stages.dedup import exact_dedup
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def gate(df: pd.DataFrame) -> pd.DataFrame:
+        langs, _ = language_id(df["text"].tolist())
+        tc = token_count_batch(
+            pa.chunked_array([pa.array(df["text"])])
+        ).to_numpy(zero_copy_only=False)
+        keep = (np.asarray(langs) == "en") & (tc >= 30)
+        return df[keep]
+
+    filtered = docs.map_batches(gate, batch_format="pandas")
+    deduped = exact_dedup(filtered, "doc_id", "text")
+    out = deduped.map_batches(ScrubPII("text"), batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id", ignore_index=True)
+
+
 def q_event_order_asof(sf_dir: str) -> pd.DataFrame:
     """As-of join: each event picks the LATEST order of the same customer at
     or before the event time (ties broken deterministically by max
@@ -1026,6 +1054,7 @@ def build_queries() -> dict:
         "doc_pii_scrub": q_doc_pii_scrub,
         "doc_url_normalized": q_doc_url_normalized,
         "doc_bigram_ce": q_doc_bigram_ce,
+        "doc_clean_corpus": q_doc_clean_corpus,
         "event_order_asof": q_event_order_asof,
         "orders_nearby_counts": q_orders_nearby_counts,
         "event_value_quantiles": q_event_value_quantiles,
@@ -1860,4 +1889,46 @@ ORACLE_SQL["doc_url_normalized"] = f"""
     SELECT doc_id, url, url_norm,
            regexp_extract(url_norm, '{HOST_PATTERN}', 1) AS host
     FROM stepped ORDER BY doc_id
+"""
+
+
+# Composite cleaning oracle: reuses the doc_langid oracle verbatim as a CTE
+# (nested WITH), the doc_token_p90_filter token convention, the
+# exact-dedup min-per-text rule scoped to the FILTERED set, and the PII
+# replace chain over the survivors — one source of truth per stage.
+ORACLE_SQL["doc_clean_corpus"] = f"""
+    WITH lang AS ({ORACLE_SQL["doc_langid"]}),
+    tok AS (
+        SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+               END AS token_count
+        FROM documents
+    ), filtered AS (
+        SELECT d.doc_id, d.text
+        FROM documents d
+        JOIN lang ON lang.doc_id = d.doc_id
+        JOIN tok ON tok.doc_id = d.doc_id
+        WHERE lang.lang_pred = 'en' AND tok.token_count >= 30
+    ), kept AS (
+        SELECT min(doc_id) AS doc_id FROM filtered GROUP BY text
+    ), surv AS (
+        SELECT f.doc_id, f.text AS t0 FROM filtered f JOIN kept USING (doc_id)
+    ), s1 AS (
+        SELECT doc_id,
+               len(regexp_extract_all(t0, '{PII_PATTERNS[0][1]}')) AS n_email,
+               regexp_replace(t0, '{PII_PATTERNS[0][1]}', '<EMAIL>', 'g') AS t1
+        FROM surv
+    ), s2 AS (
+        SELECT doc_id, n_email,
+               len(regexp_extract_all(t1, '{PII_PATTERNS[1][1]}')) AS n_phone,
+               regexp_replace(t1, '{PII_PATTERNS[1][1]}', '<PHONE>', 'g') AS t2
+        FROM s1
+    ), s3 AS (
+        SELECT doc_id, n_email, n_phone,
+               len(regexp_extract_all(t2, '{PII_PATTERNS[2][1]}')) AS n_ipv4,
+               regexp_replace(t2, '{PII_PATTERNS[2][1]}', '<IP>', 'g') AS text
+        FROM s2
+    )
+    SELECT doc_id, text, n_email, n_phone, n_ipv4 FROM s3 ORDER BY doc_id
 """
