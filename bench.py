@@ -80,6 +80,9 @@ BENCH_QUERIES = [
     "event_order_asof",       # distributed as-of join (round 4)
     "orders_nearby_counts",   # distributed range/interval join (round 4)
     "doc_segment_dup_stats",  # line-level dedup signal (round 4)
+    "doc_pii_scrub",          # Arrow-RE2 PII masking (round 4)
+    "doc_bigram_ce",          # bigram-LM quality scoring (round 4)
+    "doc_clean_corpus",       # composed cleaning pipeline (round 4)
 ]
 
 HEADLINE = "er_documents"
