@@ -171,7 +171,6 @@ def minhash_dedup_incremental(
     import ray
     import ray.data as rd
 
-    from ..state.manifest import write_shard
     from .clustering import connected_components
     from .groupby import distinct_rows, exchange_group_apply
     from .joins import BroadcastSemiJoin, bucketed_anti_semi_join, bucketed_join
