@@ -873,6 +873,32 @@ def q_doc_clean_corpus(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id", ignore_index=True)
 
 
+def q_doc_quality_classifier(sf_dir: str) -> pd.DataFrame:
+    """GPT-3-style TRAINED quality filter (rows-only by nature: the
+    hashed-n-gram ridge fit has no SQL form; the operator is value-pinned
+    in tests/test_quality_clf.py — held-out separation, parallelism-
+    invariant closed-form weights): docs tagged lang='en' are the
+    high-quality exemplars, the rest the background; every doc is scored
+    with the fitted σ(x·w) — stages/quality_clf, one sufficient-stats
+    pass per side + a stateless scoring map."""
+    from ..stages.quality_clf import score_quality, train_quality_classifier
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def side(keep_en: bool):
+        def f(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            m = pc.equal(t.column("lang"), "en")
+            return t.filter(m if keep_en else pc.invert(m))
+
+        return docs.map_batches(f, batch_format="pyarrow")
+
+    clf = train_quality_classifier(side(True), side(False))
+    out = score_quality(docs, clf).to_pandas()
+    return out.sort_values("doc_id", ignore_index=True)
+
+
 def q_event_order_asof(sf_dir: str) -> pd.DataFrame:
     """As-of join: each event picks the LATEST order of the same customer at
     or before the event time (ties broken deterministically by max
@@ -1055,6 +1081,7 @@ def build_queries() -> dict:
         "doc_url_normalized": q_doc_url_normalized,
         "doc_bigram_ce": q_doc_bigram_ce,
         "doc_clean_corpus": q_doc_clean_corpus,
+        "doc_quality_classifier": q_doc_quality_classifier,
         "event_order_asof": q_event_order_asof,
         "orders_nearby_counts": q_orders_nearby_counts,
         "event_value_quantiles": q_event_value_quantiles,
