@@ -899,6 +899,19 @@ def q_doc_quality_classifier(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id", ignore_index=True)
 
 
+def q_doc_consistent_sample(sf_dir: str) -> pd.DataFrame:
+    """Exactly-k uniform sampling by consistent hashing (bottom-k of the
+    Knuth mix hash, ties by id) — stages/sampling.consistent_sample_k:
+    per-block partial bottom-k (id-only), driver merge of ≤ k·blocks
+    candidates, broadcast winner filter. Deterministic at any parallelism
+    and exactly SQL-reproducible (ORDER BY hash LIMIT k)."""
+    from ..stages.sampling import consistent_sample_k
+
+    docs = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    out = consistent_sample_k(docs, 100).to_pandas()
+    return out.sort_values("doc_id", ignore_index=True)
+
+
 def q_event_order_asof(sf_dir: str) -> pd.DataFrame:
     """As-of join: each event picks the LATEST order of the same customer at
     or before the event time (ties broken deterministically by max
@@ -1082,6 +1095,7 @@ def build_queries() -> dict:
         "doc_bigram_ce": q_doc_bigram_ce,
         "doc_clean_corpus": q_doc_clean_corpus,
         "doc_quality_classifier": q_doc_quality_classifier,
+        "doc_consistent_sample": q_doc_consistent_sample,
         "event_order_asof": q_event_order_asof,
         "orders_nearby_counts": q_orders_nearby_counts,
         "event_value_quantiles": q_event_value_quantiles,
@@ -1668,6 +1682,11 @@ ORACLE_SQL: dict[str, str] = {
     # Pattern constants interpolated from functions/urlnorm (one source of
     # truth); _SQL_URL_CHAIN is the URL_NORM_STEPS replace chain.
     "doc_url_normalized": None,  # filled below (needs the computed chain)
+    "doc_consistent_sample": """
+        SELECT doc_id, n_chars FROM documents
+        ORDER BY (CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296, doc_id
+        LIMIT 100
+    """,
     # Bigram-LM cross-entropy: same ' '-split tokenization (zipped unnest),
     # same add-0.5 smoothing over the full-corpus counts, V = distinct
     # unigrams. Docs with <2 tokens have no bigram row and drop out.

@@ -169,3 +169,47 @@ def filter_by_quantile(
         return t.filter(pc.fill_null(mask, False))
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def consistent_sample_k(ds, k: int, id_col: str = "doc_id"):
+    """Exactly-k uniform sample by consistent hashing (bottom-k): keep the
+    k rows with the smallest ``mix_hash(id)`` (ties by id). Deterministic
+    at any parallelism, stable under re-runs, and — the bottom-k sketch
+    property — the sample of a superset corpus CONTAINS consistent
+    decisions (a row in the sample can only be displaced by new rows, not
+    by reordering).
+
+    Distributed shape: each block contributes its own k smallest (hash,
+    id) pairs (a partial bottom-k, id-only); the driver merges the ≤
+    k·num_blocks candidate rows and broadcasts the winning id set as a
+    map-side filter. Full rows never shuffle. SQL oracle:
+    ``ORDER BY (CAST(id AS HUGEINT)*2654435761)%4294967296, id LIMIT k``.
+    """
+    import ray
+    import pyarrow.compute as pc
+
+    from .joins import BroadcastSemiJoin
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"h": pa.array([], pa.int64()),
+                             id_col: pa.array([], pa.int64())})
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        h = _mix_hash(ids).astype(np.int64)
+        order = np.lexsort((ids, h))[:k]
+        return pa.table({"h": pa.array(h[order]), id_col: pa.array(ids[order])})
+
+    parts = [
+        b
+        for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
+    ]
+    if not parts:
+        return ds  # empty corpus
+    cand = pa.concat_tables(parts)
+    h = cand.column("h").to_numpy(zero_copy_only=False)
+    ids = cand.column(id_col).to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, h))[:k]
+    ref = ray.put(pa.array(np.sort(ids[order])))
+    return ds.map_batches(BroadcastSemiJoin(ref, id_col), batch_format="pyarrow")

@@ -136,3 +136,22 @@ def test_approx_quantile_constant_and_empty():
     assert approx_quantile(const, "score", 0.7) == 3.5
     empty = rd.from_arrow(pa.table({"score": pa.array([], pa.float64())}))
     assert approx_quantile(empty, "score", 0.5) is None
+
+
+def test_consistent_sample_k():
+    from ertransfer_ray.stages.sampling import _mix_hash, consistent_sample_k
+
+    t = _docs(4000)
+    ds = rd.from_arrow(t).repartition(9)
+    got = consistent_sample_k(ds, 50).to_pandas().sort_values("doc_id")
+    # reference: global bottom-50 by the same hash
+    ids = t.column("doc_id").to_numpy()
+    h = _mix_hash(ids)
+    want = sorted(ids[np.lexsort((ids, h))[:50]])
+    assert list(got["doc_id"]) == want
+    # bottom-k consistency: any full-corpus winner that lives in the
+    # first half must also win in the half-corpus sample (removing rows
+    # can only ADD winners, never displace surviving ones)
+    half = rd.from_arrow(t.slice(0, 2000)).repartition(4)
+    got_half = set(consistent_sample_k(half, 50).to_pandas()["doc_id"])
+    assert {d for d in want if d < 2000} <= got_half
