@@ -912,6 +912,33 @@ def q_doc_consistent_sample(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id", ignore_index=True)
 
 
+def q_doc_stratified_sample(sf_dir: str) -> pd.DataFrame:
+    """Exactly-k-PER-GROUP consistent sampling (stratified bottom-k): the
+    same Knuth hash ranks rows within each source; grouped_top_k takes the
+    5 smallest per source through one bucketed exchange of id-only rows.
+    SQL oracle: row_number() over (partition by source order by hash)."""
+    import pyarrow.compute as pc
+
+    from ..stages.groupby import grouped_top_k
+    from ..stages.sampling import _mix_hash
+
+    docs = _read(sf_dir, "documents", ["doc_id", "source"])
+
+    def with_hash(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "h", pa.array(_mix_hash(ids).astype(np.int64))
+        )
+
+    keyed = docs.map_batches(with_hash, batch_format="pyarrow")
+    out = grouped_top_k(
+        keyed, "source", "h", k=5, descending=False, tie_cols=["doc_id"]
+    ).to_pandas()
+    return out.drop(columns=["h"]).sort_values(
+        ["source", "doc_id"], ignore_index=True
+    )
+
+
 def q_event_order_asof(sf_dir: str) -> pd.DataFrame:
     """As-of join: each event picks the LATEST order of the same customer at
     or before the event time (ties broken deterministically by max
@@ -1096,6 +1123,7 @@ def build_queries() -> dict:
         "doc_clean_corpus": q_doc_clean_corpus,
         "doc_quality_classifier": q_doc_quality_classifier,
         "doc_consistent_sample": q_doc_consistent_sample,
+        "doc_stratified_sample": q_doc_stratified_sample,
         "event_order_asof": q_event_order_asof,
         "orders_nearby_counts": q_orders_nearby_counts,
         "event_value_quantiles": q_event_value_quantiles,
@@ -1686,6 +1714,17 @@ ORACLE_SQL: dict[str, str] = {
         SELECT doc_id, n_chars FROM documents
         ORDER BY (CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296, doc_id
         LIMIT 100
+    """,
+    "doc_stratified_sample": """
+        SELECT doc_id, source FROM (
+            SELECT doc_id, source,
+                   row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY (CAST(doc_id AS HUGEINT) * 2654435761)
+                                % 4294967296, doc_id
+                   ) AS rn
+            FROM documents
+        ) WHERE rn <= 5 ORDER BY source, doc_id
     """,
     # Bigram-LM cross-entropy: same ' '-split tokenization (zipped unnest),
     # same add-0.5 smoothing over the full-corpus counts, V = distinct
