@@ -483,6 +483,29 @@ def q_embedding_knn(sf_dir: str) -> pd.DataFrame:
     return out[["vec_id", "cos_sim"]].reset_index(drop=True)
 
 
+def q_embedding_knn_int8(sf_dir: str) -> pd.DataFrame:
+    """The int8-quantized ANN store: cosine top-10 vs the vec_id=0 float
+    query over the symmetric-int8 corpus (stages/quant — 4x smaller
+    store; cosine is scale-invariant so the quantized column rides the
+    UNCHANGED brute_force_topk). Oracle reproduces the quantizer in SQL
+    (double arithmetic + ROUND half-away-from-zero, by construction)."""
+    from ..stages.quant import quantize_embeddings
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    q = None
+    for b in emb.iter_batches(batch_format="pandas"):
+        hit = b[b["vec_id"] == 0]
+        if len(hit):
+            q = np.asarray(list(hit["embedding"])[0], dtype=np.float64)
+            break
+    top = brute_force_topk(
+        quantize_embeddings(emb), q, k=10, id_col="vec_id", vec_col="embedding"
+    )
+    out = top[top["qid"] == 0][["vec_id", "cosine"]].copy()
+    out["cos_sim"] = out["cosine"].round(6)
+    return out[["vec_id", "cos_sim"]].reset_index(drop=True)
+
+
 def q_embedding_neardup_exact(sf_dir: str) -> pd.DataFrame:
     """Exact all-pairs cosine ≥ 0.35 (single-bucket brute force — the
     verification baseline for the LSH-bucketed variant)."""
@@ -1129,6 +1152,7 @@ def build_queries() -> dict:
         "event_value_quantiles": q_event_value_quantiles,
         "doc_langid": q_doc_langid,
         "embedding_knn": q_embedding_knn,
+        "embedding_knn_int8": q_embedding_knn_int8,
         "embedding_neardup_exact": q_embedding_neardup_exact,
         "minhash_neardup_pairs": q_minhash_neardup_pairs,
         "simhash_neardup_pairs": q_simhash_neardup_pairs,
@@ -1915,6 +1939,33 @@ ORACLE_SQL: dict[str, str] = {
                         FROM embeddings WHERE vec_id = 0)
                    ) AS c
             FROM embeddings
+        )
+        SELECT vec_id, round(c, 6) AS cos_sim
+        FROM scored ORDER BY c DESC, vec_id LIMIT 10
+    """,
+    # reproduces stages/quant exactly: double arithmetic, scale =
+    # max|x|/127 (0 -> 1), ROUND half-away-from-zero, clip to [-127,127];
+    # cosine is computed on the int values (scale cancels out of cosine)
+    "embedding_knn_int8": """
+        WITH src AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        ), scaled AS (
+            SELECT vec_id, e,
+                   CASE WHEN list_aggregate(list_transform(e, v -> abs(v)), 'max') = 0
+                        THEN 1.0
+                        ELSE list_aggregate(list_transform(e, v -> abs(v)), 'max') / 127.0
+                   END AS s
+            FROM src
+        ), quant AS (
+            SELECT vec_id,
+                   list_transform(e, v -> GREATEST(-127.0,
+                       LEAST(127.0, round(v / s)))) AS qv
+            FROM scaled
+        ), scored AS (
+            SELECT vec_id,
+                   list_cosine_similarity(
+                       qv, (SELECT e FROM src WHERE vec_id = 0)) AS c
+            FROM quant
         )
         SELECT vec_id, round(c, 6) AS cos_sim
         FROM scored ORDER BY c DESC, vec_id LIMIT 10

@@ -1,0 +1,65 @@
+"""Int8 embedding quantization for the similarity-search store.
+
+At 100 TB the embedding table is the ANN path's dominant storage and
+object-store cost. Symmetric per-vector int8 quantization (scale =
+max|x|/127) cuts it ~4× (1 byte/dim + one float32 scale vs 4
+bytes/dim), and because cosine is SCALE-INVARIANT, the quantized
+column drops straight into ``knn.brute_force_topk`` / the IVF path with
+no code change — cos(round(x/s), q) = cos(x̂, q) where x̂ is the
+dequantized vector. Recall loss is the rounding error only (≥ 0.9
+recall@10 pinned in tests on random corpora).
+
+All transforms are stateless Arrow maps; nothing shuffles.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.arrays import list_column_to_matrix, matrix_to_list_column
+
+
+def quantize_embeddings(ds, vec_col: str = "embedding"):
+    """Replace ``vec_col`` (list<float>) with list<int8> plus a
+    ``<vec_col>_scale`` float32 column (per-vector symmetric scale)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        # float64 arithmetic + round-half-away-from-zero: matches SQL
+        # ROUND() over CAST(… AS DOUBLE[]) exactly, so the quantizer is
+        # value-level oracle-checkable (np.round's half-to-even would
+        # diverge on exact .5 quotients)
+        x = list_column_to_matrix(t.column(vec_col), dtype=np.float64)
+        if x.size == 0:
+            s = np.ones(t.num_rows, np.float64)
+            q = np.zeros((t.num_rows, 0), np.int8)
+        else:
+            s = np.abs(x).max(axis=1) / 127.0
+            s[s == 0] = 1.0
+            v = x / s[:, None]
+            q = np.clip(
+                np.floor(np.abs(v) + 0.5) * np.sign(v), -127, 127
+            ).astype(np.int8)
+        idx = t.schema.get_field_index(vec_col)
+        out = t.set_column(idx, vec_col, matrix_to_list_column(q, pa.int8()))
+        return out.append_column(
+            f"{vec_col}_scale", pa.array(s.astype(np.float32), pa.float32())
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def dequantize_embeddings(ds, vec_col: str = "embedding"):
+    """Inverse of :func:`quantize_embeddings`: list<int8> × scale →
+    list<float32>; the scale column is dropped. Componentwise error of the
+    round trip is ≤ scale/2 = max|x|/254."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        q = list_column_to_matrix(t.column(vec_col), dtype=np.float32)
+        s = t.column(f"{vec_col}_scale").to_numpy(zero_copy_only=False)
+        x = q * s[:, None] if q.size else q
+        idx = t.schema.get_field_index(vec_col)
+        out = t.set_column(idx, vec_col, matrix_to_list_column(x, pa.float32()))
+        return out.drop_columns([f"{vec_col}_scale"])
+
+    return ds.map_batches(fn, batch_format="pyarrow")
