@@ -49,6 +49,20 @@ from ..stages.knn import brute_force_topk
 from ..stages.windows import sessionize, tumbling_window_agg
 
 
+def _r(x, n: int):
+    """SQL-ROUND semantics (half away from zero): pandas/numpy .round is
+    half-to-even and diverges from DuckDB's round() on exact half
+    boundaries (observed: a char-3-gram jaccard of 0.5703125 at sf0.1
+    rounded to ...12 here vs ...13 in the oracle). Same double
+    arithmetic as DuckDB (multiply, floor, divide) for bit parity."""
+    a = np.asarray(x, dtype=np.float64)
+    pw = 10.0 ** n
+    out = np.copysign(np.floor(np.abs(a) * pw + 0.5), a) / pw
+    if isinstance(x, pd.Series):
+        return pd.Series(out, index=x.index)
+    return out
+
+
 def _read(sf_dir: str, table: str, columns: list[str] | None = None):
     return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
@@ -86,7 +100,7 @@ def q_pricing_summary(sf_dir: str) -> pd.DataFrame:
         },
     )
     for c in ["sum_qty", "sum_base_price", "sum_disc_price", "avg_qty"]:
-        out[c] = out[c].round(3)
+        out[c] = _r(out[c], 3)
     return out
 
 
@@ -111,8 +125,8 @@ def q_customer_order_stats(sf_dir: str) -> pd.DataFrame:
         {"n_orders": (None, "count"), "sum_total": ("o_totalprice", "sum"),
          "avg_total": ("o_totalprice", "mean")},
     )
-    out["sum_total"] = out["sum_total"].round(3)
-    out["avg_total"] = out["avg_total"].round(3)
+    out["sum_total"] = _r(out["sum_total"], 3)
+    out["avg_total"] = _r(out["avg_total"], 3)
     return out
 
 
@@ -144,7 +158,7 @@ def q_filter_clicks(sf_dir: str) -> pd.DataFrame:
         batch_format="pyarrow",
     )
     df = out.to_pandas()
-    df["value"] = df["value"].round(3)
+    df["value"] = _r(df["value"], 3)
     return df
 
 
@@ -194,7 +208,7 @@ def q_top1_order_per_customer(sf_dir: str) -> pd.DataFrame:
 def q_hourly_event_stats(sf_dir: str) -> pd.DataFrame:
     ev = _read(sf_dir, "events", ["ts", "event_type", "value"])
     out = tumbling_window_agg(ev, "ts", "event_type", "value", "1h").to_pandas()
-    out["sum_value"] = out["sum_value"].round(3)
+    out["sum_value"] = _r(out["sum_value"], 3)
     return _us(out, ["window_start"]).sort_values(
         ["event_type", "window_start"], ignore_index=True
     )
@@ -207,7 +221,7 @@ def q_sliding_user_windows(sf_dir: str) -> pd.DataFrame:
 
     ev = _read(sf_dir, "events", ["ts", "user_id", "value"])
     out = sliding_window_agg(ev, "ts", "user_id", "value", "1h", "30min").to_pandas()
-    out["sum_value"] = out["sum_value"].round(3)
+    out["sum_value"] = _r(out["sum_value"], 3)
     return _us(out, ["window_start"]).sort_values(
         ["user_id", "window_start"], ignore_index=True
     )
@@ -412,7 +426,7 @@ def q_ngram_jaccard_pairs(sf_dir: str) -> pd.DataFrame:
     out = ngram_jaccard_pairs(
         docs, jaccard_threshold=0.5, max_doc_freq=50
     ).to_pandas()
-    out["jaccard"] = out["jaccard"].round(6)
+    out["jaccard"] = _r(out["jaccard"], 6)
     return out.sort_values(["left_id", "right_id"], ignore_index=True)
 
 
@@ -432,7 +446,7 @@ def q_doc_quality(sf_dir: str) -> pd.DataFrame:
         batch_format="pyarrow", batch_size=2048,
     ).select_columns(["doc_id", "lang_pred", "token_count", "quality"])
     df = out.to_pandas()
-    df["quality"] = df["quality"].round(4)
+    df["quality"] = _r(df["quality"], 4)
     return df.sort_values("doc_id", ignore_index=True)
 
 
@@ -457,7 +471,7 @@ def q_doc_langid(sf_dir: str) -> pd.DataFrame:
             {
                 "doc_id": df["doc_id"].to_numpy(),
                 "lang_pred": langs,
-                "lang_conf": np.round(confs, 6),
+                "lang_conf": _r(confs, 6),
             }
         )
 
@@ -479,7 +493,7 @@ def q_embedding_knn(sf_dir: str) -> pd.DataFrame:
             break
     top = brute_force_topk(emb, q, k=10, id_col="vec_id", vec_col="embedding")
     out = top[top["qid"] == 0][["vec_id", "cosine"]].copy()
-    out["cos_sim"] = out["cosine"].round(6)
+    out["cos_sim"] = _r(out["cosine"], 6)
     return out[["vec_id", "cos_sim"]].reset_index(drop=True)
 
 
@@ -502,7 +516,7 @@ def q_embedding_knn_int8(sf_dir: str) -> pd.DataFrame:
         quantize_embeddings(emb), q, k=10, id_col="vec_id", vec_col="embedding"
     )
     out = top[top["qid"] == 0][["vec_id", "cosine"]].copy()
-    out["cos_sim"] = out["cosine"].round(6)
+    out["cos_sim"] = _r(out["cosine"], 6)
     return out[["vec_id", "cos_sim"]].reset_index(drop=True)
 
 
@@ -515,7 +529,7 @@ def q_embedding_neardup_exact(sf_dir: str) -> pd.DataFrame:
     out = embedding_neardup_pairs(
         emb, cosine_threshold=0.35, num_buckets=1
     ).to_pandas()
-    out["cosine"] = out["cosine"].round(6)
+    out["cosine"] = _r(out["cosine"], 6)
     return out.sort_values(["left_id", "right_id"], ignore_index=True)
 
 
@@ -526,7 +540,7 @@ def q_embedding_neardup_exact(sf_dir: str) -> pd.DataFrame:
 def q_minhash_neardup_pairs(sf_dir: str) -> pd.DataFrame:
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
     out = minhash_lsh_dedup_pairs(docs, jaccard_threshold=0.5).to_pandas()
-    out["jaccard"] = out["jaccard"].round(6)
+    out["jaccard"] = _r(out["jaccard"], 6)
     return out.sort_values(["left_id", "right_id"], ignore_index=True)
 
 
@@ -556,7 +570,7 @@ def q_doc_quality_features(sf_dir: str) -> pd.DataFrame:
         feats.insert(0, "doc_id", df["doc_id"].to_numpy())
         for c in ("mean_word_len", "punct_ratio", "stopword_ratio",
                   "upper_ratio", "digit_ratio"):
-            feats[c] = feats[c].round(6)
+            feats[c] = _r(feats[c], 6)
         return feats
 
     out = docs.map_batches(fn, batch_format="pandas").to_pandas()
@@ -572,7 +586,7 @@ def q_doc_boilerplate_stats(sf_dir: str) -> pd.DataFrame:
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
     out = boilerplate_shingle_stats(docs, hot_doc_freq=5).to_pandas()
-    out["boilerplate_ratio"] = out["boilerplate_ratio"].round(6)
+    out["boilerplate_ratio"] = _r(out["boilerplate_ratio"], 6)
     return out.sort_values("doc_id", ignore_index=True)
 
 
@@ -588,7 +602,7 @@ def q_doc_repetition_stats(sf_dir: str) -> pd.DataFrame:
         out = repetition_stats(df["text"].tolist())
         out.insert(0, "doc_id", df["doc_id"].to_numpy())
         for c in ("dup_word_frac", "dup_2gram_frac"):
-            out[c] = out[c].round(6)
+            out[c] = _r(out[c], 6)
         return out
 
     return (
@@ -606,7 +620,7 @@ def q_doc_top_tfidf(sf_dir: str) -> pd.DataFrame:
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
     out = top_tfidf_terms(docs, k=1).to_pandas()
-    out["tfidf"] = out["tfidf"].round(6)
+    out["tfidf"] = _r(out["tfidf"], 6)
     return out.sort_values("doc_id", ignore_index=True)
 
 
@@ -644,7 +658,7 @@ def q_doc_segment_dup_stats(sf_dir: str) -> pd.DataFrame:
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
     out = segment_dup_stats(docs, k=5).to_pandas()
-    out["dup_frac"] = out["dup_frac"].round(6)
+    out["dup_frac"] = _r(out["dup_frac"], 6)
     return out.sort_values("doc_id", ignore_index=True)
 
 
@@ -1036,7 +1050,7 @@ def q_event_value_quantiles(sf_dir: str) -> pd.DataFrame:
     ev = _read(sf_dir, "events", ["event_type", "value"])
     out = grouped_quantiles(ev, "event_type", "value").to_pandas()
     for c in ("q50", "q90", "q99"):
-        out[c] = out[c].round(6)
+        out[c] = _r(out[c], 6)
     return out.sort_values("event_type", ignore_index=True)
 
 
@@ -1085,7 +1099,7 @@ def q_deepblocker_topk(sf_dir: str) -> pd.DataFrame:
         .head(2)
         .reset_index(drop=True)
     )
-    out["score"] = out["score"].round(6)
+    out["score"] = _r(out["score"], 6)
     return out
 
 
