@@ -976,6 +976,43 @@ def q_doc_stratified_sample(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_doc_ce_buckets(sf_dir: str) -> pd.DataFrame:
+    """CCNet's head/middle/tail split: docs bucketed by bigram-LM
+    cross-entropy terciles (head = most fluent third). Composes the
+    oracled CE pipeline with exact global quantile_cont(1/3, 2/3)
+    thresholds (one tiny aggregate pass) and a map-side CASE — the SQL
+    oracle reuses the CE CTE chain and the same quantile_cont calls."""
+    import pyarrow.compute as pc
+
+    from ..stages.ngram_lm import score_bigram_ce, train_bigram_lm
+    from ..stages.windows import grouped_quantiles
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    model = train_bigram_lm(docs, k=0.5)
+    ce = score_bigram_ce(docs, model).materialize()
+
+    one = ce.map_batches(
+        lambda t: t.append_column("_g", pa.array(np.zeros(t.num_rows, np.int8))),
+        batch_format="pyarrow",
+    )
+    qdf = grouped_quantiles(one, "_g", "cross_entropy", [1 / 3, 2 / 3]).to_pandas()
+    q33, q67 = float(qdf["q33"][0]), float(qdf["q67"][0])
+
+    def bucket(t: pa.Table) -> pa.Table:
+        c = t.column("cross_entropy")
+        b = pc.if_else(
+            pc.less_equal(c, q33),
+            "head",
+            pc.if_else(pc.less_equal(c, q67), "middle", "tail"),
+        )
+        return pa.table(
+            {"doc_id": t.column("doc_id"), "cross_entropy": c, "bucket": b}
+        )
+
+    out = ce.map_batches(bucket, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id", ignore_index=True)
+
+
 def q_event_order_asof(sf_dir: str) -> pd.DataFrame:
     """As-of join: each event picks the LATEST order of the same customer at
     or before the event time (ties broken deterministically by max
@@ -1161,6 +1198,7 @@ def build_queries() -> dict:
         "doc_quality_classifier": q_doc_quality_classifier,
         "doc_consistent_sample": q_doc_consistent_sample,
         "doc_stratified_sample": q_doc_stratified_sample,
+        "doc_ce_buckets": q_doc_ce_buckets,
         "event_order_asof": q_event_order_asof,
         "orders_nearby_counts": q_orders_nearby_counts,
         "event_value_quantiles": q_event_value_quantiles,
@@ -2081,4 +2119,20 @@ ORACLE_SQL["doc_clean_corpus"] = f"""
         FROM s2
     )
     SELECT doc_id, text, n_email, n_phone, n_ipv4 FROM s3 ORDER BY doc_id
+"""
+
+
+# CCNet head/middle/tail: the CE oracle chain reused as a CTE, bucketed by
+# the same quantile_cont(1/3, 2/3) thresholds the Ray side computes.
+ORACLE_SQL["doc_ce_buckets"] = f"""
+    WITH ce AS ({ORACLE_SQL["doc_bigram_ce"]})
+    SELECT doc_id, cross_entropy,
+           CASE WHEN cross_entropy <=
+                     (SELECT quantile_cont(cross_entropy, 1.0/3.0) FROM ce)
+                THEN 'head'
+                WHEN cross_entropy <=
+                     (SELECT quantile_cont(cross_entropy, 2.0/3.0) FROM ce)
+                THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM ce ORDER BY doc_id
 """
