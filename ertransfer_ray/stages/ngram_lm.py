@@ -134,7 +134,11 @@ def score_bigram_ce(
         with np.errstate(invalid="ignore", divide="ignore"):
             ce = np.where(n_big > 0, ce / np.maximum(n_big, 1), np.nan)
         if round_to is not None:
-            ce = np.round(ce, round_to)
+            # SQL-ROUND (half away from zero): the oracle rounds with
+            # DuckDB's round(), and numpy's half-to-even diverges on
+            # exact half boundaries
+            pw = 10.0 ** round_to
+            ce = np.copysign(np.floor(np.abs(ce) * pw + 0.5), ce) / pw
         keep = n_big > 0
         return pa.table(
             {

@@ -128,7 +128,8 @@ def score_quality(
         z = x @ w if x.size else np.zeros(t.num_rows)
         p = 1.0 / (1.0 + np.exp(-z))
         if round_to is not None:
-            p = np.round(p, round_to)
+            pw = 10.0 ** round_to  # SQL-ROUND semantics, see ngram_lm
+            p = np.floor(p * pw + 0.5) / pw
         return pa.table(
             {
                 id_col: t.column(id_col),
