@@ -62,3 +62,20 @@ def test_int8_column_is_4x_smaller(ray_session):
         pq.write_table(qt, f"{d}/i8.parquet", compression=None)
         ratio = os.path.getsize(f"{d}/f32.parquet") / os.path.getsize(f"{d}/i8.parquet")
         assert ratio > 3.0, ratio
+
+
+def test_int8_rides_ivf_path(ray_session):
+    """The IVF scale path normalizes vectors before centroid assignment,
+    so the quantized column drops in unchanged there as well."""
+    from ertransfer_ray.stages.knn import ivf_topk
+
+    t, x = _emb_table()
+    ds = rd.from_arrow(t)
+    rng = np.random.default_rng(11)
+    queries = rng.normal(size=(3, x.shape[1]))
+    f = ivf_topk(ds, queries, k=10, num_buckets=8, nprobe=4)
+    q8 = ivf_topk(quantize_embeddings(ds), queries, k=10, num_buckets=8, nprobe=4)
+    for q in range(3):
+        a = set(f[f.qid == q]["vec_id"])
+        b = set(q8[q8.qid == q]["vec_id"])
+        assert len(a & b) / 10 >= 0.8, (q, a ^ b)
