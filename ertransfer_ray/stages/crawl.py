@@ -93,13 +93,16 @@ def latest_capture_per_url(
         strategy = "broadcast" if winners.count() <= BROADCAST_MAX_WINNERS else "join"
 
     if strategy == "broadcast":
-        wt = pa.concat_tables(
-            [b for b in winners.iter_batches(batch_format="pyarrow")]
-            or [pa.table({url_col: pa.array([], pa.string()),
-                          ts_col: pa.array([], pa.timestamp("us")),
-                          "url_norm": pa.array([], pa.string())})]
+        # build only the composite KEYS driver-side (one string per winner),
+        # never the full winner rows
+        key_chunks = [
+            _capture_key(b.column(url_col), b.column(ts_col))
+            for b in winners.iter_batches(batch_format="pyarrow")
+            if b.num_rows
+        ] or [pa.array([], pa.string())]
+        key_ref = put_broadcast(
+            pa.concat_arrays([c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c for c in key_chunks])
         )
-        key_ref = put_broadcast(_capture_key(wt.column(url_col), wt.column(ts_col)))
         out = pages_keyed.map_batches(
             BroadcastSemiJoin(key_ref, "capture_key"), batch_format="pyarrow"
         )
