@@ -118,12 +118,49 @@ def score_bigram_ce(
         model = _MODEL_CACHE.get(key)
         if model is None:
             _MODEL_CACHE.clear()
-            model = _MODEL_CACHE[key] = ray.get(model_ref)
-        uni, big, V, k = model["uni"], model["big"], model["V"], model["k"]
+            raw = ray.get(model_ref)
+            # worker-side derived index (built once per model per worker):
+            # token → code via a pandas Index (C hash lookups), bigrams as
+            # sorted int64 codes for np.searchsorted. At this corpus's toy
+            # vocab the throughput equals the string-key form (116k vs
+            # 120k docs/s at 3.2M docs — noise band); the point is the
+            # web-scale vocab, where per-batch string-concat garbage and a
+            # giant string-keyed dict lose to int codes + one sorted array
+            uni = raw["uni"]
+            tok_index = pd.Index(uni.index)
+            nv = len(uni)
+            b1 = tok_index.get_indexer(
+                [s.split(_SEP, 1)[0] for s in raw["big"].index]
+            ).astype(np.int64)
+            b2 = tok_index.get_indexer(
+                [s.split(_SEP, 1)[1] for s in raw["big"].index]
+            ).astype(np.int64)
+            bcodes = b1 * nv + b2
+            order = np.argsort(bcodes)
+            model = _MODEL_CACHE[key] = {
+                "tok_index": tok_index,
+                "uni_counts": uni.to_numpy().astype(np.float64),
+                "bcodes_sorted": bcodes[order],
+                "bcounts_sorted": raw["big"].to_numpy()[order].astype(np.float64),
+                "V": raw["V"],
+                "k": raw["k"],
+            }
+        V, k = model["V"], model["k"]
         flat, m1, m2, offs = _flat_bigrams(t.column(text_col))
-        w1 = pd.Series(flat[m1])
-        cb = (w1 + _SEP + pd.Series(flat[m2])).map(big).fillna(0.0).to_numpy()
-        cu = w1.map(uni).fillna(0.0).to_numpy()
+        codes = model["tok_index"].get_indexer(flat).astype(np.int64)
+        c1, c2 = codes[m1], codes[m2]
+        nv = len(model["uni_counts"])
+        valid = (c1 >= 0) & (c2 >= 0)
+        cb = np.zeros(len(c1), np.float64)
+        if valid.any() and len(model["bcodes_sorted"]):
+            q = c1[valid] * nv + c2[valid]
+            pos = np.minimum(
+                np.searchsorted(model["bcodes_sorted"], q),
+                len(model["bcodes_sorted"]) - 1,
+            )
+            hit = model["bcodes_sorted"][pos] == q
+            cb[valid] = np.where(hit, model["bcounts_sorted"][pos], 0.0)
+        cu = np.where(c1 >= 0, model["uni_counts"][np.maximum(c1, 0)], 0.0)
         nll = -np.log2((cb + k) / (cu + k * V))
         lens = offs[1:] - offs[:-1]
         n_big = np.maximum(lens - 1, 0)
