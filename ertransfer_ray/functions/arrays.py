@@ -65,3 +65,14 @@ def matrix_to_list_column(mat: np.ndarray, value_type=None) -> pa.ListArray:
     else:
         offsets = pa.array(np.arange(0, (n + 1) * d, d, dtype=np.int32))
     return pa.ListArray.from_arrays(offsets, values)
+
+
+def sql_round(a, n: int = 0):
+    """SQL ROUND semantics (half away from zero), shared by every site
+    whose output is compared against a DuckDB oracle: numpy/pandas round
+    is half-to-even and diverges on exact half boundaries (observed on a
+    char-3-gram jaccard of 0.5703125). Same double arithmetic as DuckDB
+    (multiply, floor, divide) for bit parity. n=0 rounds to integers."""
+    a = np.asarray(a, dtype=np.float64)
+    pw = 10.0 ** n
+    return np.copysign(np.floor(np.abs(a) * pw + 0.5), a) / pw

@@ -37,9 +37,14 @@ URL_NORM_STEPS: list[tuple[str, str]] = [
     (r"^(http://[^/?#:]*):80([/?#].*)?$", r"\1\2"),
     (r"^(https://[^/?#:]*):443([/?#].*)?$", r"\1\2"),
     (r"^(https?://)www\.", r"\1"),
-    # tracking param followed by another param: drop it AND its trailing &
-    (r"(?:utm_[A-Za-z0-9]+|fbclid|gclid)=[^&#]*&", ""),
-    # last/only tracking param: drop it AND its leading separator
+    # tracking params must start at a [?&] boundary (an unanchored form
+    # fired on substrings like '?myfbclid=…' and merged distinct URLs).
+    # RE2 has no lookbehind, so the separator is captured and restored;
+    # the (…&)+ run form consumes CONSECUTIVE tracking params in one
+    # match — GlobalReplace resumes after each match, so a one-param
+    # pattern would skip the second of '?utm_a=1&utm_b=2&id=3'.
+    (r"([?&])(?:(?:utm_[A-Za-z0-9]+|fbclid|gclid)=[^&#]*&)+", r"\1"),
+    # trailing tracking param: drop it AND its leading separator
     (r"[?&](?:utm_[A-Za-z0-9]+|fbclid|gclid)=[^&#]*$", ""),
     (r"\?$", ""),
     (r"/+$", ""),  # all trailing slashes (one pass = idempotent)

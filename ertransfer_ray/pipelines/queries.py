@@ -50,14 +50,11 @@ from ..stages.windows import sessionize, tumbling_window_agg
 
 
 def _r(x, n: int):
-    """SQL-ROUND semantics (half away from zero): pandas/numpy .round is
-    half-to-even and diverges from DuckDB's round() on exact half
-    boundaries (observed: a char-3-gram jaccard of 0.5703125 at sf0.1
-    rounded to ...12 here vs ...13 in the oracle). Same double
-    arithmetic as DuckDB (multiply, floor, divide) for bit parity."""
-    a = np.asarray(x, dtype=np.float64)
-    pw = 10.0 ** n
-    out = np.copysign(np.floor(np.abs(a) * pw + 0.5), a) / pw
+    """functions/arrays.sql_round (half away from zero = DuckDB ROUND),
+    preserving a pandas Series index when given one."""
+    from ..functions.arrays import sql_round
+
+    out = sql_round(x, n)
     if isinstance(x, pd.Series):
         return pd.Series(out, index=x.index)
     return out

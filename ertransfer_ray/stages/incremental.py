@@ -105,11 +105,20 @@ def _flatten_bands(id_col: str, is_new: bool):
 
 def _pairs_with_new(df: pd.DataFrame, max_block_size: int) -> pd.DataFrame:
     """Per band group: capped all-pairs with ≥1 new endpoint, oriented as
-    (new_id, other_id, other_new)."""
+    (new_id, other_id, other_new). The cap applies PER SIDE — stored ids
+    are smaller than new ids and grow every increment, so a single
+    smallest-id cap would fill hot (boilerplate) bands with old rows and
+    starve the new endpoints out of pairing entirely."""
     df = df[df.duplicated("band_key", keep=False)]
     frames = []
     for _, g in df.groupby("band_key", sort=False):
-        g = g.drop_duplicates("m_id").sort_values("m_id").head(max_block_size)
+        g = g.drop_duplicates("m_id").sort_values("m_id")
+        g = pd.concat(
+            [
+                g[g["m_new"] == 1].head(max_block_size),
+                g[g["m_new"] == 0].head(max_block_size),
+            ]
+        ).sort_values("m_id")
         if len(g) < 2 or not g["m_new"].any():
             continue
         ids = g["m_id"].to_numpy()

@@ -95,6 +95,16 @@ def train_bigram_lm(
     vocab_size = len(uni)  # BEFORE any cap: V is the corpus vocab measure
     if max_vocab is not None and len(uni) > max_vocab:
         uni = uni.nlargest(max_vocab)
+        # a capped-out token leaves the model entirely: its bigrams go
+        # with it (otherwise the smoothing denominator c(w1) is missing
+        # while c(w1,w2) survives, and the scorer's integer-code lookup
+        # could not address string-keyed orphans anyway)
+        kept = pd.Index(uni.index)
+        halves = big.index.to_series().str.split(_SEP, n=1, expand=True)
+        big = big[
+            (kept.get_indexer(halves[0]) >= 0)
+            & (kept.get_indexer(halves[1]) >= 0)
+        ]
     if max_bigrams is not None and len(big) > max_bigrams:
         big = big.nlargest(max_bigrams)
     return ray.put(
@@ -135,13 +145,20 @@ def score_bigram_ce(
             b2 = tok_index.get_indexer(
                 [s.split(_SEP, 1)[1] for s in raw["big"].index]
             ).astype(np.int64)
+            # a max_vocab cap can leave bigrams whose endpoint token was
+            # capped out of uni (code -1); b1*nv-1 would COLLIDE with the
+            # valid code (b1-1)*nv+(nv-1), returning a wrong count — such
+            # bigrams are unreachable from in-vocab queries, so drop them
+            in_vocab = (b1 >= 0) & (b2 >= 0)
+            b1, b2 = b1[in_vocab], b2[in_vocab]
+            bcounts = raw["big"].to_numpy()[in_vocab]
             bcodes = b1 * nv + b2
             order = np.argsort(bcodes)
             model = _MODEL_CACHE[key] = {
                 "tok_index": tok_index,
                 "uni_counts": uni.to_numpy().astype(np.float64),
                 "bcodes_sorted": bcodes[order],
-                "bcounts_sorted": raw["big"].to_numpy()[order].astype(np.float64),
+                "bcounts_sorted": bcounts[order].astype(np.float64),
                 "V": raw["V"],
                 "k": raw["k"],
             }
@@ -171,11 +188,9 @@ def score_bigram_ce(
         with np.errstate(invalid="ignore", divide="ignore"):
             ce = np.where(n_big > 0, ce / np.maximum(n_big, 1), np.nan)
         if round_to is not None:
-            # SQL-ROUND (half away from zero): the oracle rounds with
-            # DuckDB's round(), and numpy's half-to-even diverges on
-            # exact half boundaries
-            pw = 10.0 ** round_to
-            ce = np.copysign(np.floor(np.abs(ce) * pw + 0.5), ce) / pw
+            from ..functions.arrays import sql_round
+
+            ce = sql_round(ce, round_to)
         keep = n_big > 0
         return pa.table(
             {

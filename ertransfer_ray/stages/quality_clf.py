@@ -128,8 +128,9 @@ def score_quality(
         z = x @ w if x.size else np.zeros(t.num_rows)
         p = 1.0 / (1.0 + np.exp(-z))
         if round_to is not None:
-            pw = 10.0 ** round_to  # SQL-ROUND semantics, see ngram_lm
-            p = np.floor(p * pw + 0.5) / pw
+            from ..functions.arrays import sql_round
+
+            p = sql_round(p, round_to)
         return pa.table(
             {
                 id_col: t.column(id_col),

@@ -34,12 +34,11 @@ def quantize_embeddings(ds, vec_col: str = "embedding"):
             s = np.ones(t.num_rows, np.float64)
             q = np.zeros((t.num_rows, 0), np.int8)
         else:
+            from ..functions.arrays import sql_round
+
             s = np.abs(x).max(axis=1) / 127.0
             s[s == 0] = 1.0
-            v = x / s[:, None]
-            q = np.clip(
-                np.floor(np.abs(v) + 0.5) * np.sign(v), -127, 127
-            ).astype(np.int8)
+            q = np.clip(sql_round(x / s[:, None]), -127, 127).astype(np.int8)
         idx = t.schema.get_field_index(vec_col)
         out = t.set_column(idx, vec_col, matrix_to_list_column(q, pa.int8()))
         return out.append_column(

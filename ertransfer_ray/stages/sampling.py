@@ -192,8 +192,15 @@ def consistent_sample_k(ds, k: int, id_col: str = "doc_id"):
 
     def partial(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
-            return pa.table({"h": pa.array([], pa.int64()),
-                             id_col: pa.array([], pa.int64())})
+            # keep the id column's NATIVE type — an int64 placeholder
+            # would make pa.concat_tables of the partials raise on
+            # e.g. int32/uint64 id columns
+            return pa.table(
+                {
+                    "h": pa.array([], pa.int64()),
+                    id_col: pa.array([], t.schema.field(id_col).type),
+                }
+            )
         ids = t.column(id_col).to_numpy(zero_copy_only=False)
         h = _mix_hash(ids).astype(np.int64)
         order = np.lexsort((ids, h))[:k]

@@ -89,3 +89,23 @@ def test_first_increment_no_store(ray_session, tmp_path):
     rows = [(i, _text(rng)) for i in range(5)]
     got = _ids(minhash_dedup_incremental(_ds(rows), state, "day0"))
     assert got == list(range(5))
+
+
+def test_hot_band_cap_does_not_starve_new_rows():
+    """Stored ids are always smaller than new ids; a single smallest-id
+    cap would fill a hot band with old rows and emit zero pairs for the
+    new endpoint. The per-side cap must keep pairing."""
+    import pandas as pd
+
+    from ertransfer_ray.stages.incremental import _pairs_with_new
+
+    df = pd.DataFrame(
+        {
+            "band_key": [7] * 71,
+            "m_id": list(range(70)) + [1000],
+            "m_new": [0] * 70 + [1],
+        }
+    )
+    pairs = _pairs_with_new(df, max_block_size=64)
+    assert (pairs["new_id"] == 1000).all() and len(pairs) == 64
+    assert set(pairs["other_new"]) == {0}

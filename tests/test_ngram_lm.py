@@ -99,3 +99,35 @@ def test_unseen_tokens_score_via_smoothing(ray_session):
     got = score_bigram_ce(test, model).to_pandas()
     # c(z q)=0, c(z)=0, V=2 → p = 0.5 / (0.5*2) = 0.5 → 1 bit
     assert got.loc[0, "cross_entropy"] == 1.0
+
+
+def test_capped_vocab_no_code_collision(ray_session):
+    """max_vocab leaves bigrams with out-of-vocab endpoints (code -1); an
+    earlier int-code form let them collide with valid codes and return
+    wrong counts. Scoring must equal a dict-based reference over the SAME
+    capped model."""
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": [0, 1, 2, 3],
+                "text": ["a b a b a b", "b a", "b z", "a z"],
+            }
+        )
+    )
+    ref = train_bigram_lm(ds, max_vocab=2)
+    model = ray.get(ref)
+    uni, big, V, k = model["uni"], model["big"], model["V"], model["k"]
+    got = (
+        score_bigram_ce(ds, ref)
+        .to_pandas()
+        .set_index("doc_id")["cross_entropy"]
+    )
+    for doc_id, text in [(0, "a b a b a b"), (1, "b a"), (2, "b z"), (3, "a z")]:
+        ws = text.split(" ")
+        nll = []
+        for x, y in zip(ws, ws[1:]):
+            cb = float(big.get(x + "\x01" + y, 0.0))
+            cu = float(uni.get(x, 0.0))
+            nll.append(-math.log2((cb + k) / (cu + k * V)))
+        want = round(sum(nll) / len(nll), 6)
+        assert abs(got[doc_id] - want) < 1e-9, (doc_id, got[doc_id], want)

@@ -25,6 +25,13 @@ CASES = [
     ("https://ex.com/p?gclid=only", "https://ex.com/p", "ex.com"),
     ("https://ex.com/p?utm_a=1&utm_b=2", "https://ex.com/p", "ex.com"),
     ("https://ex.com/utm_decoy/p?x=utm_no", "https://ex.com/utm_decoy/p?x=utm_no", "ex.com"),
+    # boundary anchoring: tracking names as SUBSTRINGS of other params or
+    # values must never fire (an earlier unanchored form corrupted these)
+    ("https://ex.com/p?myfbclid=1&b=2", "https://ex.com/p?myfbclid=1&b=2", "ex.com"),
+    ("https://ex.com/p?a=xgclid=1&b=2", "https://ex.com/p?a=xgclid=1&b=2", "ex.com"),
+    # consecutive tracking runs collapse in one pass
+    ("https://ex.com/p?utm_a=1&utm_b=2&id=3", "https://ex.com/p?id=3", "ex.com"),
+    ("https://ex.com/p?utm_a=1&id=2&utm_b=3", "https://ex.com/p?id=2", "ex.com"),
     ("ftp://Host.Example/File", "ftp://host.example/File", "host.example"),
     ("no scheme here", "no scheme here", ""),
     ("", "", ""),
