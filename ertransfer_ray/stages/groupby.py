@@ -302,7 +302,19 @@ def exchange_group_apply(
             if isinstance(out, pd.DataFrame):
                 out = pa.Table.from_pandas(out, preserve_index=False)
             return rd.from_arrow(out)
-        except Exception:  # noqa: BLE001 — fn needs real columns; empty in = empty out
+        except (KeyError, AttributeError, IndexError, TypeError, ValueError) as exc:
+            # Only the "fn assumes real columns" failure modes fall back to
+            # returning the empty input; anything else is a genuine fn bug
+            # that must surface, not be masked by the empty-corpus path. Log
+            # the swallowed exception so schema bugs stay visible.
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "exchange_group_apply: fn failed on the empty-schema path "
+                "(%s: %s); returning the empty input dataset unchanged",
+                type(exc).__name__,
+                exc,
+            )
             return ds
 
     def _compact(t: pa.Table) -> pa.Table:

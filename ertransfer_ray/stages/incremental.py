@@ -327,7 +327,18 @@ def _register(kept_sigs, state_dir: str, increment: str) -> None:
 
 def _pad_ids(arr) -> pa.Array:
     """Zero-pad int ids to fixed-width strings so CC's lexicographic
-    min-label equals the numeric min."""
+    min-label equals the numeric min.
+
+    Contract: ids must be NONNEGATIVE — '-5' would lpad to '...00-5' and
+    break lexicographic==numeric ordering, silently electing the wrong
+    cluster representative. Enforced here so a bad id column fails loudly."""
     import pyarrow.compute as pc
 
+    if len(arr) and pa.types.is_signed_integer(arr.type):
+        lo = pc.min(arr).as_py()
+        if lo is not None and lo < 0:
+            raise ValueError(
+                f"incremental dedup ids must be nonnegative (min={lo}): "
+                "zero-left-padding breaks min-label ordering for negatives"
+            )
     return pc.utf8_lpad(pc.cast(arr, pa.string()), 20, "0")

@@ -547,6 +547,14 @@ def _band_index(col: "pa.ChunkedArray", granule) -> np.ndarray:
         nat = np.isnat(v)
         g = int(pd.Timedelta(granule).value)
         return np.where(nat, 0, v.view("i8") // g)
+    if pd.api.types.is_integer_dtype(s) and float(granule) == int(granule):
+        # Integer path stays in int64: routing through float64 would round
+        # values beyond 2^53, so a point and its containing interval could
+        # land in DIFFERENT bands and a banded range_join would miss a pair
+        # the unbanded join finds. Python-int floor division handles the
+        # nullable mask via fillna(0) (nulls never match anyway).
+        v = s.fillna(0).to_numpy(dtype=np.int64)
+        return v // int(granule)
     v = s.to_numpy(dtype=np.float64)
     bad = ~np.isfinite(v)
     b = np.floor(np.where(bad, 0.0, v) / float(granule))
@@ -684,10 +692,21 @@ def range_join(
     )
 
 
-def keys_of(ds, col: str) -> list:
+def keys_of(ds, col: str, max_rows: int = 5_000_000) -> list:
     """Collect one small key column to the driver (for broadcast joins).
-    Only valid when the column is known-small (dimension side)."""
-    return [r[col] for r in ds.select_columns([col]).take_all()]
+    Only valid when the column is known-small (dimension side) — enforced:
+    raises past ``max_rows`` so a future caller cannot silently materialize
+    a corpus-sized column driver-side (use the bucketed join instead)."""
+    keyed = ds.select_columns([col])
+    n = keyed.count()  # metadata-cheap; never ships rows to the driver
+    if n > max_rows:
+        raise ValueError(
+            f"keys_of({col!r}) would collect {n} rows, over the "
+            f"{max_rows}-row dimension-side cap — this column is not "
+            "broadcast-small; use bucketed_join / BroadcastSemiJoin's "
+            "exchange fallback instead of a driver-side collect"
+        )
+    return [r[col] for r in keyed.take_all()]
 
 
 def _join_key_caster(*key_types):

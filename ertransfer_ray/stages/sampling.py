@@ -33,7 +33,17 @@ _FOLD = np.uint64(1 << 32)
 
 def _mix_hash(ids: np.ndarray) -> np.ndarray:
     """(id * 2654435761) mod 2^32 — SQL: (CAST(id AS HUGEINT) *
-    2654435761) % 4294967296."""
+    2654435761) % 4294967296.
+
+    Contract: ids must be NONNEGATIVE integers. ``astype(uint64)`` wraps a
+    negative int64 to 2^64+id while DuckDB's HUGEINT expression yields a
+    negative remainder, so the two arms would silently diverge — raise
+    loudly instead of sampling a different subset than the oracle."""
+    if ids.size and np.issubdtype(ids.dtype, np.signedinteger) and ids.min() < 0:
+        raise ValueError(
+            "_mix_hash requires nonnegative integer ids (negative int64 wraps "
+            "under uint64 but stays negative under SQL HUGEINT modulo)"
+        )
     return (ids.astype(np.uint64, copy=False) * _KNUTH) % _FOLD
 
 
@@ -92,21 +102,12 @@ def approx_quantile(
     This is the web-scale arm of :func:`filter_by_quantile` — exact
     quantiles of one unbounded group don't decompose, but binned counts
     merge associatively at any parallelism."""
-    from .groupby import partial_aggregate
-    from .windows import global_histogram
+    from .windows import arrow_min_max, global_histogram
 
-    mm = partial_aggregate(
-        ds.map_batches(lambda df: df.assign(_one=1), batch_format="pandas"),
-        "_one",
-        {
-            "lo": (value_col, "min"),
-            "hi": (value_col, "max"),
-            "n": (value_col, "count"),
-        },
-    )
-    if len(mm) == 0 or int(mm["n"][0]) == 0:
+    lo_, hi_, total = arrow_min_max(ds, value_col)
+    if total == 0:
         return None
-    lo, hi, total = float(mm["lo"][0]), float(mm["hi"][0]), int(mm["n"][0])
+    lo, hi = float(lo_), float(hi_)
     if hi == lo:
         return lo  # constant column: every quantile is the value
     hist = global_histogram(ds, value_col, bins=bins, value_range=(lo, hi))
@@ -142,7 +143,7 @@ def filter_by_quantile(
     corpora where a single column no longer fits one worker."""
     import pyarrow.compute as pc
 
-    from .windows import grouped_quantiles
+    from .windows import grouped_quantiles, quantile_col_name
 
     if keep not in ("above", "below"):
         raise ValueError(f"keep must be above|below, got {keep!r}")
@@ -159,7 +160,7 @@ def filter_by_quantile(
         qdf = grouped_quantiles(one, "_g", value_col, [q], num_buckets).to_pandas()
         if len(qdf) == 0:
             return ds  # empty corpus: nothing to threshold
-        thresh = float(qdf.iloc[0, qdf.columns.get_loc(f"q{int(round(q * 100))}")])
+        thresh = float(qdf.iloc[0, qdf.columns.get_loc(quantile_col_name(q))])
     else:
         raise ValueError(f"method must be exact|approx, got {method!r}")
 

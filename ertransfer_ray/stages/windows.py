@@ -14,9 +14,42 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from .groupby import bucketed_group_apply, grouped_aggregate, partial_aggregate
+from .groupby import bucketed_group_apply, grouped_aggregate
 
 _UNIT = {"1h": "h", "1d": "D", "1min": "min", "30min": "30min"}
+
+
+def arrow_min_max(ds, value_col: str) -> tuple[float | None, float | None, int]:
+    """Global (min, max, non-null count) of one column via zero-copy Arrow
+    partials — ``pc.min_max`` + ``count`` per batch, three scalars per block
+    to the driver. Replaces the old ``assign(_one=1)`` pandas round-trip
+    (a full table conversion just to feed a synthetic group key)."""
+    import pyarrow.compute as pc
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t.column(value_col)
+        mm = pc.min_max(col)
+        return pa.table(
+            {
+                "lo": [mm["min"].as_py()],
+                "hi": [mm["max"].as_py()],
+                "n": pa.array([pc.count(col).as_py()], type=pa.int64()),
+            }
+        )
+
+    lo = hi = None
+    n = 0
+    parts = ds.select_columns([value_col]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    for b in parts.iter_batches(batch_format="pandas"):
+        for blo, bhi, bn in zip(b["lo"], b["hi"], b["n"]):
+            n += int(bn)
+            if blo is not None and not pd.isna(blo) and (lo is None or blo < lo):
+                lo = blo
+            if bhi is not None and not pd.isna(bhi) and (hi is None or bhi > hi):
+                hi = bhi
+    return lo, hi, n
 
 
 def add_tumbling_window(ds, ts_col: str = "ts", window: str = "1h", out: str = "window_start"):
@@ -142,12 +175,8 @@ def global_histogram(
     first, matching np.histogram's default range semantics.
     """
     if value_range is None:
-        mm = partial_aggregate(
-            ds.map_batches(lambda df: df.assign(_one=1), batch_format="pandas"),
-            "_one",
-            {"lo": (value_col, "min"), "hi": (value_col, "max")},
-        )
-        value_range = (float(mm["lo"][0]), float(mm["hi"][0]))
+        lo_, hi_, _ = arrow_min_max(ds, value_col)
+        value_range = (float(lo_), float(hi_))
     lo, hi = float(value_range[0]), float(value_range[1])
 
     def partial(t: pa.Table) -> pa.Table:
@@ -186,6 +215,14 @@ def global_histogram(
     )
 
 
+def quantile_col_name(q: float) -> str:
+    """Column label for quantile ``q``: "q50"/"q90" for whole percents
+    (the SQL-oracle names), full precision otherwise (0.995 -> "q99_5",
+    1/3 -> "q33_3333") so close quantiles can't collapse onto one
+    duplicate label. Shared by every caller that reads the columns back."""
+    return f"q{q * 100:g}".replace(".", "_")
+
+
 def grouped_quantiles(
     ds,
     key_col: str,
@@ -204,7 +241,9 @@ def grouped_quantiles(
     instead — exact quantiles of one giant group don't decompose.
     Output columns: (key_col, q50, q90, ... one per requested quantile).
     """
-    cols = [f"q{int(round(q * 100))}" for q in qs]
+    cols = [quantile_col_name(q) for q in qs]
+    if len(set(cols)) != len(cols):
+        raise ValueError(f"duplicate quantile column names derived from {qs}: {cols}")
 
     def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
         if df.empty:

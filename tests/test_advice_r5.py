@@ -1,0 +1,187 @@
+"""Round-5 ADVICE/VERDICT regression tests: negative-id contracts, quantile
+column naming, empty-path exception hygiene, int64 banding, keys_of cap,
+Arrow-native min/max partials."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from ertransfer_ray.stages.groupby import exchange_group_apply
+from ertransfer_ray.stages.incremental import _pad_ids
+from ertransfer_ray.stages.joins import _band_index, keys_of, range_join
+from ertransfer_ray.stages.sampling import _mix_hash, filter_by_quantile
+from ertransfer_ray.stages.windows import (
+    arrow_min_max,
+    grouped_quantiles,
+    quantile_col_name,
+)
+
+
+# ---------------------------------------------------------------------------
+# _mix_hash: nonnegative-id contract (uint64 wrap vs SQL HUGEINT divergence)
+# ---------------------------------------------------------------------------
+
+def test_mix_hash_rejects_negative_ids():
+    with pytest.raises(ValueError, match="nonnegative"):
+        _mix_hash(np.array([3, -1, 7], dtype=np.int64))
+
+
+def test_mix_hash_matches_sql_hugeint_form_for_nonnegative():
+    import duckdb
+
+    ids = np.array([0, 1, 42, 2**31, 2**62], dtype=np.int64)
+    got = _mix_hash(ids)
+    sql = duckdb.sql(
+        "SELECT (CAST(id AS HUGEINT) * 2654435761) % 4294967296 AS h "
+        "FROM (SELECT UNNEST([0, 1, 42, 2147483648, 4611686018427387904]) AS id)"
+    ).fetchnumpy()["h"]
+    assert got.tolist() == [int(x) for x in sql]
+
+
+# ---------------------------------------------------------------------------
+# quantile column naming: whole percents keep SQL names, close qs can't collide
+# ---------------------------------------------------------------------------
+
+def test_quantile_col_name_whole_and_fractional():
+    assert quantile_col_name(0.5) == "q50"
+    assert quantile_col_name(0.9) == "q90"
+    assert quantile_col_name(0.99) == "q99"
+    assert quantile_col_name(0.995) == "q99_5"
+    assert quantile_col_name(1.0) == "q100"
+    assert quantile_col_name(1 / 3) != quantile_col_name(0.33)
+
+
+def test_grouped_quantiles_close_qs_do_not_collide():
+    df = pd.DataFrame({"k": ["a"] * 100, "v": np.arange(100.0)})
+    out = grouped_quantiles(
+        rd.from_pandas(df), "k", "v", qs=(0.995, 1.0), num_buckets=2
+    ).to_pandas()
+    assert "q99_5" in out.columns and "q100" in out.columns
+    assert float(out["q100"][0]) == 99.0
+    assert float(out["q99_5"][0]) == pytest.approx(df["v"].quantile(0.995))
+
+
+def test_filter_by_quantile_fractional_q_exact():
+    df = pd.DataFrame({"doc_id": np.arange(90), "v": np.arange(90.0)})
+    out = filter_by_quantile(
+        rd.from_pandas(df), "v", 1 / 3, keep="above", num_buckets=2
+    ).to_pandas()
+    thresh = df["v"].quantile(1 / 3)
+    assert sorted(out["v"]) == sorted(df.loc[df["v"] > thresh, "v"])
+
+
+# ---------------------------------------------------------------------------
+# exchange_group_apply empty path: column-miss falls back, real bugs surface
+# ---------------------------------------------------------------------------
+
+def _schemaless_empty():
+    empty = rd.from_pandas(
+        pd.DataFrame({"doc_id": pd.Series([], dtype="int64")})
+    )
+    return empty.map_batches(
+        lambda df: pd.DataFrame({"k": df["doc_id"], "v": df["doc_id"]}),
+        batch_format="pandas",
+    ).materialize()
+
+
+def test_exchange_empty_path_swallows_column_miss():
+    out = exchange_group_apply(
+        _schemaless_empty(), "k", lambda g: g[["k", "missing"]], num_buckets=2
+    )
+    assert out.count() == 0  # falls back to the empty input
+
+
+def test_exchange_empty_path_propagates_genuine_bugs():
+    def bad(g):
+        raise RuntimeError("genuine fn bug, not a schema miss")
+
+    with pytest.raises(RuntimeError, match="genuine fn bug"):
+        exchange_group_apply(_schemaless_empty(), "k", bad, num_buckets=2)
+
+
+# ---------------------------------------------------------------------------
+# _pad_ids: nonnegative contract (lexicographic==numeric ordering)
+# ---------------------------------------------------------------------------
+
+def test_pad_ids_rejects_negative():
+    with pytest.raises(ValueError, match="nonnegative"):
+        _pad_ids(pa.array([5, -5], type=pa.int64()))
+
+
+def test_pad_ids_preserves_numeric_order():
+    ids = [0, 3, 10, 99, 10**18]
+    padded = _pad_ids(pa.array(ids, type=pa.int64())).to_pylist()
+    assert padded == sorted(padded)
+    assert all(len(p) == 20 for p in padded)
+
+
+# ---------------------------------------------------------------------------
+# _band_index: int64 path is exact beyond 2^53, floors negatives
+# ---------------------------------------------------------------------------
+
+def test_band_index_int64_exact_beyond_2_53():
+    v = 2**62 + 3
+    arr = pa.chunked_array([pa.array([v, -5, 7], type=pa.int64())])
+    bands = _band_index(arr, 2)
+    # float64 rounds 2**62+3 down to 2**62, giving band 2**61 — the int
+    # path must produce the exact floor-div, and floor (not truncate) -5//2
+    assert bands.tolist() == [v // 2, -3, 3]
+    assert bands[0] != int(float(v) / 2.0)
+
+
+def test_range_join_banded_equals_unbanded_huge_int64():
+    base = 2**60
+    left = pd.DataFrame(
+        {
+            "k": [1, 1, 2],
+            "pt": np.array([base + 5, base + 95, base + 5], dtype=np.int64),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "rk": [1, 1, 2],
+            "lo": np.array([base + 0, base + 90, base + 50], dtype=np.int64),
+            "hi": np.array([base + 10, base + 99, base + 60], dtype=np.int64),
+        }
+    )
+    kw = dict(by="k", right_by="rk", point="pt", start="lo", end="hi")
+    unbanded = range_join(
+        rd.from_pandas(left), rd.from_pandas(right), num_buckets=2, **kw
+    ).to_pandas()
+    banded = range_join(
+        rd.from_pandas(left), rd.from_pandas(right), band=7, num_buckets=2, **kw
+    ).to_pandas()
+    key = lambda df: sorted(map(tuple, df[["k", "pt", "lo", "hi"]].to_numpy()))
+    assert key(banded) == key(unbanded)
+    # (1, base+5) in [base+0, base+10] and (1, base+95) in [base+90, base+99];
+    # (2, base+5) is outside [base+50, base+60]
+    assert len(unbanded) == 2
+
+
+# ---------------------------------------------------------------------------
+# keys_of: dimension-side smallness contract enforced
+# ---------------------------------------------------------------------------
+
+def test_keys_of_raises_over_cap():
+    ds = rd.from_pandas(pd.DataFrame({"k": np.arange(100)}))
+    with pytest.raises(ValueError, match="dimension-side cap"):
+        keys_of(ds, "k", max_rows=10)
+    assert sorted(keys_of(ds, "k", max_rows=100)) == list(range(100))
+
+
+# ---------------------------------------------------------------------------
+# arrow_min_max: zero-copy partials match pandas, nulls handled
+# ---------------------------------------------------------------------------
+
+def test_arrow_min_max_with_nulls():
+    df = pd.DataFrame({"v": [3.0, None, -7.5, 11.0, None]})
+    lo, hi, n = arrow_min_max(rd.from_pandas(df), "v")
+    assert (lo, hi, n) == (-7.5, 11.0, 3)
+
+
+def test_arrow_min_max_all_null():
+    df = pd.DataFrame({"v": pd.Series([None, None], dtype="float64")})
+    lo, hi, n = arrow_min_max(rd.from_pandas(df), "v")
+    assert (lo, hi, n) == (None, None, 0)
