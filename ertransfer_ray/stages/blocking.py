@@ -38,6 +38,7 @@ from ..functions.hashing import (
     minhash_coeffs,
     minhash_signatures,
     stable_hash64,
+    word_shingles,
 )
 from ..functions.simfuncs import qgrams
 from .groupby import bucketed_group_apply
@@ -74,12 +75,9 @@ class BlockKeyEmitter:
             return qgrams(norm_text, self.qgram)
         if self.tokenization == "shingles":
             # word k-shingles: sequence-sensitive — required for bag-of-words
-            # corpora where unigram sets saturate (every doc covers the vocab)
-            ws = norm_text.split()
-            k = 3
-            if len(ws) <= k:
-                return [" ".join(ws)] if ws else []
-            return [" ".join(ws[i : i + k]) for i in range(len(ws) - k + 1)]
+            # corpora where unigram sets saturate (every doc covers the vocab);
+            # norm_text is already lowercase (textnorm.tokenize / pages.py)
+            return word_shingles(norm_text, 3, lower=False)
         return norm_text.split()
 
     def __call__(self, batch: pa.Table) -> pa.Table:

@@ -572,17 +572,13 @@ class _ShingleMinHash:
         self.shingle_words = shingle_words
         self.coeffs = minhash_coeffs(num_perm, seed)
 
-    def _shingles(self, text: str) -> list[str]:
-        ws = text.lower().split()
-        k = self.shingle_words
-        if len(ws) <= k:
-            return [" ".join(ws)] if ws else []
-        return [" ".join(ws[i : i + k]) for i in range(len(ws) - k + 1)]
-
     def __call__(self, t: pa.Table) -> pa.Table:
+        from ..functions.hashing import word_shingles
+
         ids = t.column(self.id_col).to_pylist()
         texts = t.column(self.text_col).to_pylist()
-        sh = [self._shingles(x) for x in texts]
+        k = self.shingle_words
+        sh = [word_shingles(x, k) for x in texts]
         sig = minhash_signatures(sh, self.num_perm, coeffs=self.coeffs)
         bands = lsh_band_keys_u64(sig, self.num_bands)
         return pa.table(

@@ -56,17 +56,13 @@ class SigBands:
         self.shingle_words = shingle_words
         self.coeffs = minhash_coeffs(num_perm, seed)
 
-    def _shingles(self, text: str) -> list[str]:
-        ws = text.lower().split()
-        k = self.shingle_words
-        if len(ws) <= k:
-            return [" ".join(ws)] if ws else []
-        return [" ".join(ws[i : i + k]) for i in range(len(ws) - k + 1)]
-
     def __call__(self, t: pa.Table) -> pa.Table:
+        from ..functions.hashing import word_shingles
+
         texts = t.column(self.text_col).to_pylist()
+        k = self.shingle_words
         sig = minhash_signatures(
-            [self._shingles(x) for x in texts], self.num_perm, coeffs=self.coeffs
+            [word_shingles(x, k) for x in texts], self.num_perm, coeffs=self.coeffs
         )
         bands = np.stack(lsh_band_keys_u64(sig, self.num_bands), axis=1)
         return pa.table(

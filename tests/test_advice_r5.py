@@ -181,6 +181,61 @@ def test_arrow_min_max_with_nulls():
     assert (lo, hi, n) == (-7.5, 11.0, 3)
 
 
+# ---------------------------------------------------------------------------
+# word_shingles: zip form identical to the original slicing comprehension
+# ---------------------------------------------------------------------------
+
+def _shingles_reference(text: str, k: int) -> list:
+    # the original per-site implementation, kept verbatim as the pin
+    ws = text.lower().split()
+    if len(ws) <= k:
+        return [" ".join(ws)] if ws else []
+    return [" ".join(ws[i : i + k]) for i in range(len(ws) - k + 1)]
+
+
+def test_word_shingles_identical_to_reference_form():
+    from ertransfer_ray.functions.hashing import word_shingles
+
+    rng = np.random.default_rng(3)
+    texts = [
+        "", "one", "two words", "Three Little WORDS", "a b c d",
+        "  padded   runs\tof\nwhitespace  x ",
+    ] + [
+        " ".join(f"w{j}" for j in rng.integers(0, 50, size=n))
+        for n in rng.integers(0, 40, size=200)
+    ]
+    for k in (2, 3, 5):
+        for t in texts:
+            assert word_shingles(t, k) == _shingles_reference(t, k)
+
+
+def test_minhash_band_keys_unchanged_by_shared_shingler():
+    """Band keys through the dedup emitter must equal keys computed from
+    the original shingling form — the near-dup pair outputs depend on them."""
+    from ertransfer_ray.functions.hashing import (
+        lsh_band_keys_u64,
+        minhash_coeffs,
+        minhash_signatures,
+    )
+    from ertransfer_ray.stages.dedup import _ShingleMinHash
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumped over a lazy dog",
+        "completely different text about ray data pipelines",
+        "tiny", "",
+    ]
+    t = pa.table({"doc_id": pa.array(range(5), pa.int64()), "text": texts})
+    em = _ShingleMinHash("doc_id", "text", num_perm=32, num_bands=8)
+    got = em(t).to_pandas()
+
+    sig = minhash_signatures(
+        [_shingles_reference(x, 3) for x in texts], 32, coeffs=minhash_coeffs(32, 7)
+    )
+    want = np.concatenate(lsh_band_keys_u64(sig, 8))
+    assert got["band_key"].to_numpy().tolist() == want.tolist()
+
+
 def test_arrow_min_max_all_null():
     df = pd.DataFrame({"v": pd.Series([None, None], dtype="float64")})
     lo, hi, n = arrow_min_max(rd.from_pandas(df), "v")
