@@ -50,6 +50,10 @@ class ERConfig:
     reciprocal: bool = False  # True → 1:1 semantics (D4) before closure
     cc_rounds: int = 25
     cc_driver_threshold: int = 200_000
+    # 64 (default) hashes node urls to one int64 key; 128 carries two-word
+    # keys through the same exchanges — use beyond ~10^10 nodes where the
+    # 64-bit collision bound n²/2^64 stops being negligible
+    cc_key_bits: int = 64
     seed: int = 7
     extra: dict = field(default_factory=dict)
 
@@ -126,7 +130,10 @@ def cluster(predictions_ds, cfg: ERConfig):
             batch_format="pyarrow",
         )
     return connected_components(
-        edges, max_rounds=cfg.cc_rounds, driver_threshold=cfg.cc_driver_threshold
+        edges,
+        max_rounds=cfg.cc_rounds,
+        driver_threshold=cfg.cc_driver_threshold,
+        key_bits=cfg.cc_key_bits,
     )
 
 

@@ -41,3 +41,19 @@ def test_pipeline_outputs_are_lazy_datasets(pages_corpus):
     assert set(res) == {"normalized", "pairs", "predictions", "clusters"}
     schema = res["predictions"].schema()
     assert set(schema.names) == {"left_url", "right_url", "prob"}
+
+
+def test_flagship_identical_under_64_and_128_bit_cc_keys(pages_corpus):
+    """ERConfig.cc_key_bits threads through run_er: the flagship's cluster
+    assignment is byte-identical whether CC runs on 64-bit or 128-bit hashed
+    node keys (cc_driver_threshold=0 forces the DISTRIBUTED path both times —
+    the driver union-find would never consult key_bits)."""
+    pages = rd.from_arrow(pages_corpus["pages"])
+    outs = {}
+    for bits in (64, 128):
+        res = run_er(pages, ERConfig(cc_driver_threshold=0, cc_key_bits=bits))
+        outs[bits] = (
+            res["clusters"].to_pandas()
+            .sort_values(["url", "cluster_id"], ignore_index=True)
+        )
+    pd.testing.assert_frame_equal(outs[64], outs[128])
