@@ -34,9 +34,11 @@ import pandas as pd
 import pyarrow as pa
 
 from ..functions.hashing import (
+    arrow_word_shingle_hashes,
     lsh_band_keys_u64,
     minhash_coeffs,
     minhash_signatures,
+    minhash_signatures_hashed,
     stable_hash64,
     word_shingles,
 )
@@ -88,10 +90,21 @@ class BlockKeyEmitter:
         re-attached after cross-band dedup via a bucketed cogroup join
         (attach_pair_payloads), which moves each payload once."""
         urls = batch.column("url").to_pylist()
-        norm_texts = batch.column("norm_text").to_pylist()
         norm_titles = batch.column("norm_title").to_pylist()
-        token_lists = [self._tokens(t) for t in norm_texts]
-        sig = minhash_signatures(token_lists, self.num_perm, coeffs=self.coeffs)
+        if self.tokenization == "qgrams":
+            # character q-grams have no whitespace structure to exploit —
+            # the Python token path stays
+            norm_texts = batch.column("norm_text").to_pylist()
+            token_lists = [self._tokens(t) for t in norm_texts]
+            sig = minhash_signatures(token_lists, self.num_perm, coeffs=self.coeffs)
+        else:
+            # words (k=1) / word 3-shingles: zero-Python-string kernel —
+            # norm_text is already lowercase (textnorm.tokenize / pages.py)
+            k = 3 if self.tokenization == "shingles" else 1
+            h, c = arrow_word_shingle_hashes(
+                batch.column("norm_text"), k, lower=False
+            )
+            sig = minhash_signatures_hashed(h, c, self.num_perm, coeffs=self.coeffs)
         # int64 band keys: 8-byte fixed keys shuffle far cheaper than the
         # ~24-byte strings when key rows = num_bands × corpus
         bands = lsh_band_keys_u64(sig, self.num_bands)

@@ -573,13 +573,16 @@ class _ShingleMinHash:
         self.coeffs = minhash_coeffs(num_perm, seed)
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        from ..functions.hashing import word_shingles
+        from ..functions.hashing import (
+            arrow_word_shingle_hashes,
+            minhash_signatures_hashed,
+        )
 
         ids = t.column(self.id_col).to_pylist()
-        texts = t.column(self.text_col).to_pylist()
-        k = self.shingle_words
-        sh = [word_shingles(x, k) for x in texts]
-        sig = minhash_signatures(sh, self.num_perm, coeffs=self.coeffs)
+        # zero-Python-string shingling: hash the batch vocab once, combine
+        # k-windows in numpy (hashing.py kernel; 4.6x the string path)
+        h, c = arrow_word_shingle_hashes(t.column(self.text_col), self.shingle_words)
+        sig = minhash_signatures_hashed(h, c, self.num_perm, coeffs=self.coeffs)
         bands = lsh_band_keys_u64(sig, self.num_bands)
         return pa.table(
             {

@@ -57,13 +57,18 @@ class SigBands:
         self.coeffs = minhash_coeffs(num_perm, seed)
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        from ..functions.hashing import word_shingles
-
-        texts = t.column(self.text_col).to_pylist()
-        k = self.shingle_words
-        sig = minhash_signatures(
-            [word_shingles(x, k) for x in texts], self.num_perm, coeffs=self.coeffs
+        from ..functions.hashing import (
+            arrow_word_shingle_hashes,
+            minhash_signatures_hashed,
         )
+
+        # zero-Python-string shingling (hashing.py kernel) — MUST stay the
+        # same family as stages/dedup._ShingleMinHash so persisted sketches
+        # from prior increments keep banding against new docs
+        h, c = arrow_word_shingle_hashes(
+            t.column(self.text_col), self.shingle_words
+        )
+        sig = minhash_signatures_hashed(h, c, self.num_perm, coeffs=self.coeffs)
         bands = np.stack(lsh_band_keys_u64(sig, self.num_bands), axis=1)
         return pa.table(
             {

@@ -119,3 +119,64 @@ def test_approx_distinct_on_dataset():
     df = pd.DataFrame({"k": [f"u{i % 4096}" for i in range(50_000)]})
     est = H.approx_distinct(rd.from_pandas(df), "k", p=12)
     assert abs(est - 4096) / 4096 < 0.05
+
+
+# ---------------------------------------------------------------------------
+# arrow_word_shingle_hashes: the zero-Python-string MinHash feed
+# ---------------------------------------------------------------------------
+
+_EDGE_DOCS = [
+    "the quick brown fox jumps over the lazy dog",
+    "",
+    "   \t\n ",
+    "one",
+    "two words",
+    "exactly three words",
+    "tab\tand\nnewline   mix  here",
+    "UPPER Case MiXeD case WORDS repeat repeat repeat",
+    "  leading and trailing  ",
+    "a b c d e f g h i j",
+]
+
+
+def test_arrow_shingle_counts_match_word_shingles():
+    for k in (1, 2, 3, 5):
+        _, counts = H.arrow_word_shingle_hashes(_EDGE_DOCS, k)
+        expected = [len(H.word_shingles(d, k)) for d in _EDGE_DOCS]
+        assert counts.tolist() == expected, k
+
+
+def test_arrow_shingle_hashes_batch_invariant_and_bounded():
+    h, c = H.arrow_word_shingle_hashes(_EDGE_DOCS, 3)
+    h1, c1 = H.arrow_word_shingle_hashes(_EDGE_DOCS[:4], 3)
+    h2, c2 = H.arrow_word_shingle_hashes(_EDGE_DOCS[4:], 3)
+    assert np.array_equal(np.concatenate([h1, h2]), h)
+    assert np.array_equal(np.concatenate([c1, c2]), c)
+    assert (h < 2**32).all()  # required by the no-wrap MinHash permute
+    # identical docs hash identically regardless of neighbors (dictionary
+    # order cancels out)
+    hh, cc = H.arrow_word_shingle_hashes([_EDGE_DOCS[0], _EDGE_DOCS[0]], 3)
+    assert np.array_equal(hh[: cc[0]], hh[cc[0] :])
+    assert np.array_equal(hh[: cc[0]], h[: c[0]])
+
+
+def test_arrow_shingle_lower_flag_and_case():
+    hu, _ = H.arrow_word_shingle_hashes(["Quick Fox"], 2, lower=False)
+    hl, _ = H.arrow_word_shingle_hashes(["quick fox"], 2, lower=False)
+    hd, _ = H.arrow_word_shingle_hashes(["Quick Fox"], 2, lower=True)
+    assert hu[0] != hl[0]
+    assert hd[0] == hl[0]
+
+
+def test_minhash_signatures_hashed_band_agreement_tracks_jaccard():
+    # two near-identical docs vs one unrelated: banded signatures from the
+    # hashed path must separate them the same way the string path does
+    base = " ".join(f"w{i}" for i in range(200))
+    near = " ".join(f"w{i}" for i in range(199)) + " zz"
+    far = " ".join(f"x{i}" for i in range(200))
+    h, c = H.arrow_word_shingle_hashes([base, near, far], 3)
+    sig = H.minhash_signatures_hashed(h, c, num_perm=128)
+    agree_near = (sig[0] == sig[1]).mean()
+    agree_far = (sig[0] == sig[2]).mean()
+    assert agree_near > 0.9
+    assert agree_far < 0.1
