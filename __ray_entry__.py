@@ -35,11 +35,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL for each oracle-expressible query — including
     the flagship ``er_documents`` (score-graph + recursive-CTE connected
-    components) and ``ngram_jaccard_pairs`` (exploded-shingle set
-    arithmetic). Only pipelines built on hash sketches SQL cannot compute
-    (minhash/simhash banding, quality heuristics) are absent → driver
-    records rows-only checks there; their exactness is pinned by pytest
-    (tests/test_queries_oracle.py) instead."""
+    components), ``ngram_jaccard_pairs`` (exploded-shingle set arithmetic),
+    and since round 5 ``minhash_neardup_pairs`` / ``simhash_neardup_pairs``
+    (sketches persisted as parquet side-inputs by the query fns; SQL
+    re-derives pairing + verification — see queries._write_oracle_side).
+    Only the trained classifier and the recall-floor ANN remain rows-only;
+    their exactness is pinned by pytest (tests/test_queries_oracle.py)."""
     from ertransfer_ray.pipelines.queries import ORACLE_SQL
 
     return dict(ORACLE_SQL)

@@ -291,3 +291,27 @@ def test_deepblocker_query_config_recall_floor():
             for _, b in sorted(lst)[:2]}
     recall = np.mean([p in got for p in sorted(want)])
     assert recall >= 0.9, f"deepblocker query-config recall {recall:.3f} < 0.9"
+
+
+@needs_testdata
+def test_minhash_neardup_matches_sql_oracle(ray_session):
+    # round 5: the query persists band keys as a parquet side-input; the
+    # SQL oracle re-derives pairing + char-3-gram Jaccard verification
+    eng = build_queries()["minhash_neardup_pairs"](SF).reset_index(drop=True)
+    ora = _oracle("minhash_neardup_pairs").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        eng, ora.astype({c: eng[c].dtype for c in eng.columns}),
+        check_like=True,
+    )
+
+
+@needs_testdata
+def test_simhash_neardup_matches_sql_oracle(ray_session):
+    # brute-force all-pairs bit_count(xor) <= 3 over persisted sketches:
+    # stronger than the pipeline's banding, re-proves exhaustiveness in SQL
+    eng = build_queries()["simhash_neardup_pairs"](SF).reset_index(drop=True)
+    ora = _oracle("simhash_neardup_pairs").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        eng, ora.astype({c: eng[c].dtype for c in eng.columns}),
+        check_like=True,
+    )
