@@ -174,10 +174,27 @@ def minhash_dedup_incremental(
     max_block_size: int = 64,
     max_broadcast_ids: int = 50_000_000,
     num_buckets: int | None = None,
+    strategy: str = "auto",
+    timings: dict | None = None,
 ):
     """See module docstring. Returns surviving rows of ``ds`` (original
     schema) as a Dataset; registers their sketches under
-    ``state_dir/increment=<name>/``."""
+    ``state_dir/increment=<name>/``.
+
+    ``strategy``: how candidate pairs get their signatures for agreement
+    verification — ``"broadcast"`` (sig side filtered to candidate
+    ENDPOINTS, published once, map-side verify against a worker-cached
+    id→matrix lookup), ``"join"`` (id-keyed bucketed joins), or ``"auto"``
+    (broadcast while the endpoint sketches fit a worker heap —
+    blocking.BROADCAST_PAYLOAD_LIMIT over 2·n_cands sketch bytes).
+
+    ``timings``: optional dict filled with per-phase wall seconds
+    (sketch_new, store_scan, store_scan_wait, candidates, sig_attach,
+    verify, collect_bad, cc, register) — the profiling hook behind
+    tools/bench_incremental.py."""
+    import threading
+    import time
+
     import ray
     import ray.data as rd
 
@@ -185,6 +202,12 @@ def minhash_dedup_incremental(
     from .groupby import distinct_rows, exchange_group_apply
     from .joins import BroadcastSemiJoin, bucketed_anti_semi_join, bucketed_join
     from .scoring import default_pool_size
+
+    tick = time.perf_counter
+
+    def _mark(key: str, t0: float) -> None:
+        if timings is not None:
+            timings[key] = timings.get(key, 0.0) + (tick() - t0)
 
     os.makedirs(state_dir, exist_ok=True)
     prior_dirs = [
@@ -196,6 +219,31 @@ def minhash_dedup_incremental(
         if any(f.endswith(".parquet") for f in os.listdir(p))
     ]
 
+    # OVERLAP the store scan with sketching: the new increment's actor-pool
+    # sketch pass is a driver-blocking barrier (staged on purpose — see the
+    # note below), so the prior-store read runs on a background thread as
+    # its own concurrent Ray Data job. The store is scanned ONCE and held
+    # (id, sig, bands ≈ 1 KB/doc); both the band union and the signature
+    # lookup project from the held copy instead of re-reading parquet.
+    prior_box: dict = {}
+
+    def _scan_prior() -> None:
+        t0 = tick()
+        try:
+            prior_box["prior"] = rd.read_parquet(
+                prior_dirs, file_extensions=["parquet"]
+            ).materialize()
+        except BaseException as e:  # surfaced on join below
+            prior_box["err"] = e
+        if timings is not None:
+            timings["store_scan"] = tick() - t0
+
+    scan_thread = None
+    if prior_dirs:
+        scan_thread = threading.Thread(target=_scan_prior, daemon=True)
+        scan_thread.start()
+
+    t0 = tick()
     sigt = ds.map_batches(
         SigBands,
         fn_constructor_kwargs=dict(
@@ -206,13 +254,19 @@ def minhash_dedup_incremental(
         batch_size=1024,
         concurrency=(1, default_pool_size()),
     ).materialize()
+    _mark("sketch_new", t0)
 
     bands = sigt.map_batches(_flatten_bands(id_col, True), batch_format="pyarrow")
     sig_lookup = sigt.map_batches(
         lambda t: t.select([id_col, "sig"]), batch_format="pyarrow"
     )
-    if prior_dirs:
-        prior = rd.read_parquet(prior_dirs, file_extensions=["parquet"])
+    if scan_thread is not None:
+        t0 = tick()
+        scan_thread.join()
+        _mark("store_scan_wait", t0)
+        if "err" in prior_box:
+            raise prior_box["err"]
+        prior = prior_box["prior"]
         bands = bands.union(
             prior.map_batches(_flatten_bands(id_col, False), batch_format="pyarrow")
         )
@@ -222,6 +276,7 @@ def minhash_dedup_incremental(
             )
         )
 
+    t0 = tick()
     cands = exchange_group_apply(
         bands, "band_key", lambda df: _pairs_with_new(df, max_block_size),
         num_buckets,
@@ -229,31 +284,111 @@ def minhash_dedup_incremental(
     # materialize the join inputs: bucketed_join reads both schemas up
     # front, and the candidate/sketch tables are id+sig-only (bounded)
     cands = distinct_rows(cands, ["new_id", "other_id"]).materialize()
-    if cands.count() == 0:  # no band collisions at all: everything survives
+    n_cands = cands.count()
+    _mark("candidates", t0)
+    if timings is not None:
+        timings["n_candidates"] = n_cands
+        timings["n_cand_blocks"] = cands.num_blocks()
+    if n_cands == 0:  # no band collisions at all: everything survives
+        t0 = tick()
         _register(sigt, state_dir, increment)
+        _mark("register", t0)
         return ds
 
-    # attach both signatures (id-keyed bucketed joins; sig rows only)
-    sl = sig_lookup.map_batches(
-        lambda t: t.rename_columns(["_sid", "sig_l"]), batch_format="pyarrow"
-    ).materialize()
-    sr = sig_lookup.map_batches(
-        lambda t: t.rename_columns(["_sid2", "sig_r"]), batch_format="pyarrow"
-    ).materialize()
-    j1 = bucketed_join(
-        cands, sl, "new_id", "_sid", num_buckets=num_buckets
-    ).materialize()  # right key is consumed by the merge; sig_l rides along
-    j2 = bucketed_join(j1, sr, "other_id", "_sid2", num_buckets=num_buckets)
     import pyarrow.compute as pc
 
-    def verify(df: pd.DataFrame) -> pd.DataFrame:
-        v = _sig_agreement_batch(df)
-        return v[v["agreement"] >= agreement]
+    # Verification strategy: ``broadcast`` filters the sig side to the
+    # CANDIDATE ENDPOINTS first (≤ 2·n_cands rows — the store itself can be
+    # arbitrarily large, only endpoint sketches ride the broadcast),
+    # publishes that side once (consolidated_refs), and verifies map-side
+    # against a worker-cached (id → signature-matrix) lookup — zero renamed
+    # copies, zero pair shuffles. A first cut broadcast the WHOLE store and
+    # was 30× slower than this on a 400k-doc store with 3k candidates:
+    # every worker paid a full-store matrix build to verify a handful of
+    # pairs. Past the gate (endpoint sketches beyond a worker heap) the
+    # id-keyed bucketed-join arm attaches both signatures instead.
+    from .blocking import BROADCAST_PAYLOAD_LIMIT
 
-    verified = j2.map_batches(verify, batch_format="pandas").materialize()
+    if strategy == "auto":
+        est_side = 2 * n_cands * (num_perm * 8 + 8)  # int64 sig lists + id
+        strategy = "broadcast" if est_side <= BROADCAST_PAYLOAD_LIMIT else "join"
+
+    if strategy == "broadcast":
+        from ..functions.arrays import list_column_to_matrix
+        from .joins import cached_side, consolidated_refs
+
+        t0 = tick()
+        # endpoint ids: per-block Arrow unique, driver merge (bounded by the
+        # gate above — the same shape as dedup._needed_ids)
+        ep_chunks: list = []
+        for b in cands.select_columns(["new_id", "other_id"]).iter_batches(
+            batch_format="pyarrow"
+        ):
+            for cname in ("new_id", "other_id"):
+                col = b.column(cname)
+                ep_chunks.extend(
+                    col.chunks if isinstance(col, pa.ChunkedArray) else [col]
+                )
+        endpoints = pc.unique(pa.chunked_array(ep_chunks))
+        ep_ref = ray.put(endpoints)
+        side_refs = consolidated_refs(
+            sig_lookup.map_batches(
+                BroadcastSemiJoin(ep_ref, id_col), batch_format="pyarrow"
+            )
+        )
+        _mark("sig_attach", t0)
+
+        def _sig_lookup_build(t: pa.Table):
+            ids = pd.Index(t.column(id_col).to_numpy(zero_copy_only=False))
+            # uint32 matrix: sig values are < 2^32 by construction — halves
+            # the per-worker cache vs the stored int64 lists
+            return ids, list_column_to_matrix(t.column("sig"), dtype=np.uint32)
+
+        def verify_bcast(df: pd.DataFrame) -> pd.DataFrame:
+            if len(df) == 0:
+                df["agreement"] = pd.Series([], dtype="float64")
+                return df[["new_id", "other_id", "other_new", "agreement"]]
+            index, mat = cached_side(side_refs, _sig_lookup_build)
+            li = index.get_indexer(df["new_id"].to_numpy())
+            ri = index.get_indexer(df["other_id"].to_numpy())
+            ok = (li >= 0) & (ri >= 0)  # endpoints come from the same sig
+            df = df[ok]                 # rows — defensive, never expected
+            agg = (mat[li[ok]] == mat[ri[ok]]).mean(axis=1)
+            out = df[["new_id", "other_id", "other_new"]].copy()
+            out["agreement"] = agg
+            return out[out["agreement"] >= agreement]
+
+        t0 = tick()
+        verified = cands.map_batches(
+            verify_bcast, batch_format="pandas"
+        ).materialize()
+        _mark("verify", t0)
+    else:  # "join": the beyond-heap-store arm (auto past 1 GiB of sketches)
+        # attach both signatures (id-keyed bucketed joins; sig rows only)
+        t0 = tick()
+        sl = sig_lookup.map_batches(
+            lambda t: t.rename_columns(["_sid", "sig_l"]), batch_format="pyarrow"
+        ).materialize()
+        sr = sig_lookup.map_batches(
+            lambda t: t.rename_columns(["_sid2", "sig_r"]), batch_format="pyarrow"
+        ).materialize()
+        j1 = bucketed_join(
+            cands, sl, "new_id", "_sid", num_buckets=num_buckets
+        ).materialize()  # right key is consumed by the merge; sig_l rides
+        j2 = bucketed_join(j1, sr, "other_id", "_sid2", num_buckets=num_buckets)
+        _mark("sig_attach", t0)
+
+        def verify(df: pd.DataFrame) -> pd.DataFrame:
+            v = _sig_agreement_batch(df)
+            return v[v["agreement"] >= agreement]
+
+        t0 = tick()
+        verified = j2.map_batches(verify, batch_format="pandas").materialize()
+        _mark("verify", t0)
 
     # new docs matching ANY stored doc drop unconditionally; the dup-id set
     # is bounded by the increment's duplicate count (gated below)
+    t0 = tick()
     bad_cross_arr = pa.concat_tables(
         [
             b.filter(pc.equal(b.column("other_new"), 0)).select(["new_id"])
@@ -262,6 +397,7 @@ def minhash_dedup_incremental(
         or [pa.table({"new_id": pa.array([], pa.int64())})]
     ).column("new_id").combine_chunks().unique()
     bad_cross = set(bad_cross_arr.to_pylist())
+    _mark("collect_bad", t0)
 
     # within-increment clusters collapse to their numeric-min id (CC over
     # zero-padded string keys keeps lexicographic == numeric order)
@@ -281,12 +417,14 @@ def minhash_dedup_incremental(
             }
         )
 
+    t0 = tick()
     edges = verified.map_batches(nn_edges, batch_format="pyarrow").materialize()
     if edges.count() > 0:
         cc = connected_components(edges).to_pandas()
         dropped_nn = {int(u) for u, c in zip(cc["url"], cc["cluster_id"]) if u != c}
     else:
         dropped_nn = set()
+    _mark("cc", t0)
 
     bad_ids = pa.array(sorted(bad_cross | dropped_nn), pa.int64())
     if len(bad_ids) <= max_broadcast_ids:
@@ -306,7 +444,9 @@ def minhash_dedup_incremental(
             sigt, bad_ds, id_col, "_bad", anti=True, num_buckets=num_buckets
         )
 
+    t0 = tick()
     _register(kept_sigs, state_dir, increment)
+    _mark("register", t0)
     return survivors
 
 

@@ -109,3 +109,39 @@ def test_hot_band_cap_does_not_starve_new_rows():
     pairs = _pairs_with_new(df, max_block_size=64)
     assert (pairs["new_id"] == 1000).all() and len(pairs) == 64
     assert set(pairs["other_new"]) == {0}
+
+
+def test_broadcast_and_join_verify_arms_agree(ray_session, tmp_path):
+    """Round 5: the sig-agreement verify has a broadcast arm (worker-cached
+    id->matrix lookup) and a bucketed-join arm; survivors and stores must
+    be identical under both, and timings must report the chosen phases."""
+    rng = np.random.default_rng(99)
+    base = [_text(rng) for _ in range(12)]
+    inc_a = [(i, base[i]) for i in range(12)]
+    # cross-increment dups of 0/5, a within-increment near-pair, one fresh
+    fresh = _text(rng)
+    pair = _text(rng)
+    inc_b = [
+        (20, _perturb(base[0], rng)),
+        (21, _perturb(base[5], rng)),
+        (22, pair),
+        (23, _perturb(pair, rng)),
+        (24, fresh),
+    ]
+    results = {}
+    for arm in ("broadcast", "join"):
+        state = str(tmp_path / f"mh_{arm}")
+        minhash_dedup_incremental(
+            _ds(inc_a), state, "a", agreement=0.7, strategy=arm
+        ).materialize()
+        t: dict = {}
+        got = _ids(
+            minhash_dedup_incremental(
+                _ds(inc_b), state, "b", agreement=0.7, strategy=arm, timings=t
+            )
+        )
+        results[arm] = got
+        assert "verify" in t and "sketch_new" in t and "store_scan" in t
+        expected_phase = "sig_attach"  # both arms report it (refs vs joins)
+        assert expected_phase in t
+    assert results["broadcast"] == results["join"] == [22, 24]
