@@ -209,13 +209,20 @@ def test_word_shingles_identical_to_reference_form():
             assert word_shingles(t, k) == _shingles_reference(t, k)
 
 
-def test_minhash_band_keys_unchanged_by_shared_shingler():
-    """Band keys through the dedup emitter must equal keys computed from
-    the original shingling form — the near-dup pair outputs depend on them."""
+def test_minhash_band_keys_pinned_to_arrow_shingle_family():
+    """Band keys through the dedup emitter must equal keys recomputed from
+    the shared Arrow shingle-hash kernel — blocking / near-dup /
+    incremental agree by construction because all three call it. (Round 5
+    switched the shingle HASH family from shingle-string SipHash to the
+    vocab-hash polynomial combine; the old byte-pin against string
+    shingles is superseded — oracle neutrality of the swap is pinned by
+    tests/test_queries_oracle.py::test_minhash_neardup_matches_sql_oracle.)
+    Also pins batching invariance: emitting per-doc equals one batch."""
     from ertransfer_ray.functions.hashing import (
+        arrow_word_shingle_hashes,
         lsh_band_keys_u64,
         minhash_coeffs,
-        minhash_signatures,
+        minhash_signatures_hashed,
     )
     from ertransfer_ray.stages.dedup import _ShingleMinHash
 
@@ -229,11 +236,17 @@ def test_minhash_band_keys_unchanged_by_shared_shingler():
     em = _ShingleMinHash("doc_id", "text", num_perm=32, num_bands=8)
     got = em(t).to_pandas()
 
-    sig = minhash_signatures(
-        [_shingles_reference(x, 3) for x in texts], 32, coeffs=minhash_coeffs(32, 7)
-    )
+    h, c = arrow_word_shingle_hashes(texts, 3)
+    sig = minhash_signatures_hashed(h, c, 32, coeffs=minhash_coeffs(32, 7))
     want = np.concatenate(lsh_band_keys_u64(sig, 8))
     assert got["band_key"].to_numpy().tolist() == want.tolist()
+
+    # batching invariance: one-doc batches emit the same keys
+    per_doc = [
+        em(t.slice(i, 1)).to_pandas()["band_key"].to_numpy() for i in range(5)
+    ]
+    stacked = np.stack(per_doc, axis=1).ravel()  # band-major per doc → align
+    assert sorted(stacked.tolist()) == sorted(want.tolist())
 
 
 def test_arrow_min_max_all_null():
