@@ -54,13 +54,19 @@ _POLY_C = np.uint64(0x9E3779B97F4A7C15)
 
 
 def arrow_word_shingle_hashes(
-    texts, k: int, lower: bool = True
+    texts, k: int, lower: bool = True, bits: int = 32
 ) -> tuple[np.ndarray, np.ndarray]:
     """Word k-shingle HASHES per doc with no Python strings in the loop:
     returns ``(flat_hashes, counts)`` where ``flat_hashes`` is the
     concatenated uint64 shingle hashes (< 2^32, doc-major, window order) and
     ``counts`` the per-doc shingle count — ready for
     :func:`minhash_signatures_hashed`.
+
+    ``bits=64`` skips the final 32-bit fold and returns 63-bit hashes
+    (< 2^63, int64-safe) — the exact-identity space for inverted-index
+    emitters (ngram_jaccard / boilerplate / decontam), where 32 bits would
+    collide at web scale. MinHash keeps the 32-bit default (required by
+    the no-wrap permute).
 
     Shingle COUNTS match :func:`word_shingles` exactly (docs with 1..k words
     → ONE shingle, empty/whitespace-only → none), but the hash FAMILY
@@ -135,6 +141,8 @@ def arrow_word_shingle_hashes(
         for j in range(1, w):
             hh = hh * _POLY_C + wh[doc_start[sel] + j]
         out[dst0[sel]] = hh
+    if bits == 64:
+        return out >> np.uint64(1), counts  # 63-bit, int64-nonnegative
     # fold to < 2^32 for the exact no-wrap MinHash permute
     out = ((out >> np.uint64(32)) ^ (out & _MAX_HASH)) & _MAX_HASH
     return out, counts

@@ -32,7 +32,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from .dedup import _auto_strategy, _doc_shingle_hashes, _shingle_doc_keys
+from .dedup import _auto_strategy, _batch_doc_shingle_hashes, _shingle_doc_keys
 from .groupby import exchange_group_apply, grouped_aggregate
 
 
@@ -67,9 +67,7 @@ def _batch_stats(
     """Map-side per-doc (n_shingles, n_hits, contaminated) — docs with zero
     shingles (empty text) emit no row, matching the SQL GROUP BY."""
     ids = t.column(id_col).to_numpy(zero_copy_only=False)
-    texts = t.column(text_col).to_pylist()
-    hs = [_doc_shingle_hashes(txt, k) for txt in texts]
-    lens = np.array([h.size for h in hs], dtype=np.int64)
+    flat, lens = _batch_doc_shingle_hashes(t.column(text_col), k)
     nz = lens > 0
     if not nz.any():
         return pa.table(
@@ -80,9 +78,8 @@ def _batch_stats(
                 "contaminated": pa.array([], pa.bool_()),
             }
         )
-    flat = np.concatenate([h for h in hs if h.size])
     hit = _sorted_hits(ev, flat)
-    owners = np.repeat(np.arange(len(ids))[nz], lens[nz])
+    owners = np.repeat(np.arange(len(ids)), lens)
     hits = np.bincount(owners, weights=hit, minlength=len(ids)).astype(np.int64)
     return pa.table(
         {
@@ -230,12 +227,14 @@ def decontaminate(
 
         def keep_clean(t: pa.Table) -> pa.Table:
             ev = ray.get(ref)
-            texts = t.column(text_col).to_pylist()
+            flat, lens = _batch_doc_shingle_hashes(t.column(text_col), shingle_words)
             keep = np.ones(t.num_rows, dtype=bool)
-            for i, txt in enumerate(texts):
-                h = _doc_shingle_hashes(txt, shingle_words)
-                if h.size and _sorted_hits(ev, h).any():
-                    keep[i] = False
+            if flat.size:
+                hit = _sorted_hits(ev, flat)
+                owners = np.repeat(np.arange(t.num_rows), lens)
+                keep &= np.bincount(
+                    owners, weights=hit, minlength=t.num_rows
+                ) == 0
             return t.filter(pa.array(keep))
 
         return corpus.map_batches(keep_clean, batch_format="pyarrow")

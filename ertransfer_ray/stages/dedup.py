@@ -208,23 +208,41 @@ def _fetch_gram_codes(side_refs, uniq_ids) -> dict:
     return out
 
 
+def _batch_doc_shingle_hashes(
+    texts, shingle_words: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """DISTINCT word-``shingle_words``-shingle hashes for a BATCH of docs,
+    fully vectorized (hashing.arrow_word_shingle_hashes at 63 bits — the
+    int64 exact-identity space; the 32-bit MinHash fold would collide at
+    web scale). Returns ``(flat_hashes, counts)``: per-doc sorted-unique
+    hashes concatenated doc-major + per-doc distinct counts. Tokenization
+    (lowercase, whitespace split, whole-string shingle for ≤ k-word docs)
+    matches the ngram_jaccard SQL oracle exactly; every consumer of this
+    hash space (ngram_jaccard / boilerplate / decontam) shares this one
+    function so their sets compare across stages."""
+    from ..functions.hashing import arrow_word_shingle_hashes
+
+    h, c = arrow_word_shingle_hashes(texts, shingle_words, bits=64)
+    n = len(c)
+    if h.size == 0:
+        return h.astype(np.int64), c
+    doc = np.repeat(np.arange(n, dtype=np.int64), c)
+    # hash-table distinct on (doc, hash), first-seen order — measured 1.5×
+    # a lexsort-based distinct on short docs (the common web shape) and the
+    # only variant that beat the old per-doc dict.fromkeys loop at all
+    # lengths (1.1–1.5×; the loop itself was already C-dominated)
+    dup = pd.DataFrame({"d": doc, "h": h}).duplicated().to_numpy()
+    keep = ~dup
+    return h[keep].astype(np.int64), np.bincount(
+        doc[keep], minlength=n
+    ).astype(np.int64)
+
+
 def _doc_shingle_hashes(txt: str, shingle_words: int) -> np.ndarray:
-    """Distinct word-``shingle_words``-shingle hashes of one doc (int64,
-    unsorted-unique in first-seen order): lowercase, whitespace split,
-    whole-string shingle when the doc has ≤ shingle_words words — the exact
-    tokenization of the ngram_jaccard SQL oracle."""
-    ws = (txt or "").lower().split()
-    if len(ws) <= shingle_words:
-        sh = [" ".join(ws)] if ws else []
-    else:
-        sh = [
-            " ".join(ws[j : j + shingle_words])
-            for j in range(len(ws) - shingle_words + 1)
-        ]
-    if not sh:
-        return np.empty(0, np.int64)
-    uniq = list(dict.fromkeys(sh))
-    return (stable_hash64(uniq) >> np.uint64(1)).astype(np.int64)
+    """Single-doc wrapper over :func:`_batch_doc_shingle_hashes` — same
+    hash family by construction (callers compare sets across stages)."""
+    h, _ = _batch_doc_shingle_hashes([txt or ""], shingle_words)
+    return h
 
 
 def _shingle_doc_keys(id_col: str, text_col: str, shingle_words: int):
@@ -233,24 +251,16 @@ def _shingle_doc_keys(id_col: str, text_col: str, shingle_words: int):
     by ngram_jaccard_pairs and boilerplate_shingle_stats."""
 
     def emit(t: pa.Table) -> pa.Table:
-        ids = t.column(id_col).to_pylist()
-        texts = t.column(text_col).to_pylist()
-        out_k: list[np.ndarray] = []
-        out_i: list[int] = []
-        for i, txt in enumerate(texts):
-            h = _doc_shingle_hashes(txt, shingle_words)
-            if h.size == 0:
-                continue
-            out_k.append(h)
-            out_i.extend([ids[i]] * h.size)
-        if not out_k:
+        h, c = _batch_doc_shingle_hashes(t.column(text_col), shingle_words)
+        if h.size == 0:
             return pa.table(
                 {"shingle": pa.array([], pa.int64()), "doc_id": pa.array([], pa.int64())}
             )
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
         return pa.table(
             {
-                "shingle": pa.array(np.concatenate(out_k), pa.int64()),
-                "doc_id": pa.array(out_i, pa.int64()),
+                "shingle": pa.array(h, pa.int64()),
+                "doc_id": pa.array(np.repeat(ids, c), pa.int64()),
             }
         )
 
@@ -290,16 +300,16 @@ def boilerplate_shingle_stats(
     from .groupby import counted_key_survivors
 
     def totals_fn(t: pa.Table, hot: np.ndarray | None) -> pa.Table:
-        texts = t.column(text_col).to_pylist()
-        n = np.zeros(len(texts), np.int64)
-        nh = np.zeros(len(texts), np.int64)
-        for i, txt in enumerate(texts):
-            h = _doc_shingle_hashes(txt, shingle_words)
-            n[i] = h.size
-            if hot is not None and h.size and hot.size:
-                pos = np.searchsorted(hot, h)
-                pos[pos >= hot.size] = hot.size - 1
-                nh[i] = int((hot[pos] == h).sum())
+        h, n = _batch_doc_shingle_hashes(t.column(text_col), shingle_words)
+        nh = np.zeros(t.num_rows, np.int64)
+        if hot is not None and h.size and hot.size:
+            pos = np.searchsorted(hot, h)
+            pos[pos >= hot.size] = hot.size - 1
+            is_hot = hot[pos] == h
+            owners = np.repeat(np.arange(t.num_rows, dtype=np.int64), n)
+            nh = np.bincount(
+                owners, weights=is_hot, minlength=t.num_rows
+            ).astype(np.int64)
         cols = {
             id_col: t.column(id_col),
             "n_shingles": pa.array(n),
