@@ -25,6 +25,11 @@ sys.path.insert(0, REPO)
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
+# the oracle parquet side-inputs (queries._write_oracle_side) are
+# correctness-harness machinery — writing them would add an extra sketch
+# pass to the benched minhash/simhash queries
+os.environ.setdefault("ERTRANSFER_SKIP_ORACLE_SIDE", "1")
+
 
 def _init_ray(num_cpus: int):
     import ray

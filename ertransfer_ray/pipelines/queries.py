@@ -74,10 +74,17 @@ def _write_oracle_side(name: str, ds) -> str:
     pipeline and land as parquet; the oracle then independently re-derives
     everything downstream of the sketch — grouping, pairing, verification,
     thresholds — in SQL. The query fn rewrites the side-input on every call,
-    so the oracle always reads the sketches of the sf_dir just queried."""
+    so the oracle always reads the sketches of the sf_dir just queried.
+
+    ``ERTRANSFER_SKIP_ORACLE_SIDE=1`` (set by bench.py) skips the write —
+    it is correctness-harness machinery, not part of the operator, and
+    would otherwise inflate the benched query by an extra sketch pass."""
+    import os
     import shutil
 
     path = f"{_ORACLE_SIDE_DIR}/{name}"
+    if os.environ.get("ERTRANSFER_SKIP_ORACLE_SIDE"):
+        return path
     shutil.rmtree(path, ignore_errors=True)
     ds.write_parquet(path)
     return path
