@@ -173,6 +173,29 @@ def run_er(
     # block() consumes the normalized table twice (key emission + payload
     # side of the pair join); pin it once instead of recomputing the DAG
     norm = norm.materialize()
+    if norm.count() == 0:
+        # empty corpus: downstream stages would see schema-less blocks
+        # (attach_pair_payloads used to KeyError on the missing url column)
+        # — return typed empty stage outputs instead
+        import ray.data as rd
+
+        def _empty(cols: dict) -> "rd.Dataset":
+            return rd.from_arrow(pa.table(cols))
+
+        s = pa.array([], pa.string())
+        f = pa.array([], pa.float64())
+        return {
+            "normalized": norm,
+            "pairs": _empty(
+                {
+                    "left_url": s, "right_url": s,
+                    "left_title": s, "left_payload": s,
+                    "right_title": s, "right_payload": s,
+                }
+            ),
+            "predictions": _empty({"left_url": s, "right_url": s, "prob": f}),
+            "clusters": _empty({"url": s, "cluster_id": s}),
+        }
     pairs = block(norm, cfg, staged=staged)
     # attach+score are plain map chains over the materialized pairs — they
     # fuse into clustering's consumption without executor contention

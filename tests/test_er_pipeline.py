@@ -57,3 +57,27 @@ def test_flagship_identical_under_64_and_128_bit_cc_keys(pages_corpus):
             .sort_values(["url", "cluster_id"], ignore_index=True)
         )
     pd.testing.assert_frame_equal(outs[64], outs[128])
+
+
+def test_run_er_empty_corpus(ray_session):
+    """Round 5: an empty corpus returns typed empty stage outputs instead
+    of a schema-less KeyError inside attach_pair_payloads."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ertransfer_ray.pipelines.er_pipeline import ERConfig, run_er
+
+    empty = rd.from_arrow(
+        pa.table(
+            {
+                "url": pa.array([], pa.string()),
+                "norm_text": pa.array([], pa.string()),
+                "norm_title": pa.array([], pa.string()),
+            }
+        )
+    )
+    res = run_er(empty, ERConfig(sn_prefix=0), normalized=True)
+    assert res["clusters"].count() == 0
+    assert set(res["clusters"].schema().names) == {"url", "cluster_id"}
+    assert res["pairs"].count() == 0
+    assert set(res["predictions"].schema().names) == {"left_url", "right_url", "prob"}
