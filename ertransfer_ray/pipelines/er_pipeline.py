@@ -184,11 +184,14 @@ def run_er(
 
         s = pa.array([], pa.string())
         f = pa.array([], pa.float64())
+        b = pa.array([], pa.bool_())
         return {
             "normalized": norm,
+            # column sets pinned equal to the real stage outputs by
+            # tests/test_er_pipeline.py::test_run_er_empty_corpus
             "pairs": _empty(
                 {
-                    "left_url": s, "right_url": s,
+                    "left_url": s, "right_url": s, "truncated": b,
                     "left_title": s, "left_payload": s,
                     "right_title": s, "right_payload": s,
                 }

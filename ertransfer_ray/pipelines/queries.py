@@ -2209,17 +2209,34 @@ ORACLE_SQL["doc_ce_buckets"] = f"""
 # downstream: candidate pairing, verification, thresholding, distinctness.
 ORACLE_SQL["minhash_neardup_pairs"] = f"""
     WITH bands AS (
-        SELECT band_key, doc_id
+        SELECT DISTINCT band_key, doc_id
         FROM read_parquet('{_ORACLE_SIDE_DIR}/minhash_bands/*.parquet')
+    ),
+    -- the pipeline caps each band at max_block_size=128 smallest distinct
+    -- doc ids (dedup._candidate_pairs_in_bucket / verify_bucket) — the
+    -- oracle must apply the same cap or a hot band (e.g. >128 empty docs,
+    -- which share the all-MAX signature) would make it disagree with a
+    -- correct run
+    capped AS (
+        SELECT band_key, doc_id FROM (
+            SELECT band_key, doc_id,
+                   row_number() OVER (
+                       PARTITION BY band_key ORDER BY doc_id
+                   ) AS rn
+            FROM bands
+        ) WHERE rn <= 128
     ),
     cand AS (
         SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id
-        FROM bands a JOIN bands b
+        FROM capped a JOIN capped b
           ON a.band_key = b.band_key AND a.doc_id < b.doc_id
     ),
     -- verification space: distinct char-3-grams of the whitespace-
     -- normalized lowercase text (stages/dedup._gram_code_arrays; strings
-    -- shorter than 3 chars are their own single gram, per simfuncs.qgrams)
+    -- shorter than 3 chars are their own single gram, per simfuncs.qgrams).
+    -- NOTE: RE2's \s is ASCII-only while Python's str.split also splits
+    -- exotic Unicode whitespace (U+00A0, U+1C-1F…) — the comparison
+    -- contract is ASCII-whitespace corpora (all repo test data is)
     norm AS (
         SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
         FROM documents

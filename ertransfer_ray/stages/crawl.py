@@ -37,6 +37,15 @@ from ..functions.urlnorm import normalize_urls
 from .groupby import bucketed_group_apply
 from .joins import BroadcastSemiJoin, bucketed_anti_semi_join, put_broadcast
 
+#: byte cap for anti-broadcasting the loser capture keys. NOT the generic
+#: 1 GiB payload limit: pc.is_in rebuilds its hash set from the value_set
+#: on every kernel call, so huge string sets convoy the filter tasks —
+#: measured 29.6 s end-to-end at ~40 MB of keys (0.8M) vs 121.7 s at
+#: ~150 MB (3.2M) on a 4M-capture corpus / 32 CPUs. 64 MiB (~1.3M keys)
+#: stays on the good side of that knee; beyond it the bucketed anti-join
+#: exchange (which ships page rows once) is the faster arm.
+LOSER_BROADCAST_LIMIT = 64 << 20
+
 _SEP = "\x01"
 
 
@@ -118,11 +127,9 @@ def latest_capture_per_url(
     )
 
     if strategy == "auto":
-        from .blocking import BROADCAST_PAYLOAD_LIMIT
-
         strategy = (
             "broadcast"
-            if (loser_keys.size_bytes() or 0) <= BROADCAST_PAYLOAD_LIMIT
+            if (loser_keys.size_bytes() or 0) <= LOSER_BROADCAST_LIMIT
             else "join"
         )
 

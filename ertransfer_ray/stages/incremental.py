@@ -43,6 +43,55 @@ import pyarrow as pa
 from ..functions.arrays import matrix_to_list_column
 from ..functions.hashing import lsh_band_keys_u64, minhash_coeffs, minhash_signatures
 
+#: sketch hash-family tag, persisted in the store's meta file. Bumped when
+#: the shingle/minhash kernel changes incompatibly (round 5: shingle-string
+#: SipHash → vocab-hash polynomial combine). Sketches from a different
+#: family never band-collide or agree with the current one, which would
+#: SILENTLY keep every cross-increment near-dup — so a mismatch is an error.
+_SKETCH_FAMILY = "arrow-poly-v2"
+
+
+def _check_store_meta(
+    state_dir: str, num_perm: int, num_bands: int, shingle_words: int,
+    has_prior: bool,
+) -> None:
+    """Validate (or initialize) the store's sketch-compatibility marker.
+    A store written with another family or other sketch params cannot be
+    banded/verified against — fail loudly instead of silently keeping
+    duplicates."""
+    import json
+
+    meta_path = os.path.join(state_dir, "store_meta.json")
+    want = {
+        "family": _SKETCH_FAMILY,
+        "num_perm": num_perm,
+        "num_bands": num_bands,
+        "shingle_words": shingle_words,
+    }
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            have = json.load(f)
+        if have != want:
+            raise ValueError(
+                f"incremental sketch store at {state_dir!r} was written with "
+                f"{have}, current run uses {want}: sketches are not "
+                "comparable across families/params — rebuild the store "
+                "(re-ingest increments) or match the stored parameters"
+            )
+        return
+    if has_prior:
+        raise ValueError(
+            f"incremental sketch store at {state_dir!r} predates the "
+            "family marker (pre-round-5 shingle-string sketches): its "
+            "sketches never match the current kernel's, which would "
+            "silently keep every cross-increment near-dup — rebuild the "
+            "store by re-ingesting increments"
+        )
+    tmp = meta_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(want, f)
+    os.replace(tmp, meta_path)
+
 
 class SigBands:
     """Actor-pool stage: per-doc (id, sig, bands) sketch rows."""
@@ -218,6 +267,9 @@ def minhash_dedup_incremental(
         for p in [os.path.join(state_dir, d)]
         if any(f.endswith(".parquet") for f in os.listdir(p))
     ]
+    _check_store_meta(
+        state_dir, num_perm, num_bands, shingle_words, has_prior=bool(prior_dirs)
+    )
 
     # OVERLAP the store scan with sketching: the new increment's actor-pool
     # sketch pass is a driver-blocking barrier (staged on purpose — see the
@@ -339,10 +391,19 @@ def minhash_dedup_incremental(
         _mark("sig_attach", t0)
 
         def _sig_lookup_build(t: pa.Table):
-            ids = pd.Index(t.column(id_col).to_numpy(zero_copy_only=False))
+            ids_np = t.column(id_col).to_numpy(zero_copy_only=False)
             # uint32 matrix: sig values are < 2^32 by construction — halves
             # the per-worker cache vs the stored int64 lists
-            return ids, list_column_to_matrix(t.column("sig"), dtype=np.uint32)
+            mat = list_column_to_matrix(t.column("sig"), dtype=np.uint32)
+            ids = pd.Index(ids_np)
+            if ids.has_duplicates:
+                # ids are contractually unique across increments, but a
+                # twice-ingested file violates it WITHIN one input; the
+                # join arm tolerates that (extra rows, deduped downstream),
+                # so keep-first here instead of get_indexer raising
+                keep = ~ids.duplicated()
+                ids, mat = ids[keep], mat[keep]
+            return ids, mat
 
         def verify_bcast(df: pd.DataFrame) -> pd.DataFrame:
             if len(df) == 0:

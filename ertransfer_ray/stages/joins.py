@@ -696,17 +696,22 @@ def keys_of(ds, col: str, max_rows: int = 5_000_000) -> list:
     """Collect one small key column to the driver (for broadcast joins).
     Only valid when the column is known-small (dimension side) — enforced:
     raises past ``max_rows`` so a future caller cannot silently materialize
-    a corpus-sized column driver-side (use the bucketed join instead)."""
-    keyed = ds.select_columns([col])
-    n = keyed.count()  # metadata-cheap; never ships rows to the driver
-    if n > max_rows:
-        raise ValueError(
-            f"keys_of({col!r}) would collect {n} rows, over the "
-            f"{max_rows}-row dimension-side cap — this column is not "
-            "broadcast-small; use bucketed_join / BroadcastSemiJoin's "
-            "exchange fallback instead of a driver-side collect"
-        )
-    return [r[col] for r in keyed.take_all()]
+    a corpus-sized column driver-side (use the bucketed join instead).
+
+    ONE streaming pass: batches append until the cap trips, then the scan
+    aborts — the earlier count()-then-take_all form executed the projected
+    plan twice (count() is not metadata-pushed through a projection)."""
+    out: list = []
+    for b in ds.select_columns([col]).iter_batches(batch_format="pyarrow"):
+        out.extend(b.column(col).to_pylist())
+        if len(out) > max_rows:
+            raise ValueError(
+                f"keys_of({col!r}) would collect more than the "
+                f"{max_rows}-row dimension-side cap — this column is not "
+                "broadcast-small; use bucketed_join / BroadcastSemiJoin's "
+                "exchange fallback instead of a driver-side collect"
+            )
+    return out
 
 
 def _join_key_caster(*key_types):

@@ -104,14 +104,24 @@ def approx_quantile(
     merge associatively at any parallelism."""
     from .windows import arrow_min_max, global_histogram
 
-    lo_, hi_, total = arrow_min_max(ds, value_col)
-    if total == 0:
+    lo_, hi_, _ = arrow_min_max(ds, value_col)
+    # None: empty/all-null. Non-finite: all-NaN blocks make pc.min_max
+    # emit its (inf, -inf) identity — no usable range either way.
+    if lo_ is None or hi_ is None:
         return None
     lo, hi = float(lo_), float(hi_)
+    if not (np.isfinite(lo) and np.isfinite(hi)):
+        return None
     if hi == lo:
         return lo  # constant column: every quantile is the value
     hist = global_histogram(ds, value_col, bins=bins, value_range=(lo, hi))
     cum = hist["count"].cumsum().to_numpy()
+    # rank against the HISTOGRAM total, which (like the exact arm's
+    # quantile_cont) excludes NaN rows — pc.count would include them and
+    # bias the rank upward on partially-NaN columns
+    total = int(cum[-1]) if len(cum) else 0
+    if total == 0:
+        return None
     target = q * (total - 1) + 1  # quantile_cont rank, 1-based
     i = min(int(np.searchsorted(cum, target)), bins - 1)
     prev = cum[i - 1] if i > 0 else 0

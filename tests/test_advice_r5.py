@@ -253,3 +253,27 @@ def test_arrow_min_max_all_null():
     df = pd.DataFrame({"v": pd.Series([None, None], dtype="float64")})
     lo, hi, n = arrow_min_max(rd.from_pandas(df), "v")
     assert (lo, hi, n) == (None, None, 0)
+
+
+# ---------------------------------------------------------------------------
+# approx_quantile NaN handling (round-5 review): histogram-total ranks,
+# all-NaN/None guards — parity with the exact arm's NaN-excluding count
+# ---------------------------------------------------------------------------
+
+def test_approx_quantile_nan_columns(ray_session):
+    from ertransfer_ray.stages.sampling import approx_quantile
+
+    # all-NaN → None (pc.min_max emits its (inf, -inf) identity there)
+    allnan = rd.from_pandas(pd.DataFrame({"v": [float("nan")] * 64}))
+    assert approx_quantile(allnan, "v", 0.5) is None
+
+    # half-NaN: rank must use the NaN-excluding total — the estimate stays
+    # within one bin of the exact quantile of the non-NaN values
+    vals = np.arange(1000, dtype=np.float64)
+    mixed = np.concatenate([vals, np.full(1000, np.nan)])
+    rng = np.random.default_rng(3)
+    rng.shuffle(mixed)
+    ds = rd.from_pandas(pd.DataFrame({"v": mixed}))
+    got = approx_quantile(ds, "v", 0.5, bins=512)
+    exact = float(np.quantile(vals, 0.5))
+    assert abs(got - exact) <= (vals.max() - vals.min()) / 512 + 1e-9

@@ -78,6 +78,23 @@ def test_run_er_empty_corpus(ray_session):
     )
     res = run_er(empty, ERConfig(sn_prefix=0), normalized=True)
     assert res["clusters"].count() == 0
-    assert set(res["clusters"].schema().names) == {"url", "cluster_id"}
     assert res["pairs"].count() == 0
-    assert set(res["predictions"].schema().names) == {"left_url", "right_url", "prob"}
+
+    # the hand-written empty schemas must track the REAL stage outputs —
+    # compare against a tiny non-empty run so a stage schema change can't
+    # silently diverge the empty arm
+    tiny = rd.from_arrow(
+        pa.table(
+            {
+                "url": pa.array([f"u{i}" for i in range(4)], pa.string()),
+                "norm_text": pa.array(
+                    ["alpha beta gamma delta"] * 2 + ["zz yy xx ww"] * 2,
+                    pa.string(),
+                ),
+                "norm_title": pa.array(["t"] * 4, pa.string()),
+            }
+        )
+    )
+    full = run_er(tiny, ERConfig(sn_prefix=0), normalized=True)
+    for stage in ("pairs", "predictions", "clusters"):
+        assert set(res[stage].schema().names) == set(full[stage].schema().names), stage

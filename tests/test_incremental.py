@@ -145,3 +145,50 @@ def test_broadcast_and_join_verify_arms_agree(ray_session, tmp_path):
         expected_phase = "sig_attach"  # both arms report it (refs vs joins)
         assert expected_phase in t
     assert results["broadcast"] == results["join"] == [22, 24]
+
+
+def test_store_meta_family_and_param_guard(ray_session, tmp_path):
+    """Round-5 review: a persisted sketch store from another hash family or
+    other sketch params must fail loudly — cross-family sketches never
+    band-collide, which would silently keep every cross-increment dup."""
+    import json
+    import os
+
+    import pytest
+
+    rng = np.random.default_rng(1)
+    state = str(tmp_path / "meta_store")
+    rows = [(i, _text(rng)) for i in range(4)]
+    minhash_dedup_incremental(_ds(rows), state, "a").materialize()
+    assert os.path.exists(os.path.join(state, "store_meta.json"))
+
+    # different sketch params → error
+    with pytest.raises(ValueError, match="not\\s+comparable|rebuild"):
+        minhash_dedup_incremental(_ds(rows), state, "b", num_perm=64)
+
+    # legacy store (increments but no marker) → error
+    os.remove(os.path.join(state, "store_meta.json"))
+    with pytest.raises(ValueError, match="predates the"):
+        minhash_dedup_incremental(_ds(rows), state, "b")
+
+    # foreign family → error
+    with open(os.path.join(state, "store_meta.json"), "w") as f:
+        json.dump({"family": "legacy-strings-v1", "num_perm": 128,
+                   "num_bands": 16, "shingle_words": 3}, f)
+    with pytest.raises(ValueError, match="rebuild the store"):
+        minhash_dedup_incremental(_ds(rows), state, "b")
+
+
+def test_broadcast_verify_tolerates_duplicate_ids(ray_session, tmp_path):
+    """A twice-ingested row (duplicate doc_id WITHIN one increment) must not
+    crash the broadcast verify's id->matrix lookup (the join arm tolerates
+    it, so the arms stay behavior-equivalent)."""
+    rng = np.random.default_rng(5)
+    state = str(tmp_path / "dup_store")
+    base = _text(rng)
+    minhash_dedup_incremental(_ds([(0, base)]), state, "a").materialize()
+    dup_rows = [(7, _perturb(base, rng)), (7, _perturb(base, rng)), (8, _text(rng))]
+    got = _ids(minhash_dedup_incremental(
+        _ds(dup_rows), state, "b", agreement=0.7, strategy="broadcast"
+    ))
+    assert got == [8]  # both id-7 rows are near-dups of stored doc 0

@@ -5,9 +5,12 @@ Builds a captures-shaped corpus from the x640-expanded sf0.1 documents:
 every doc gets one newest capture; 1 in 4 gets a SECOND, older capture
 under a URL-variant alias (`?utm_source=feed`, canonicalized away by
 urlnorm) — the CommonCrawl shape stages/crawl.py models. 3.2M docs →
-4M capture rows, so the winner set (3.2M) exceeds BROADCAST_MAX_WINNERS
-(2M) and the pre-stage exercises its semi-join EXCHANGE arm, which is
-the cost the round-4 verdict asked to measure.
+4M capture rows. With the loser-identity redesign the decision side is
+the ~0.8M LOSER keys (~40 MB), under LOSER_BROADCAST_LIMIT, so auto
+takes the anti-broadcast arm — that IS the production path this corpus
+shape would take; pass a duplicate-heavier corpus (or force
+strategy="join" in crawl.latest_capture_per_url) to exercise the
+exchange arm. Measured ledger in BASELINE.md covers both designs.
 
 Usage:
   python tools/bench_captures.py              # orchestrate both arms
