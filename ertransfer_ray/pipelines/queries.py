@@ -967,13 +967,18 @@ def q_doc_clean_corpus(sf_dir: str) -> pd.DataFrame:
 
 
 def q_doc_quality_classifier(sf_dir: str) -> pd.DataFrame:
-    """GPT-3-style TRAINED quality filter (rows-only by nature: the
-    hashed-n-gram ridge fit has no SQL form; the operator is value-pinned
-    in tests/test_quality_clf.py — held-out separation, parallelism-
-    invariant closed-form weights): docs tagged lang='en' are the
+    """GPT-3-style TRAINED quality filter: docs tagged lang='en' are the
     high-quality exemplars, the rest the background; every doc is scored
     with the fitted σ(x·w) — stages/quality_clf, one sufficient-stats
-    pass per side + a stateless scoring map."""
+    pass per side + a stateless scoring map. VALUE-LEVEL oracled since
+    round 5: the closed-form ridge fit has no SQL form, so the fitted
+    weight vector ``w`` and each doc's hashed-n-gram feature vector land
+    as parquet side-inputs and the oracle independently re-derives the
+    whole SCORING map — σ(list_dot_product(x, w)) rounded like the
+    kernel — in DuckDB; the fit itself stays value-pinned in
+    tests/test_quality_clf.py (held-out separation, parallelism-invariant
+    weights)."""
+    from ..functions.arrays import list_column_to_matrix, matrix_to_list_column
     from ..stages.quality_clf import score_quality, train_quality_classifier
 
     docs = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
@@ -988,6 +993,28 @@ def q_doc_quality_classifier(sf_dir: str) -> pd.DataFrame:
         return docs.map_batches(f, batch_format="pyarrow")
 
     clf = train_quality_classifier(side(True), side(False))
+    enc = clf.encoder("text", "doc_id")
+
+    def feats(t: pa.Table) -> pa.Table:
+        x = list_column_to_matrix(enc(t).column("embedding")).astype(np.float64)
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "x": matrix_to_list_column(
+                x if x.size else np.zeros((t.num_rows, clf.dim)), pa.float64()
+            ),
+        })
+
+    _write_oracle_side(
+        "quality_clf_feats", docs.map_batches(feats, batch_format="pyarrow")
+    )
+    _write_oracle_side(
+        "quality_clf_w",
+        rd.from_arrow(pa.table({
+            "w": matrix_to_list_column(
+                np.asarray(clf.w, dtype=np.float64)[None, :], pa.float64()
+            ),
+        })),
+    )
     out = score_quality(docs, clf).to_pandas()
     return out.sort_values("doc_id", ignore_index=True)
 
@@ -1150,14 +1177,28 @@ def q_event_value_quantiles(sf_dir: str) -> pd.DataFrame:
 
 def q_kmeans_embeddings(sf_dir: str) -> pd.DataFrame:
     """A9 family: distributed Lloyd's KMeans over the embeddings table →
-    per-cluster sizes + mean vector norm (stable diagnostics under seeded
-    deterministic init). Iterative fit → not SQL-expressible (rows-only);
-    formula/recovery checks live in tests/test_kmeans.py."""
+    per-cluster sizes (stable diagnostics under seeded deterministic
+    init). VALUE-LEVEL oracled since round 5: the iterative fit itself is
+    not SQL-expressible, so the FITTED centroids land as a parquet
+    side-input and the oracle independently re-derives the assignment map
+    (argmax of x·c − ½‖c‖², ties → lowest cluster — exactly
+    stages/kmeans.assign_clusters) and the per-cluster counts in DuckDB;
+    the Lloyd's fit stays pinned by tests/test_kmeans.py (recovery +
+    formula parity)."""
+    from ..functions.arrays import matrix_to_list_column
     from ..stages.kmeans import assign_clusters, fit_kmeans
     from ..stages.groupby import partial_aggregate
 
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     model = fit_kmeans(emb, "embedding", k=4, max_iter=15, seed=17)
+    cents = np.asarray(model.centroids, dtype=np.float64)
+    _write_oracle_side(
+        "kmeans_cents",
+        rd.from_arrow(pa.table({
+            "cluster": pa.array(np.arange(len(cents), dtype=np.int64)),
+            "cent": matrix_to_list_column(cents, pa.float64()),
+        })),
+    )
     assigned = assign_clusters(emb, model, "embedding", id_cols=["vec_id"])
     out = partial_aggregate(
         assigned, "cluster", {"n_vecs": ("vec_id", "count")}
@@ -1169,11 +1210,19 @@ def q_deepblocker_topk(sf_dir: str) -> pd.DataFrame:
     """T3/T4 for real: DeepBlocker-shaped candidate generation over documents
     (hashed-ngram encode → corpus-trained linear autoencoder → IVF top-K
     join; reference splitters/DeepBlocker/splitter.py:62-73). Self-join of
-    the documents table: top-2 neighbours per doc, excluding self. Trained
-    model + approximate join → not SQL-expressible (driver records
-    rows-only); geometry and recall are value-checked in
-    tests/test_encoders.py."""
-    from ..stages.encoders import deepblocker_topk
+    the documents table: top-2 neighbours per doc, excluding self.
+
+    VALUE-LEVEL oracled since round 5: the trained encoder/AE projection
+    has no SQL form, so the projected embeddings (unit-normalized, the
+    exact f64 vectors the kernel dots) and the IVF centroids land as
+    parquet side-inputs and the oracle independently re-derives the WHOLE
+    IVF join in DuckDB — B-side nearest-centroid assignment, A-side
+    nprobe probing (sim DESC, bucket ASC), within-probed-buckets cosine
+    top-k (score DESC, id ASC), the self-pair drop and the final top-2 —
+    leaving only the learned projection itself to the pytest pins
+    (tests/test_encoders.py geometry + recall)."""
+    from ..functions.arrays import list_column_to_matrix, matrix_to_list_column
+    from ..stages.encoders import _unit, deepblocker_topk
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         lambda t: t.rename_columns(["id", "agValue"]), batch_format="pyarrow"
@@ -1182,9 +1231,35 @@ def q_deepblocker_topk(sf_dir: str) -> pd.DataFrame:
     # (splitters/KNN-Join/settings.py:1): measured 0.955 recall of the exact
     # projected-space top-2 at (8, 5) vs 0.831 at (8, 3) — pinned by
     # tests/test_queries_oracle.py::test_deepblocker_query_config_recall_floor
+    capture: dict = {}
     pairs = deepblocker_topk(
-        docs, docs, k=3, dim=256, dim_out=16, num_buckets=8, nprobe=5
+        docs, docs, k=3, dim=256, dim_out=16, num_buckets=8, nprobe=5,
+        capture=capture,
     ).to_pandas()
+
+    def to_unit(t: pa.Table) -> pa.Table:
+        # the same f64(f32) → _unit chain the kernel applies on both the
+        # probe and the scoring side, so the oracle dots identical doubles
+        x = list_column_to_matrix(t.column("embedding")).astype(np.float64)
+        return pa.table({
+            "id": t.column("id"),
+            "vec": matrix_to_list_column(
+                _unit(x) if x.size else np.zeros((0, 16)), pa.float64()
+            ),
+        })
+
+    _write_oracle_side(
+        "deepblocker_proj",
+        capture["proj_a"].map_batches(to_unit, batch_format="pyarrow"),
+    )
+    cents = np.asarray(capture["centroids"], dtype=np.float64)
+    _write_oracle_side(
+        "deepblocker_cents",
+        rd.from_arrow(pa.table({
+            "bucket": pa.array(np.arange(len(cents), dtype=np.int64)),
+            "cent": matrix_to_list_column(cents, pa.float64()),
+        })),
+    )
     pairs = pairs[pairs["tableA_id"] != pairs["tableB_id"]]
     out = (
         pairs.sort_values(["tableA_id", "score", "tableB_id"],
@@ -1218,10 +1293,13 @@ def build_queries() -> dict:
     # er_documents (the flagship) and kmeans_embeddings lead the dict: the
     # driver's CORRECTNESS harness checks only the first 50 entries, and in
     # round 4 these two silently fell off the end (VERDICT.md "What's wrong" #1).
-    # The two genuinely rows-only queries (doc_quality_classifier — trained
-    # model, deepblocker_topk — recall-floor ANN) sit LAST so every
-    # value-level-oracled entry, incl. the round-5 minhash/simhash oracles,
-    # is inside the 50-entry window; both stay value-pinned in pytest.
+    # Since round 5 ALL 52 entries carry value-level SQL oracles (the last
+    # holdouts — kmeans centroid-assignment, the quality classifier's σ(x·w)
+    # scoring map, and the full deepblocker IVF join — re-derive everything
+    # downstream of their trained artifact from parquet side-inputs). The two
+    # that overflow the 50-entry driver window (doc_quality_classifier,
+    # deepblocker_topk) sit LAST; both are oracle-swept in-repo by
+    # tools/check_oracles.py and value-pinned in pytest.
     return {
         "er_documents": q_er_documents,
         "kmeans_embeddings": q_kmeans_embeddings,
@@ -2290,4 +2368,96 @@ ORACLE_SQL["simhash_neardup_pairs"] = f"""
     FROM s a JOIN s b ON a.doc_id < b.doc_id
     WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
     ORDER BY left_id, right_id
+"""
+
+# kmeans: the FITTED centroids are the side-input; the oracle re-derives
+# the assignment rule (argmax of x·c − ½‖c‖², ties → lowest cluster —
+# stages/kmeans.assign_clusters:204) and the per-cluster counts in SQL.
+ORACLE_SQL["kmeans_embeddings"] = f"""
+    WITH c AS (
+        SELECT cluster, cent
+        FROM read_parquet('{_ORACLE_SIDE_DIR}/kmeans_cents/*.parquet')
+    ), s AS (
+        SELECT e.vec_id, c.cluster,
+               list_dot_product(
+                   list_transform(e.embedding, x -> CAST(x AS DOUBLE)), c.cent
+               ) - 0.5 * list_dot_product(c.cent, c.cent) AS score
+        FROM embeddings e CROSS JOIN c
+    ), assigned AS (
+        SELECT vec_id, cluster FROM (
+            SELECT vec_id, cluster, row_number() OVER (
+                PARTITION BY vec_id ORDER BY score DESC, cluster ASC
+            ) AS rn FROM s
+        ) WHERE rn = 1
+    )
+    SELECT cluster, count(*) AS n_vecs
+    FROM assigned GROUP BY cluster ORDER BY cluster
+"""
+
+# quality classifier: the fitted weight vector + per-doc hashed features
+# are the side-inputs; the oracle re-derives the whole scoring map
+# σ(x·w) → ROUND 6 (stages/quality_clf.score_quality:126-133) in SQL.
+ORACLE_SQL["doc_quality_classifier"] = f"""
+    WITH f AS (
+        SELECT doc_id, x
+        FROM read_parquet('{_ORACLE_SIDE_DIR}/quality_clf_feats/*.parquet')
+    ), w AS (
+        SELECT w FROM read_parquet('{_ORACLE_SIDE_DIR}/quality_clf_w/*.parquet')
+    )
+    SELECT f.doc_id,
+           ROUND(1.0 / (1.0 + exp(-list_dot_product(f.x, w.w))), 6)
+               AS quality_prob
+    FROM f CROSS JOIN w
+    ORDER BY f.doc_id
+"""
+
+# deepblocker: the projected unit vectors + IVF centroids are the
+# side-inputs; the oracle re-derives the ENTIRE IVF top-k join —
+# B-assignment (nearest centroid, ties → lowest bucket), A-probing
+# (top-5 centroids, sim DESC bucket ASC — encoders.ivf_knn_join emit),
+# within-probed-buckets cosine top-3 then top-2 after the self-pair drop,
+# both ranked (score DESC, tableB_id ASC) exactly like the kernel's
+# tie-deterministic lexsort + grouped_top_k merge.
+ORACLE_SQL["deepblocker_topk"] = f"""
+    WITH e AS (
+        SELECT id, vec
+        FROM read_parquet('{_ORACLE_SIDE_DIR}/deepblocker_proj/*.parquet')
+    ), c AS (
+        SELECT bucket, cent
+        FROM read_parquet('{_ORACLE_SIDE_DIR}/deepblocker_cents/*.parquet')
+    ), bsim AS (
+        SELECT e.id, c.bucket, list_dot_product(e.vec, c.cent) AS sim
+        FROM e CROSS JOIN c
+    ), b_assign AS (
+        SELECT id, bucket FROM (
+            SELECT id, bucket, row_number() OVER (
+                PARTITION BY id ORDER BY sim DESC, bucket ASC
+            ) AS rn FROM bsim
+        ) WHERE rn = 1
+    ), a_probe AS (
+        SELECT id, bucket FROM (
+            SELECT id, bucket, row_number() OVER (
+                PARTITION BY id ORDER BY sim DESC, bucket ASC
+            ) AS rn FROM bsim
+        ) WHERE rn <= 5
+    ), cand AS (
+        SELECT ap.id AS tableA_id, ba.id AS tableB_id,
+               list_dot_product(ea.vec, eb.vec) AS score
+        FROM a_probe ap
+        JOIN b_assign ba ON ap.bucket = ba.bucket
+        JOIN e ea ON ea.id = ap.id
+        JOIN e eb ON eb.id = ba.id
+    ), top3 AS (
+        SELECT tableA_id, tableB_id, score FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY tableA_id ORDER BY score DESC, tableB_id ASC
+            ) AS rn FROM cand
+        ) WHERE rn <= 3
+    )
+    SELECT tableA_id, tableB_id, ROUND(score, 6) AS score FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY tableA_id ORDER BY score DESC, tableB_id ASC
+        ) AS rn FROM top3 WHERE tableA_id <> tableB_id
+    ) WHERE rn <= 2
+    ORDER BY tableA_id, tableB_id
 """

@@ -296,20 +296,28 @@ def ivf_knn_join(
     num_buckets: int | None = None,
     nprobe: int = 4,
     seed: int = 5,
+    capture: dict | None = None,
 ):
     """Approximate top-K B-neighbours per A row by cosine, both sides large.
 
     B rows go to their single nearest-centroid bucket; A rows replicate to
     their ``nprobe`` nearest buckets (bounded ×nprobe amplification of the
     SMALL fixed-width vector payload, never text); one hash exchange
-    co-locates each bucket; the per-bucket kernel is one matmul + argpartition
-    per A row; a final per-A top-K merges across the nprobe buckets.
+    co-locates each bucket; the per-bucket kernel is one matmul + a
+    vectorized tie-deterministic top-k per A row (score desc, B id asc — so
+    duplicate-text corpora with exact score ties get one canonical answer);
+    a final per-A top-K merges across the nprobe buckets.
     Returns a Dataset (tableA_id, tableB_id, score).
 
     ``num_buckets=None`` sizes to ~256 B-rows per bucket ([16, 65536]): a
     FIXED count makes the per-bucket similarity matrix quadratic in corpus
     size (100k docs at 16 buckets → 1.2 GB sims per bucket, measured 365 s
-    where auto-sizing takes ~40 s)."""
+    where auto-sizing takes ~40 s).
+
+    ``capture``, when given, receives ``{"centroids": (num_buckets, d)
+    float64}`` — correctness-harness plumbing (the SQL oracle re-derives
+    probing/assignment from the persisted centroids), not part of the
+    dataflow."""
     from .knn import _sample_centroids
 
     if num_buckets is None:
@@ -319,6 +327,8 @@ def ivf_knn_join(
         table_b, vec_col, num_buckets, seed,
         sample_rows=max(4096, 8 * num_buckets),
     )
+    if capture is not None:
+        capture["centroids"] = cents
 
     def emit(side: int):
         def fn(t: pa.Table) -> pa.Table:
@@ -329,11 +339,17 @@ def ivf_knn_join(
                                  "side": pa.array([], pa.int8()),
                                  "rid": pa.array([], pa.int64()),
                                  "vec": pa.array([], pa.list_(pa.float32()))})
-            sims = _unit(x) @ cents.T  # (n, num_buckets)
+            # float64 normalization: the float32 divide put ~1e-7 noise on
+            # the sims, wide enough to flip near-tied probe ranks vs the
+            # double-precision SQL oracle (the exchange payload stays f32)
+            sims = _unit(x.astype(np.float64, copy=False)) @ cents.T
             if side == 1:
                 buckets = np.argmax(sims, axis=1)[:, None]  # B: nearest only
             else:
-                buckets = np.argsort(-sims, axis=1)[:, :nprobe]  # A: probes
+                # stable: probe ties (e.g. a zero vector equidistant to all
+                # centroids) resolve to the lowest bucket index — the order
+                # SQL's `sim DESC, bucket ASC` produces
+                buckets = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
             reps = buckets.shape[1]
             # arrow-native list construction: ListArray.from_arrays over the
             # replicated flat buffer — the .tolist() form built n x reps x
@@ -379,11 +395,21 @@ def ivf_knn_join(
         av = _unit(np.asarray(a["vec"].tolist(), dtype=np.float64))
         bv = _unit(np.asarray(b["vec"].tolist(), dtype=np.float64))
         sims = av @ bv.T
-        kk = min(k, sims.shape[1])
-        top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        na, nb = sims.shape
+        kk = min(k, nb)
+        b_ids = b["rid"].to_numpy()
+        # tie-DETERMINISTIC top-kk per row (score desc, B id asc): one flat
+        # lexsort over (row, -sim, b_id). argpartition picked boundary ties
+        # by memory order, so duplicate-text corpora (exact score ties) got
+        # a layout-dependent candidate set the SQL oracle can't reproduce;
+        # buckets are bounded (~256 B rows) so the log factor is noise.
+        flat_rows = np.repeat(np.arange(na), nb)
+        order = np.lexsort(
+            (np.tile(b_ids, na), -sims.ravel(), flat_rows)
+        ).reshape(na, nb)[:, :kk]
         rows = np.repeat(a["rid"].to_numpy(), kk)
-        cols = b["rid"].to_numpy()[top.ravel()]
-        vals = np.take_along_axis(sims, top, axis=1).ravel()
+        cols = b_ids[(order % nb).ravel()]
+        vals = sims.ravel()[order.ravel()]
         return pd.DataFrame({"tableA_id": rows, "tableB_id": cols, "score": vals})
 
     def score_bucket(df: pd.DataFrame) -> pd.DataFrame:
@@ -439,12 +465,18 @@ def deepblocker_topk(
     id_col: str = "id",
     text_col: str = "agValue",
     reverse: bool = False,
+    capture: dict | None = None,
 ):
     """DeepBlocker-shaped blocking: encode agValues, train the autoencoder on
     the UNION of both tables (reference trains the AE on the concatenated
     tuple embeddings), project, then exact-within-probed-buckets top-K per A
     record. ``reverse`` indexes the other side (K per B record), like the
-    reference's reverse setting. Returns (tableA_id, tableB_id, score)."""
+    reference's reverse setting. Returns (tableA_id, tableB_id, score).
+
+    ``capture``, when given, receives ``{"proj_a": Dataset, "proj_b":
+    Dataset, "centroids": ndarray}`` — the projected embeddings and IVF
+    centroids the SQL correctness oracle re-derives probe/assign/top-k
+    from. Harness plumbing only; ignored by the dataflow."""
     if reverse:
         out = deepblocker_topk(
             table_b, table_a, k=k, dim=dim, dim_out=dim_out, ngram=ngram,
@@ -473,7 +505,10 @@ def deepblocker_topk(
     pb_ds = pa_ds if self_join else project_embeddings(
         eb, ae, id_col=id_col
     ).materialize()
+    if capture is not None:
+        capture["proj_a"] = pa_ds
+        capture["proj_b"] = pb_ds
     return ivf_knn_join(
         pa_ds, pb_ds, k=k, id_col=id_col, vec_col="embedding",
-        num_buckets=num_buckets, nprobe=nprobe, seed=seed,
+        num_buckets=num_buckets, nprobe=nprobe, seed=seed, capture=capture,
     )

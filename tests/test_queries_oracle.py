@@ -39,10 +39,11 @@ needs_testdata = pytest.mark.skipif(
 
 def _oracle(name: str) -> pd.DataFrame:
     con = duckdb.connect()
-    con.execute(
-        "CREATE VIEW documents AS SELECT * FROM "
-        f"read_parquet('{SF}/documents.parquet')"
-    )
+    for table in ("documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {table} AS SELECT * FROM "
+            f"read_parquet('{SF}/{table}.parquet')"
+        )
     return con.execute(ORACLE_SQL[name]).fetchdf()
 
 
@@ -299,6 +300,49 @@ def test_minhash_neardup_matches_sql_oracle(ray_session):
     # SQL oracle re-derives pairing + char-3-gram Jaccard verification
     eng = build_queries()["minhash_neardup_pairs"](SF).reset_index(drop=True)
     ora = _oracle("minhash_neardup_pairs").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        eng, ora.astype({c: eng[c].dtype for c in eng.columns}),
+        check_like=True,
+    )
+
+
+@needs_testdata
+def test_kmeans_matches_sql_oracle(ray_session):
+    # round 5: the query persists the FITTED centroids as a side-input; the
+    # SQL oracle re-derives the assignment rule (argmax x·c − ½‖c‖², ties →
+    # lowest cluster) and the per-cluster counts independently in DuckDB
+    eng = build_queries()["kmeans_embeddings"](SF).reset_index(drop=True)
+    ora = _oracle("kmeans_embeddings").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        eng, ora.astype({c: eng[c].dtype for c in eng.columns}),
+        check_like=True,
+    )
+
+
+@needs_testdata
+def test_quality_classifier_matches_sql_oracle(ray_session):
+    # round 5: fitted w + per-doc hashed features persist as side-inputs;
+    # the SQL oracle re-derives the whole scoring map σ(x·w) → ROUND 6
+    eng = build_queries()["doc_quality_classifier"](SF).reset_index(drop=True)
+    ora = _oracle("doc_quality_classifier").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        eng, ora.astype({c: eng[c].dtype for c in eng.columns}),
+        check_like=True,
+    )
+
+
+@needs_testdata
+def test_deepblocker_matches_sql_oracle(ray_session):
+    # round 5: projected unit vectors + IVF centroids persist as
+    # side-inputs; the SQL oracle re-derives the ENTIRE IVF join —
+    # B-assignment, 5-probe, bucketed cosine top-3, self-drop, top-2 —
+    # with the kernel's exact (score DESC, id ASC) tie order
+    key = ["tableA_id", "tableB_id"]
+    eng = (
+        build_queries()["deepblocker_topk"](SF)
+        .sort_values(key, ignore_index=True)
+    )
+    ora = _oracle("deepblocker_topk").sort_values(key, ignore_index=True)
     pd.testing.assert_frame_equal(
         eng, ora.astype({c: eng[c].dtype for c in eng.columns}),
         check_like=True,
