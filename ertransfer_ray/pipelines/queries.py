@@ -1004,9 +1004,17 @@ def q_doc_quality_classifier(sf_dir: str) -> pd.DataFrame:
             ),
         })
 
-    _write_oracle_side(
-        "quality_clf_feats", docs.map_batches(feats, batch_format="pyarrow")
-    )
+    import os
+
+    if os.environ.get("ERTRANSFER_SKIP_ORACLE_SIDE"):
+        # bench arm: no side-input, stream the lean text->score map
+        out = score_quality(docs, clf).to_pandas()
+        return out.sort_values("doc_id", ignore_index=True)
+    # oracle arm: encode ONCE — materialize the feature side-input and
+    # score it directly (features_col), instead of re-encoding the corpus
+    # a second time inside score_quality
+    feats_ds = docs.map_batches(feats, batch_format="pyarrow").materialize()
+    _write_oracle_side("quality_clf_feats", feats_ds)
     _write_oracle_side(
         "quality_clf_w",
         rd.from_arrow(pa.table({
@@ -1015,7 +1023,7 @@ def q_doc_quality_classifier(sf_dir: str) -> pd.DataFrame:
             ),
         })),
     )
-    out = score_quality(docs, clf).to_pandas()
+    out = score_quality(feats_ds, clf, features_col="x").to_pandas()
     return out.sort_values("doc_id", ignore_index=True)
 
 

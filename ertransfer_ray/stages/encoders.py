@@ -339,10 +339,10 @@ def ivf_knn_join(
                                  "side": pa.array([], pa.int8()),
                                  "rid": pa.array([], pa.int64()),
                                  "vec": pa.array([], pa.list_(pa.float32()))})
-            # float64 normalization: the float32 divide put ~1e-7 noise on
-            # the sims, wide enough to flip near-tied probe ranks vs the
-            # double-precision SQL oracle (the exchange payload stays f32)
-            sims = _unit(x.astype(np.float64, copy=False)) @ cents.T
+            # probe sims are float64 end-to-end (list_column_to_matrix
+            # decodes to f64), matching the SQL oracle's precision; only
+            # the exchange payload below is narrowed to f32
+            sims = _unit(x) @ cents.T
             if side == 1:
                 buckets = np.argmax(sims, axis=1)[:, None]  # B: nearest only
             else:
@@ -479,13 +479,21 @@ def deepblocker_topk(
     ``capture``, when given, receives ``{"proj_a": Dataset, "proj_b":
     Dataset, "centroids": ndarray}`` — the projected embeddings and IVF
     centroids the SQL correctness oracle re-derives probe/assign/top-k
-    from. Harness plumbing only; ignored by the dataflow."""
+    from. Harness plumbing only; ignored by the dataflow. Keys always
+    follow the CALLER's table order: under ``reverse`` the probed
+    (k-per-record) side is ``proj_b`` and the nearest-centroid-assignment
+    side is ``proj_a``."""
     if reverse:
+        inner: dict | None = {} if capture is not None else None
         out = deepblocker_topk(
             table_b, table_a, k=k, dim=dim, dim_out=dim_out, ngram=ngram,
             seed=seed, num_buckets=num_buckets, nprobe=nprobe,
-            id_col=id_col, text_col=text_col, reverse=False,
+            id_col=id_col, text_col=text_col, reverse=False, capture=inner,
         )
+        if capture is not None:
+            capture["proj_a"] = inner["proj_b"]
+            capture["proj_b"] = inner["proj_a"]
+            capture["centroids"] = inner["centroids"]
         return out.map_batches(
             lambda df: df.rename(
                 columns={"tableA_id": "tableB_id", "tableB_id": "tableA_id"}

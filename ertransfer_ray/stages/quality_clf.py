@@ -115,16 +115,23 @@ def score_quality(
     text_col: str = "text",
     id_col: str = "doc_id",
     round_to: int | None = 6,
+    features_col: str | None = None,
 ):
     """Attach ``quality_prob`` = σ(x·w) per doc (stateless map; w is d
-    floats carried by value — no object-store round trip needed)."""
+    floats carried by value — no object-store round trip needed).
+    ``features_col`` names a precomputed ``list<float64>`` feature column
+    to score directly, skipping the text encode — for callers that already
+    materialized features (e.g. the oracle side-input path)."""
     from ..functions.arrays import list_column_to_matrix
 
-    enc = clf.encoder(text_col, id_col)
+    enc = clf.encoder(text_col, id_col) if features_col is None else None
     w = clf.w
 
     def score(t: pa.Table) -> pa.Table:
-        x = list_column_to_matrix(enc(t).column("embedding")).astype(np.float64)
+        if features_col is not None:
+            x = list_column_to_matrix(t.column(features_col))
+        else:
+            x = list_column_to_matrix(enc(t).column("embedding")).astype(np.float64)
         z = x @ w if x.size else np.zeros(t.num_rows)
         p = 1.0 / (1.0 + np.exp(-z))
         if round_to is not None:

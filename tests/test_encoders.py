@@ -180,3 +180,21 @@ def test_deepblocker_reverse_swaps_sides(ray_session):
     # reverse output keeps A ids in tableA_id
     assert set(rev["tableA_id"]).issubset({0, 1})
     assert set(rev["tableB_id"]).issubset({10, 11, 12})
+
+
+def test_deepblocker_reverse_forwards_capture(ray_session):
+    """capture= must be honored under reverse=True, with keys in the
+    CALLER's table order (proj_a <- table_a even though the inner call
+    swaps sides)."""
+    a = pa.table({"id": [0, 1], "agValue": ["aaa bbb ccc", "ddd eee fff"]})
+    b = pa.table({"id": [10, 11, 12],
+                  "agValue": ["aaa bbb ccd", "ddd eee ffg", "zzz yyy xxx"]})
+    cap: dict = {}
+    deepblocker_topk(rd.from_arrow(a), rd.from_arrow(b), k=1, reverse=True,
+                     dim=64, dim_out=4, num_buckets=2, nprobe=2,
+                     capture=cap).take_all()
+    assert set(cap) == {"proj_a", "proj_b", "centroids"}
+    pa_ids = {r["id"] for r in cap["proj_a"].take_all()}
+    pb_ids = {r["id"] for r in cap["proj_b"].take_all()}
+    assert pa_ids == {0, 1} and pb_ids == {10, 11, 12}
+    assert cap["centroids"].ndim == 2
