@@ -411,9 +411,23 @@ def attach_pair_payloads(
         # side is the semi-join-filtered projection (O(pairs) rows), so the
         # driver-side concat is bounded by the same limit that gates the
         # broadcast strategy itself.
-        side_tbl = pa.concat_tables(
-            ray.get(projected.to_arrow_refs())
-        ).combine_chunks()
+        # drop zero-row blocks before concat: sources that emit empty
+        # blocks (e.g. read_binary_files with more read tasks than files)
+        # surface them here as SCHEMA-LESS empties that poison concat_tables
+        side_blocks = [
+            t for t in ray.get(projected.to_arrow_refs()) if t.num_rows
+        ]
+        side_tbl = (
+            pa.concat_tables(side_blocks).combine_chunks()
+            if side_blocks
+            else pa.table(
+                {
+                    "url": pa.array([], pa.string()),
+                    "title": pa.array([], pa.string()),
+                    "payload": pa.array([], pa.string()),
+                }
+            )
+        )
         # normalization can collapse distinct raw urls onto one
         # canonical url (fragment / trailing-slash variants). Dedup ONCE
         # here on the driver — the side is already local and small —
