@@ -180,18 +180,28 @@ def pages_from_warc_bytes(data: bytes) -> pa.Table:
     )
 
 
-def read_warc(paths, *, with_text: bool = True, **read_kwargs):
+def read_warc(
+    paths, *, with_text: bool = True, text_mode: str = "extract", **read_kwargs
+):
     """Read WARC file(s) into a pages-shaped ``ray.data.Dataset``.
 
     ``paths`` is a file, directory, or list (anything
     ``ray.data.read_binary_files`` accepts); one read task per file. With
-    ``with_text`` (default) the html payload is run through the repo's
-    extractor + language-ID kernels to complete the five-column input_hint
-    shape ``(url, warc_ts, html, text, lang)`` run_er consumes; without it
-    the raw three columns come back.
+    ``with_text`` (default) the payload is completed into the five-column
+    input_hint shape ``(url, warc_ts, html, text, lang)`` run_er consumes;
+    without it the raw three columns come back.
+
+    ``text_mode`` picks how ``text`` derives from the payload:
+    ``"extract"`` (default) runs the HTML extractor — right for WARC
+    response/resource records holding markup; ``"payload"`` decodes the
+    payload bytes as UTF-8 directly — right for WET-style ``conversion``
+    records whose content IS the extracted plain text (``read_wet`` is the
+    named shortcut). Language ID runs on the resulting text either way.
     """
     import ray.data as rd
 
+    if text_mode not in ("extract", "payload"):
+        raise ValueError(f"text_mode must be extract|payload, got {text_mode!r}")
     ds = rd.read_binary_files(paths, **read_kwargs)
 
     def parse(batch: pa.Table) -> pa.Table:
@@ -207,13 +217,24 @@ def read_warc(paths, *, with_text: bool = True, **read_kwargs):
         from ..functions.textnorm import extract_text_from_html
         from ..functions.textstats import language_id
 
-        texts = [extract_text_from_html(h) for h in batch.column("html").to_pylist()]
+        payloads = batch.column("html").to_pylist()
+        if text_mode == "payload":
+            texts = [p.decode("utf-8", "replace") for p in payloads]
+        else:
+            texts = [extract_text_from_html(p) for p in payloads]
         langs, _ = language_id(texts)
         return batch.append_column(
             "text", pa.array(texts, pa.string())
         ).append_column("lang", pa.array(langs, pa.string()))
 
     return pages.map_batches(add_text, batch_format="pyarrow")
+
+
+def read_wet(paths, **kwargs):
+    """Read WET files (Common Crawl's extracted-text sidecar: one
+    ``conversion`` record per page, payload = plain text). Same dataset
+    shape as ``read_warc``; ``text`` is the payload verbatim."""
+    return read_warc(paths, text_mode="payload", **kwargs)
 
 
 # --------------------------------------------------------------------------
@@ -287,13 +308,23 @@ def write_warc_file(
     return path
 
 
-def write_warc(ds, out_dir: str, *, gzip_per_record: bool = True):
-    """Distributed pages → WARC sink: each input block becomes one
+def write_warc(
+    ds,
+    out_dir: str,
+    *,
+    gzip_per_record: bool = True,
+    rows_per_shard: int | None = None,
+):
+    """Distributed pages → WARC sink: each input batch becomes one
     ``part-<digest>.warc[.gz]`` shard. Shard names are content digests and
     the write is tmp-file + ``os.replace``, so re-running after a partial
     failure rewrites the same shards byte-identically (resumable output,
-    never one giant file). Returns the manifest Dataset ``(path, records)``
-    — consume it (e.g. ``take_all``; it is O(blocks)) to drive the write.
+    never one giant file). ``rows_per_shard`` bounds shard size explicitly
+    (downstream WARC read parallelism is per-file, so shard count should
+    be ≥ the widest reader's task slots — the streaming executor may fuse
+    an upstream ``repartition`` away, so control it here). Returns the
+    manifest Dataset ``(path, records)`` — consume it (e.g. ``take_all``;
+    it is O(shards)) to drive the write.
     """
     os.makedirs(out_dir, exist_ok=True)
     ext = ".warc.gz" if gzip_per_record else ".warc"
@@ -313,4 +344,5 @@ def write_warc(ds, out_dir: str, *, gzip_per_record: bool = True):
         os.replace(tmp, path)
         return pa.table({"path": [path], "records": [batch.num_rows]})
 
-    return ds.map_batches(write_block, batch_format="pyarrow")
+    kwargs = {} if rows_per_shard is None else {"batch_size": rows_per_shard}
+    return ds.map_batches(write_block, batch_format="pyarrow", **kwargs)

@@ -109,6 +109,30 @@ def test_skips_non_page_records_and_takes_resource_whole():
     assert rows["http://x.test/p"]["warc_ts"].microsecond == 250000
 
 
+def test_read_wet_takes_payload_as_text(tmp_path, ray_session):
+    """WET-style conversion records: payload IS the extracted text."""
+    from ertransfer_ray.sources.warc import read_wet
+
+    recs = b"".join(
+        _raw_record(
+            "conversion",
+            f"WARC-Target-URI: http://x.test/{i}\r\n"
+            "WARC-Date: 2021-06-07T08:09:10Z\r\n"
+            "Content-Type: text/plain\r\n",
+            f"plain extracted text number {i} with some words".encode(),
+        )
+        for i in range(5)
+    )
+    path = str(tmp_path / "a.wet.gz")
+    with open(path, "wb") as f:
+        f.write(gzip.compress(recs, mtime=0))
+    rows = sorted(read_wet(path).take_all(), key=lambda r: r["url"])
+    assert len(rows) == 5
+    assert rows[0]["text"] == "plain extracted text number 0 with some words"
+    assert rows[0]["html"] == rows[0]["text"].encode()
+    assert rows[0]["lang"]  # language_id ran on the payload text
+
+
 def test_truncated_tail_keeps_complete_prefix():
     pages = _pages_table()
     plain = serialize_warc_records(pages, gzip_per_record=False)
