@@ -258,14 +258,19 @@ def _format_warc_date(ts_us: int) -> str:
     return (s[:19] if s.endswith(".000000") else s) + "Z"
 
 
+_CTL = {ord("\r"): " ", ord("\n"): " "}
+
+
 def serialize_warc_records(
     batch: pa.Table, *, gzip_per_record: bool = True
 ) -> bytes:
     """Pages-shaped batch → WARC bytes, one ``response`` record per row
     (one gzip member per record in the default mode, the Common-Crawl
-    layout that keeps reads streamable)."""
+    layout that keeps reads streamable). CR/LF in a url (invalid in a URI,
+    but hostile inputs exist) is mapped to spaces — a verbatim embed would
+    inject header lines and corrupt the framing of every later record."""
     out: list[bytes] = []
-    urls = batch.column("url").to_pylist()
+    urls = [u.translate(_CTL) for u in batch.column("url").to_pylist()]
     ts = batch.column("warc_ts").cast(pa.int64()).to_pylist()
     htmls = batch.column("html").to_pylist()
     for url, t, html in zip(urls, ts, htmls):

@@ -163,6 +163,71 @@ def test_distributed_sink_idempotent_and_readable(tmp_path, ray_session):
     pd.testing.assert_frame_equal(_sorted_pd(got), _sorted_pd(pages))
 
 
+def test_crlf_url_cannot_corrupt_framing():
+    """A hostile url with embedded CR/LF must not inject header lines —
+    all records, including the ones AFTER the hostile row, still parse."""
+    t = pa.table(
+        {
+            "url": [
+                "http://ok.test/a",
+                "http://evil.test/x\r\nWARC-Type: warcinfo\r\nX: y",
+                "http://ok.test/b",
+            ],
+            "warc_ts": pa.array([1, 2, 3], pa.int64()).cast(pa.timestamp("us")),
+            "html": [b"<html>a</html>", b"<html>x</html>", b"<html>b</html>"],
+        }
+    )
+    got = pages_from_warc_bytes(serialize_warc_records(t, gzip_per_record=False))
+    assert got.num_rows == 3
+    urls = got.column("url").to_pylist()
+    assert "http://ok.test/b" in urls
+    assert all("\r" not in u and "\n" not in u for u in urls)
+
+
+def test_property_roundtrip_arbitrary_payloads():
+    """Serialize → parse is the identity on (url, ts, html) for arbitrary
+    binary payloads (including payloads that CONTAIN 'WARC/' and CRLF
+    blank lines — Content-Length framing must win over pattern scanning)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    url_st = st.text(
+        alphabet=st.characters(blacklist_characters="\r\n", min_codepoint=33),
+        min_size=1,
+        max_size=40,
+    )
+    row_st = st.tuples(
+        url_st,
+        st.integers(min_value=0, max_value=4_000_000_000_000_000),
+        st.binary(max_size=200).map(lambda b: b + b"\r\n\r\nWARC/1.0\r\n"),
+    )
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.lists(row_st, min_size=1, max_size=8))
+    def check(rows):
+        t = pa.table(
+            {
+                "url": [r[0] for r in rows],
+                "warc_ts": pa.array(
+                    [r[1] for r in rows], pa.int64()
+                ).cast(pa.timestamp("us")),
+                "html": [r[2] for r in rows],
+            }
+        )
+        for gz in (False, True):
+            got = pages_from_warc_bytes(
+                serialize_warc_records(t, gzip_per_record=gz)
+            )
+            assert got.column("url").to_pylist() == t.column("url").to_pylist()
+            assert got.column("html").to_pylist() == t.column("html").to_pylist()
+            assert (
+                got.column("warc_ts").to_pylist()
+                == t.column("warc_ts").to_pylist()
+            )
+
+    check()
+
+
 def test_run_er_over_warc_matches_parquet_source(tmp_path, ray_session):
     """End-to-end: the flagship pipeline over read_warc output produces the
     same clusters as over the in-memory pages table."""
