@@ -1280,6 +1280,67 @@ def q_deepblocker_topk(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def _gen_host_pages(t: pa.Table) -> pa.Table:
+    """Deterministic web-page synth for the host-level queries: a skewed
+    host distribution (three hot 'site{0,1,2}' domains via the %4 branch, a
+    38-host cold tail, and per-doc singleton 'one{id}' hosts on doc_id %
+    101 == 7) with mixed-case scheme/host + www noise so the engine path
+    exercises urlnorm canonicalization. The SQL oracles rebuild the HOST
+    directly with CASE arithmetic — an independent derivation."""
+    ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+    hid = ids % np.where(ids % 4 == 0, 3, 41)
+    id_s = ids.astype("U")
+    label = np.where(
+        ids % 101 == 7,
+        np.char.add("One", id_s),
+        np.char.add("Site", hid.astype("U")),
+    )
+    url = np.char.add(
+        np.char.add("HTTPS://WWW.", label), np.char.add(".Example/p", id_s)
+    )
+    return pa.table(
+        {
+            "doc_id": t.column("doc_id"),
+            "url": pa.array(url, pa.string()),
+            "text": t.column("text"),
+        }
+    )
+
+
+def q_host_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-host corpus statistics over a web-shaped table (the
+    C4/RefinedWeb domain-profile step): synthesize messy URLs from doc_id,
+    canonicalize, extract the host map-side, and aggregate doc/token
+    counts per host through the bucketed partial-agg exchange
+    (stages/domains.host_stats — host strings + int64 partials ride the
+    shuffle, text never does)."""
+    from ..stages.domains import host_stats
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    pages = docs.map_batches(_gen_host_pages, batch_format="pyarrow")
+    out = host_stats(pages).to_pandas()
+    out["mean_tokens"] = _r(out["mean_tokens"], 6)
+    return out.sort_values("host", ignore_index=True)
+
+
+def q_host_filtered_docs(sf_dir: str) -> pd.DataFrame:
+    """Domain-level corpus filtering (stages/domains.host_filter): drop a
+    blocklisted host, then hosts below min_docs=2 (the 'one{id}' spam
+    singletons) and hosts holding > 8% of the post-blocklist corpus (the
+    single-domain share cap — scale-invariant, so the same constants
+    discriminate at every sf: hot 'site{0,1,2}' hosts carry ~10% each,
+    the cold tail ~1.8%). Identity sets broadcast below the is_in knee,
+    bucketed semi-join beyond it."""
+    from ..stages.domains import host_filter
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    pages = docs.map_batches(_gen_host_pages, batch_format="pyarrow")
+    out = host_filter(
+        pages, blocklist=("site7.example",), min_docs=2, max_share=0.08
+    ).to_pandas()
+    return out[["doc_id", "host"]].sort_values("doc_id", ignore_index=True)
+
+
 def q_er_documents(sf_dir: str) -> pd.DataFrame:
     """Flagship: the three-stage ER pipeline over the documents corpus.
 
@@ -1365,6 +1426,8 @@ def build_queries() -> dict:
         "deepblocker_topk": q_deepblocker_topk,
         "region_customer_count": q_region_customer_count,
         "distinct_event_types": q_distinct_event_types,
+        "host_stats": q_host_stats,
+        "host_filtered_docs": q_host_filtered_docs,
     }
 
 
@@ -2472,4 +2535,49 @@ ORACLE_SQL["deepblocker_topk"] = f"""
         ) AS rn FROM top3 WHERE tableA_id <> tableB_id
     ) WHERE rn <= 2
     ORDER BY tableA_id, tableB_id
+"""
+
+# host-level stats/filtering: the oracle rebuilds the synthesized host
+# directly with CASE arithmetic (an independent derivation of the engine's
+# urlnorm-canonicalize -> host_of extract) and mirrors the whitespace
+# token-count + share-cap arithmetic value-level.
+_HOST_CASE_SQL = """
+        CASE WHEN doc_id % 101 = 7 THEN 'one' || doc_id
+             ELSE 'site' ||
+                  (doc_id % (CASE WHEN doc_id % 4 = 0 THEN 3 ELSE 41 END))
+        END || '.example'
+"""
+
+ORACLE_SQL["host_stats"] = f"""
+    WITH gen AS (
+        SELECT doc_id, text, {_HOST_CASE_SQL} AS host FROM documents
+    ), tok AS (
+        SELECT host,
+               CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+               END AS tc
+        FROM gen
+    )
+    SELECT host, count(*) AS n_docs,
+           CAST(sum(tc) AS BIGINT) AS total_tokens,
+           round(CAST(sum(tc) AS DOUBLE) / count(*), 6) AS mean_tokens
+    FROM tok GROUP BY host ORDER BY host
+"""
+
+ORACLE_SQL["host_filtered_docs"] = f"""
+    WITH gen AS (
+        SELECT doc_id, {_HOST_CASE_SQL} AS host FROM documents
+    ), post AS (
+        SELECT * FROM gen WHERE host <> 'site7.example'
+    ), counts AS (
+        SELECT host, count(*) AS n FROM post GROUP BY host
+    ), tot AS (
+        SELECT count(*) AS t FROM post
+    )
+    SELECT p.doc_id, p.host
+    FROM post p
+    JOIN counts c ON p.host = c.host
+    CROSS JOIN tot
+    WHERE c.n >= 2 AND c.n <= CAST(0.08 AS DOUBLE) * tot.t
+    ORDER BY p.doc_id
 """

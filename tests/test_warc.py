@@ -192,7 +192,15 @@ def test_property_roundtrip_arbitrary_payloads():
     from hypothesis import strategies as st
 
     url_st = st.text(
-        alphabet=st.characters(blacklist_characters="\r\n", min_codepoint=33),
+        # exclude CR/LF (header framing), control chars, and surrogates
+        # (category Cs): a lone surrogate is not UTF-8-encodable, so even
+        # pa.table() on the INPUT side rejects it — not a url a parquet/
+        # Arrow pipeline can ever hand the writer.
+        alphabet=st.characters(
+            blacklist_characters="\r\n",
+            min_codepoint=33,
+            blacklist_categories=("Cs",),
+        ),
         min_size=1,
         max_size=40,
     )
