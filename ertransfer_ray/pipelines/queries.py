@@ -1280,6 +1280,33 @@ def q_deepblocker_topk(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def q_doc_span_dup_stats(sf_dir: str) -> pd.DataFrame:
+    """Substring-dedup signal (Lee et al. 2021): per doc the count and
+    fraction of its sliding 5-word windows whose exact text occurs more
+    than once in the corpus — stages/spandedup.window_dup_stats, one
+    window-keyed exchange emitting per-doc partials + one per-doc
+    combine. No window string rides the shuffle (rolling-hash keys)."""
+    from ..stages.spandedup import window_dup_stats
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = window_dup_stats(docs, k=5).to_pandas()
+    out["dup_frac"] = _r(out["dup_frac"], 6)
+    return out.sort_values("doc_id", ignore_index=True)
+
+
+def q_doc_dedup_spans(sf_dir: str) -> pd.DataFrame:
+    """Substring-dedup rewrite: every token covered by a duplicated
+    NON-FIRST sliding 5-word window (global first = min (doc_id, pos))
+    is removed — a repeated passage of length L ≥ 5 disappears in full
+    wherever it re-occurs, while the first occurrence and unique
+    surrounding prose survive (stages/spandedup.drop_duplicate_spans)."""
+    from ..stages.spandedup import drop_duplicate_spans
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = drop_duplicate_spans(docs, k=5).to_pandas()
+    return out.sort_values("doc_id", ignore_index=True)
+
+
 def _gen_host_pages(t: pa.Table) -> pa.Table:
     """Deterministic web-page synth for the host-level queries: a skewed
     host distribution (three hot 'site{0,1,2}' domains via the %4 branch, a
@@ -1428,6 +1455,8 @@ def build_queries() -> dict:
         "distinct_event_types": q_distinct_event_types,
         "host_stats": q_host_stats,
         "host_filtered_docs": q_host_filtered_docs,
+        "doc_span_dup_stats": q_doc_span_dup_stats,
+        "doc_dedup_spans": q_doc_dedup_spans,
     }
 
 
@@ -2580,4 +2609,69 @@ ORACLE_SQL["host_filtered_docs"] = f"""
     CROSS JOIN tot
     WHERE c.n >= 2 AND c.n <= CAST(0.08 AS DOUBLE) * tot.t
     ORDER BY p.doc_id
+"""
+
+# substring/sliding-window span dedup (Lee et al. 2021): the oracle
+# rebuilds the stride-1 window universe with list slicing, ranks each
+# window's occurrences globally by (doc_id, pos), and re-derives the
+# coverage union per document token — value-level parity with the
+# rolling-hash engine path (collision-free at this size, exactly as the
+# segment-dedup pair).
+ORACLE_SQL["doc_span_dup_stats"] = """
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    wn AS (
+        SELECT doc_id, ws,
+               unnest(generate_series(
+                   1, CAST(greatest(length(ws) - 5 + 1, 0) AS BIGINT))) AS p
+        FROM d
+    ),
+    wins AS (
+        SELECT doc_id, p, array_to_string(ws[p : p + 4], ' ') AS w FROM wn
+    ),
+    counted AS (
+        SELECT doc_id, p, w, count(*) OVER (PARTITION BY w) AS gc FROM wins
+    )
+    SELECT doc_id,
+           count(*) AS n_windows,
+           CAST(sum(CASE WHEN gc > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS dup_windows,
+           round(CAST(sum(CASE WHEN gc > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS dup_frac
+    FROM counted GROUP BY doc_id ORDER BY doc_id
+"""
+
+ORACLE_SQL["doc_dedup_spans"] = """
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    wn AS (
+        SELECT doc_id, ws,
+               unnest(generate_series(
+                   1, CAST(greatest(length(ws) - 5 + 1, 0) AS BIGINT))) AS p
+        FROM d
+    ),
+    wins AS (
+        SELECT doc_id, p, array_to_string(ws[p : p + 4], ' ') AS w FROM wn
+    ),
+    ranked AS (
+        SELECT doc_id, p,
+               row_number() OVER (PARTITION BY w ORDER BY doc_id, p) AS rn,
+               count(*) OVER (PARTITION BY w) AS gc
+        FROM wins
+    ),
+    drops AS (SELECT doc_id, p FROM ranked WHERE gc > 1 AND rn > 1),
+    tok AS (
+        SELECT doc_id, i, ws[i] AS t
+        FROM d, unnest(generate_series(1, CAST(length(ws) AS BIGINT))) AS g(i)
+    ),
+    kept AS (
+        SELECT t.doc_id, string_agg(t.t, ' ' ORDER BY t.i) AS clean_text
+        FROM tok t
+        WHERE NOT EXISTS (
+            SELECT 1 FROM drops x
+            WHERE x.doc_id = t.doc_id AND t.i BETWEEN x.p AND x.p + 4
+        )
+        GROUP BY t.doc_id
+    )
+    SELECT d.doc_id, coalesce(k.clean_text, '') AS clean_text
+    FROM d LEFT JOIN kept k ON d.doc_id = k.doc_id
+    ORDER BY d.doc_id
 """

@@ -167,8 +167,17 @@ def host_filter(
     if min_docs is None and max_share is None:
         return pages
 
-    stats = host_stats(
-        pages, text_col=text_col, host_col="host", num_buckets=num_buckets
+    # decision pass: the thresholds only use n_docs, so project the HOST
+    # COLUMN ALONE before the counting exchange — text/payload columns
+    # never execute a second time for token stats nobody reads. (The
+    # corpus lineage still runs twice — once to count, once to emit — the
+    # standard two-pass shape; materializing the corpus instead would be
+    # strictly worse at scale.)
+    counts_in = pages.map_batches(
+        lambda t: t.select(["host"]), batch_format="pyarrow"
+    )
+    stats = grouped_aggregate(
+        counts_in, "host", {"n_docs": (None, "count")}, num_buckets=num_buckets
     ).materialize()
 
     total_docs = 0

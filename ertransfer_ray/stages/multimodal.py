@@ -3,17 +3,26 @@
 Images/audio/video are carried as Arrow ``binary`` columns with sidecar
 metadata (mime, width/height, duration…). The Ray-side plumbing — schema,
 actor-pool stage shape, batch sizing for large binaries, output layout —
-is real and tested; the codec work itself is STUBBED because no image/audio
-libraries exist in this container:
+is real and tested. Codec status:
 
-- ``DecodeImage`` raises ``NotImplementedError`` unless ``fake=True``, in
-  which case it produces a deterministic fake decode (dimensions + checksum
-  derived from the bytes) exercising the identical dataflow.
+- ``DecodeImage(fake=False)`` / ``ResizeImage(fake=False)`` /
+  ``DecodeAudio(fake=False)`` run REAL decodes for PNG, uncompressed
+  24-bit BMP, and PCM WAV via the pure-stdlib codecs in
+  ``functions/codecs`` (zlib + ``wave`` + numpy — round-trip
+  property-tested). Rows whose payload is not one of those formats are
+  SKIPPED (the at-scale policy: a corrupt crawl object must not kill the
+  stage) — pass ``on_error="raise"`` to fail instead. A production
+  deployment swaps in a SIMD codec (PIL/ffmpeg) inside the same actor
+  ``__init__`` seam.
+- JPEG/MP3/MP4 and video frame EXTRACTION genuinely need codec libraries
+  this container lacks; ``FrameSampler`` keeps the honest ``fake=True``
+  stub, and ``fake=True`` remains available on every stage for
+  shape-testing with synthetic payloads.
 - Batch sizes for binary payloads must be SMALL (payload × batch_size ×
   concurrency bounds worker heap); the defaults assume ~1 MB payloads.
 
-At 100 TB these stages are the GPU/codec actor pools; the contract here is
-what matters: binary in, fixed-schema features out, keys carried through.
+At 100 TB these stages are the GPU/codec actor pools; the contract is:
+binary in, fixed-schema features out, keys carried through.
 """
 
 from __future__ import annotations
@@ -52,23 +61,75 @@ def make_media_table(urls: list[str], payloads: list[bytes], mime: str = "image/
 class DecodeImage:
     """Actor-pool decode stage (callable class → one decoder per actor).
 
-    Real implementation would hold the codec/model handle from ``__init__``
-    (load once per actor); ``__call__`` decodes a batch. Without codec
-    libraries, ``fake=True`` derives deterministic pseudo-features from the
-    payload bytes so the pipeline shape is fully testable.
+    ``fake=False`` (default) decodes PNG/BMP payloads for real
+    (``functions/codecs``): true width/height, and the embedding is the
+    deterministic aHash-style mean-centered grayscale thumbnail
+    fingerprint. Undecodable payloads are skipped (``on_error="raise"``
+    to fail). ``fake=True`` derives deterministic pseudo-features from the
+    payload bytes — the shape-testing path for formats without a codec.
+    A heavier model/codec belongs here in ``__init__`` (once per actor).
     """
 
-    def __init__(self, fake: bool = False, embed_dim: int = 8):
+    def __init__(
+        self, fake: bool = False, embed_dim: int = 8, on_error: str = "skip"
+    ):
         self.fake = fake
         self.embed_dim = embed_dim
-        if not fake:
-            # real path: import PIL / torchvision / ffmpeg here, once per actor
-            raise NotImplementedError(
-                "no image codec available in this environment; construct with "
-                "fake=True for the deterministic stub"
-            )
+        if on_error not in ("skip", "raise"):
+            raise ValueError(f"on_error must be skip|raise, got {on_error!r}")
+        self.on_error = on_error
+
+    def _real(self, batch: pa.Table) -> pa.Table:
+        from ..functions.codecs import decode_bmp, decode_png, image_embedding
+
+        urls, mimes, widths, heights, sizes, checks, embs = (
+            [], [], [], [], [], [], [],
+        )
+        all_checks = (
+            stable_hash64(
+                [bytes(p) for p in batch.column("payload").to_pylist()]
+            ).astype(np.int64)
+            >> 1
+        )
+        for i, (url, payload) in enumerate(
+            zip(batch.column("url").to_pylist(),
+                batch.column("payload").to_pylist())
+        ):
+            payload = bytes(payload)
+            try:
+                if payload[:8] == b"\x89PNG\r\n\x1a\n":
+                    img, mime = decode_png(payload), "image/png"
+                elif payload[:2] == b"BM":
+                    img, mime = decode_bmp(payload), "image/bmp"
+                else:
+                    raise ValueError("unrecognized image format")
+            except Exception:
+                if self.on_error == "raise":
+                    raise
+                continue
+            urls.append(url)
+            mimes.append(mime)
+            heights.append(img.shape[0])
+            widths.append(img.shape[1])
+            sizes.append(len(payload))
+            checks.append(int(all_checks[i]))
+            embs.append(image_embedding(img, self.embed_dim).tolist())
+        return pa.Table.from_arrays(
+            [
+                pa.array(urls, pa.string()),
+                pa.array(mimes, pa.string()),
+                pa.array(widths, pa.int32()),
+                pa.array(heights, pa.int32()),
+                pa.array(sizes, pa.int64()),
+                pa.array(checks, pa.int64()),
+                pa.array(embs, pa.list_(pa.float32())),
+            ],
+            schema=IMAGE_FEATURE_SCHEMA,
+        )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if not self.fake:
+            return self._real(batch)
         payloads = batch.column("payload").to_pylist()
         urls = batch.column("url").to_pylist()
         mimes = batch.column("mime").to_pylist()
@@ -119,20 +180,57 @@ def decode_images(
 
 
 class ResizeImage:
-    """Image resize stage shape: decoded feature rows → fixed target dims.
+    """Image resize stage.
 
-    Real implementation holds the resampling kernel per actor; the stub
-    recomputes the deterministic fake features at the target size so the
-    contract (dims change, keys/checksum carried, embedding dim preserved)
-    is fully testable."""
+    ``fake=False``: consumes the MEDIA table (url, mime, payload), decodes
+    PNG/BMP, nearest-neighbor resizes to the target dims, and re-encodes
+    as PNG — payload in, payload out, the real thumbnailing dataflow
+    (undecodable rows skipped, matching DecodeImage's at-scale policy).
+    ``fake=True``: consumes decoded FEATURE rows and rewrites the dims so
+    the contract (dims change, keys carried) stays testable without a
+    payload."""
 
     def __init__(self, width: int, height: int, fake: bool = True):
-        if not fake:
-            raise NotImplementedError("no image codec in this environment")
+        self.fake = fake
         self.width = width
         self.height = height
 
+    def _real(self, batch: pa.Table) -> pa.Table:
+        from ..functions.codecs import (
+            decode_bmp,
+            decode_png,
+            encode_png,
+            resize_nearest,
+        )
+
+        urls, mimes, payloads = [], [], []
+        for url, payload in zip(
+            batch.column("url").to_pylist(), batch.column("payload").to_pylist()
+        ):
+            payload = bytes(payload)
+            try:
+                if payload[:8] == b"\x89PNG\r\n\x1a\n":
+                    img = decode_png(payload)
+                elif payload[:2] == b"BM":
+                    img = decode_bmp(payload)
+                else:
+                    continue
+            except Exception:
+                continue
+            urls.append(url)
+            mimes.append("image/png")
+            payloads.append(encode_png(resize_nearest(img, self.height, self.width)))
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "mime": pa.array(mimes, pa.string()),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if not self.fake:
+            return self._real(batch)
         n = batch.num_rows
         out = {c: batch.column(c) for c in batch.column_names}
         out["width"] = pa.array([self.width] * n, pa.int32())
@@ -164,24 +262,67 @@ AUDIO_FEATURE_SCHEMA = pa.schema(
 
 
 class DecodeAudio:
-    """Audio decode/feature stage shape (url, mime, payload) →
-    AUDIO_FEATURE_SCHEMA. Real path would hold the codec + feature model
-    (e.g. an MFCC pipeline) per actor; the stub derives a deterministic
-    duration estimate and a unit-norm feature vector from the payload bytes
-    so batch sizing and schema are exercised for real."""
+    """Audio decode/feature stage (url, mime, payload) →
+    AUDIO_FEATURE_SCHEMA.
+
+    ``fake=False``: decodes PCM WAV for real (``functions/codecs``) —
+    true duration from frames/rate, features are the unit-norm
+    log-segment-energy fingerprint; non-WAV rows are skipped
+    (``on_error="raise"`` to fail). ``fake=True`` derives a deterministic
+    duration estimate and feature vector from the payload bytes so batch
+    sizing and schema are exercised without a codec (MP3/OGG etc.)."""
 
     def __init__(self, fake: bool = False, n_features: int = 13,
-                 bytes_per_ms: int = 32):
+                 bytes_per_ms: int = 32, on_error: str = "skip"):
+        self.fake = fake
         self.n_features = n_features
         self.bytes_per_ms = bytes_per_ms
-        if not fake:
-            # real path: import soundfile / torchaudio / ffmpeg here, once
-            raise NotImplementedError(
-                "no audio codec available in this environment; construct "
-                "with fake=True for the deterministic stub"
-            )
+        if on_error not in ("skip", "raise"):
+            raise ValueError(f"on_error must be skip|raise, got {on_error!r}")
+        self.on_error = on_error
+
+    def _real(self, batch: pa.Table) -> pa.Table:
+        from ..functions.codecs import audio_features, decode_wav
+
+        urls, mimes, sizes, durs, checks, feats = [], [], [], [], [], []
+        all_checks = (
+            stable_hash64(
+                [bytes(p) for p in batch.column("payload").to_pylist()]
+            ).astype(np.int64)
+            >> 1
+        )
+        for i, (url, payload) in enumerate(
+            zip(batch.column("url").to_pylist(),
+                batch.column("payload").to_pylist())
+        ):
+            payload = bytes(payload)
+            try:
+                samples, rate = decode_wav(payload)
+            except Exception:
+                if self.on_error == "raise":
+                    raise
+                continue
+            urls.append(url)
+            mimes.append("audio/wav")
+            sizes.append(len(payload))
+            durs.append(round(1000 * len(samples) / max(rate, 1)))
+            checks.append(int(all_checks[i]))
+            feats.append(audio_features(samples, self.n_features).tolist())
+        return pa.Table.from_arrays(
+            [
+                pa.array(urls, pa.string()),
+                pa.array(mimes, pa.string()),
+                pa.array(sizes, pa.int64()),
+                pa.array(durs, pa.int64()),
+                pa.array(checks, pa.int64()),
+                pa.array(feats, pa.list_(pa.float32())),
+            ],
+            schema=AUDIO_FEATURE_SCHEMA,
+        )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if not self.fake:
+            return self._real(batch)
         payloads = batch.column("payload").to_pylist()
         n = len(payloads)
         sizes = np.fromiter((len(p) for p in payloads), dtype=np.int64, count=n)

@@ -72,7 +72,12 @@ def run_arm(num_cpus: int) -> None:
     filtered = host_filter(
         pages(), blocklist=("site7.example",), min_docs=2, max_share=0.08
     )
-    for b in filtered.iter_batches(batch_format="pyarrow"):
+    # count survivors without draining full-text rows through the driver
+    # (a sink would be write_parquet; the id-only projection keeps the
+    # measurement about the operator, not the driver's single-thread drain)
+    for b in filtered.select_columns(["doc_id"]).iter_batches(
+        batch_format="pyarrow"
+    ):
         survivors += b.num_rows
     filter_s = round(time.perf_counter() - t0, 2)
 
