@@ -88,6 +88,8 @@ BENCH_QUERIES = [
     "doc_pii_scrub",          # Arrow-RE2 PII masking (round 4)
     "doc_bigram_ce",          # bigram-LM quality scoring (round 4)
     "doc_clean_corpus",       # composed cleaning pipeline (round 4)
+    "host_stats",             # host-level corpus stats (round 5)
+    "doc_span_dup_stats",     # substring span dedup signal (round 5)
 ]
 
 HEADLINE = "er_documents"

@@ -34,6 +34,12 @@ Scale shape (the 100 TB contract):
   first occurrence are fully contained in its bucket, which emits ONLY
   the duplicated non-first (doc_id, pos) rows — dedup hit rates make
   that far smaller than the corpus.
+- the STATS operator defaults to a lighter two-pass shape: a count pass
+  whose exchange carries (win_hash, cnt) partials, then the duplicated-
+  hash set broadcasts and each document's stats finalize inside its own
+  emit batch — no (doc, pos) row ever rides a shuffle and there is no
+  doc-keyed exchange (the old one anti-scaled: a doc's windows scatter
+  across ~every bucket, so its partial rows grew with the bucket count).
 - the rewrite broadcasts the drop list map-side below
   ``segdedup.DROP_BROADCAST_LIMIT`` (text never rides a shuffle) and
   degrades to the doc_id-bucketed tagged-union exchange past it — the
@@ -114,6 +120,12 @@ def _window_rows(
     return pa.table(cols)
 
 
+#: broadcast the duplicated-hash set map-side while it stays under this
+#: many bytes (8 B per int64 hash) — same order as DROP_BROADCAST_LIMIT;
+#: past it the stats fall back to the window-keyed exchange.
+DUP_SET_BROADCAST_LIMIT = DROP_BROADCAST_LIMIT
+
+
 def window_dup_stats(
     ds,
     id_col: str = "doc_id",
@@ -121,14 +133,45 @@ def window_dup_stats(
     k: int = 20,
     fingerprint: bool = True,
     num_buckets: int | None = None,
+    strategy: str = "auto",
 ):
     """Per-document sliding-window duplication stats: Dataset
     (id_col, n_windows, dup_windows, dup_frac) over documents with ≥ k
-    words (shorter documents have no windows and no row)."""
+    words (shorter documents have no windows and no row).
+
+    ``strategy``: ``broadcast`` (fingerprint only) runs a COUNT pass whose
+    exchange carries (win_hash, cnt) partials — never (doc, pos) rows —
+    then broadcasts the duplicated-hash set and recounts map-side, so a
+    document's stats finalize inside its own batch with NO doc-keyed
+    exchange at all. That second exchange was the measured anti-scaling
+    stage of the old shape: each doc's windows scatter across ~every
+    bucket, so its per-(doc, bucket) partial rows GREW with the bucket
+    count (18 s at 8 CPUs → 33 s at 32 on 160M windows). ``exchange``
+    keeps the one-pass window-keyed exchange (the only arm for
+    ``fingerprint=False``, whose string keys the SQL oracle groups on);
+    ``auto`` picks broadcast while the dup set fits
+    ``DUP_SET_BROADCAST_LIMIT``.
+    """
+    if strategy not in ("auto", "broadcast", "exchange"):
+        raise ValueError(
+            f"strategy must be auto|broadcast|exchange, got {strategy!r}"
+        )
+    if strategy == "broadcast" and not fingerprint:
+        raise ValueError("strategy='broadcast' requires fingerprint=True")
     key = "win_hash" if fingerprint else "win"
+
+    def emit(t: pa.Table) -> pa.Table:
+        return _window_rows(t, id_col, text_col, k, fingerprint)
+
+    if fingerprint and strategy != "exchange":
+        stats = _dup_stats_broadcast(
+            ds, emit, id_col, text_col, num_buckets, strategy
+        )
+        if stats is not None:
+            return stats
+
     wins = ds.select_columns([id_col, text_col]).map_batches(
-        lambda t: _window_rows(t, id_col, text_col, k, fingerprint),
-        batch_format="pyarrow",
+        emit, batch_format="pyarrow"
     )
 
     def bucket_fn(df: pd.DataFrame) -> pd.DataFrame:
@@ -155,16 +198,94 @@ def window_dup_stats(
         num_buckets,
     )
 
-    def finalize(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["n_windows"] = df["n_windows"].astype(np.int64)
-        df["dup_windows"] = df["dup_windows"].astype(np.int64)
-        df["dup_frac"] = df["dup_windows"].to_numpy(dtype=np.float64) / df[
-            "n_windows"
-        ].to_numpy(dtype=np.float64)
-        return df
+    return stats.map_batches(_finalize_dup_frac, batch_format="pandas")
 
-    return stats.map_batches(finalize, batch_format="pandas")
+
+def _finalize_dup_frac(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.copy()
+    df["n_windows"] = df["n_windows"].astype(np.int64)
+    df["dup_windows"] = df["dup_windows"].astype(np.int64)
+    df["dup_frac"] = df["dup_windows"].to_numpy(dtype=np.float64) / df[
+        "n_windows"
+    ].to_numpy(dtype=np.float64)
+    return df
+
+
+def _dup_stats_broadcast(
+    ds, emit, id_col: str, text_col: str, num_buckets: int | None,
+    strategy: str,
+):
+    """Broadcast arm of :func:`window_dup_stats`; returns ``None`` when
+    ``strategy='auto'`` finds the dup set over the broadcast limit."""
+    import ray
+
+    src = ds.select_columns([id_col, text_col])
+
+    def count_rows(t: pa.Table) -> pa.Table:
+        h = emit(t).column("win_hash").to_numpy(zero_copy_only=False)
+        u, c = np.unique(h, return_counts=True)
+        return pa.table(
+            {"win_hash": pa.array(u, pa.int64()),
+             "cnt": pa.array(c.astype(np.int64))}
+        )
+
+    def bucket_dups(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "win_hash" not in df.columns:
+            return pd.DataFrame({"win_hash": pd.Series([], dtype=np.int64)})
+        g = df.groupby("win_hash", as_index=False, sort=False)["cnt"].sum()
+        return g.loc[g["cnt"] > 1, ["win_hash"]].reset_index(drop=True)
+
+    dups = exchange_group_apply(
+        src.map_batches(count_rows, batch_format="pyarrow"),
+        "win_hash",
+        bucket_dups,
+        num_buckets,
+    ).materialize()
+    n_dup = dups.count()
+    if strategy == "auto" and 8 * n_dup >= DUP_SET_BROADCAST_LIMIT:
+        return None
+    parts = [
+        b["win_hash"].to_numpy()
+        for b in dups.iter_batches(batch_format="pandas")
+    ]
+    dup_set = np.sort(np.concatenate(parts)) if parts else np.empty(0, np.int64)
+    ref = ray.put(dup_set)
+
+    def recount(t: pa.Table) -> pa.Table:
+        wins = emit(t)
+        h = wins.column("win_hash").to_numpy(zero_copy_only=False)
+        ids = wins.column(id_col).to_numpy(zero_copy_only=False)
+        dset = ray.get(ref)
+        if len(dset):
+            idx = np.searchsorted(dset, h).clip(max=len(dset) - 1)
+            is_dup = dset[idx] == h
+        else:
+            is_dup = np.zeros(len(h), dtype=bool)
+        # _window_rows repeats each doc's id contiguously, so per-doc runs
+        # are whole within the batch and the stats are FINAL here.
+        if len(ids):
+            starts = np.flatnonzero(np.r_[True, ids[1:] != ids[:-1]])
+            n_win = np.diff(np.r_[starts, len(ids)])
+            dup_win = np.add.reduceat(is_dup.astype(np.int64), starts)
+        else:
+            starts = np.empty(0, np.int64)
+            n_win = np.empty(0, np.int64)
+            dup_win = np.empty(0, np.int64)
+        return pa.table(
+            {
+                id_col: pa.array(ids[starts]) if len(ids)
+                else wins.column(id_col),
+                "n_windows": pa.array(n_win.astype(np.int64)),
+                "dup_windows": pa.array(dup_win),
+                "dup_frac": pa.array(
+                    dup_win / n_win.astype(np.float64)
+                    if len(n_win)
+                    else np.empty(0, np.float64)
+                ),
+            }
+        )
+
+    return src.map_batches(recount, batch_format="pyarrow")
 
 
 def _drop_rows(df: pd.DataFrame, id_col: str, key: str) -> pd.DataFrame:

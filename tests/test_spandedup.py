@@ -112,6 +112,33 @@ def test_stats_match_bruteforce(fingerprint):
     assert np.allclose(got["dup_frac"], got["dup_windows"] / got["n_windows"])
 
 
+def test_stats_strategy_arms_equal(monkeypatch):
+    """broadcast (count pass + dup-set recount) ≡ exchange (window-keyed)
+    stats, and the auto gate's fallback (limit forced to 0) takes the
+    exchange arm with identical values."""
+    from ertransfer_ray.stages import spandedup
+
+    def run(**kw):
+        return (
+            window_dup_stats(_corpus(), k=K, **kw)
+            .to_pandas()
+            .sort_values("doc_id", ignore_index=True)
+        )
+
+    bc = run(strategy="broadcast")
+    ex = run(strategy="exchange")
+    pd.testing.assert_frame_equal(
+        bc, ex[bc.columns], check_like=True, check_dtype=False
+    )
+    monkeypatch.setattr(spandedup, "DUP_SET_BROADCAST_LIMIT", 0)
+    auto = run(strategy="auto")
+    pd.testing.assert_frame_equal(
+        auto[bc.columns], bc, check_like=True, check_dtype=False
+    )
+    with pytest.raises(ValueError):
+        window_dup_stats(_corpus(), k=K, fingerprint=False, strategy="broadcast")
+
+
 def test_empty_corpus_typed():
     import pyarrow as pa
 
