@@ -34,12 +34,12 @@ Scale shape (the 100 TB contract):
   first occurrence are fully contained in its bucket, which emits ONLY
   the duplicated non-first (doc_id, pos) rows — dedup hit rates make
   that far smaller than the corpus.
-- the STATS operator defaults to a lighter two-pass shape: a count pass
-  whose exchange carries (win_hash, cnt) partials, then the duplicated-
-  hash set broadcasts and each document's stats finalize inside its own
-  emit batch — no (doc, pos) row ever rides a shuffle and there is no
-  doc-keyed exchange (the old one anti-scaled: a doc's windows scatter
-  across ~every bucket, so its partial rows grew with the bucket count).
+- the STATS operator's doc-keyed combine carries only documents with
+  duplicated windows — n_windows finalizes map-side, never rides the
+  exchange (a per-(doc, bucket) row for every doc anti-scaled: partial
+  volume grew with the bucket count). An opt-in ``broadcast`` arm trades
+  the doc combine for a (win_hash, cnt) count pass + dup-set broadcast,
+  for corpora known mostly-unique where the dup set fits a worker cache.
 - the rewrite broadcasts the drop list map-side below
   ``segdedup.DROP_BROADCAST_LIMIT`` (text never rides a shuffle) and
   degrades to the doc_id-bucketed tagged-union exchange past it — the
@@ -81,11 +81,22 @@ def _word_hashes(flat_words: pa.Array) -> np.ndarray:
 
 
 def _window_rows(
-    t: pa.Table, id_col: str, text_col: str, k: int, fingerprint: bool
+    t: pa.Table,
+    id_col: str,
+    text_col: str,
+    k: int,
+    fingerprint: bool,
+    with_base: bool = False,
 ) -> pa.Table:
     """(doc_id, pos, win|win_hash) rows for one batch — stride-1 ``k``-word
     windows; documents with fewer than ``k`` words emit none. ``pos`` is
-    the 0-based word offset of the window start."""
+    the 0-based word offset of the window start.
+
+    ``with_base=True`` appends ONE extra row per emitting document with
+    ``pos = -(n_windows + 1)`` (and a doc-id-derived key that only routes
+    it to a bucket) — the stats operator's map-side window count, costing
+    no second tokenize pass. Output is a single-chunk table either way.
+    """
     import pyarrow.compute as pc
 
     words, wc = _word_lists(t, text_col)
@@ -117,13 +128,35 @@ def _window_rows(
             offs = pa.array((np.arange(n + 1) * k).astype(np.int32))
             lst = pa.ListArray.from_arrays(offs, taken)
         cols["win"] = pc.binary_join(lst, " ")
-    return pa.table(cols)
+    wins = pa.table(cols)
+    if not with_base:
+        return wins
+    m = n_win > 0
+    base_ids = ids[m]
+    base_cols: dict = {
+        id_col: pa.array(base_ids),
+        "pos": pa.array(-(n_win[m].astype(np.int64)) - 1),
+    }
+    if fingerprint:
+        base_cols["win_hash"] = pa.array(
+            pd.util.hash_array(base_ids).astype(np.int64) >> np.uint64(1)
+        )
+    else:
+        base_cols["win"] = pa.array(base_ids.astype("U"))
+    return pa.concat_tables(
+        [wins, pa.table(base_cols).select(wins.column_names)],
+        promote_options="permissive",
+    ).combine_chunks()
 
 
 #: broadcast the duplicated-hash set map-side while it stays under this
-#: many bytes (8 B per int64 hash) — same order as DROP_BROADCAST_LIMIT;
-#: past it the stats fall back to the window-keyed exchange.
-DUP_SET_BROADCAST_LIMIT = DROP_BROADCAST_LIMIT
+#: many bytes (8 B per int64 hash; 32 MiB ≈ 4M hashes). Deliberately FAR
+#: tighter than DROP_BROADCAST_LIMIT: every recount batch binary-searches
+#: the whole set, so a 24M-hash set (193 MB — measured on the x640 bench
+#: corpus) turns each probe into a cache miss and the map pass into the
+#: bottleneck (209 s vs the exchange arm's 56 s at 8 CPUs). Past the gate
+#: the stats fall back to the window-keyed exchange.
+DUP_SET_BROADCAST_LIMIT = 1 << 25
 
 
 def window_dup_stats(
@@ -139,18 +172,29 @@ def window_dup_stats(
     (id_col, n_windows, dup_windows, dup_frac) over documents with ≥ k
     words (shorter documents have no windows and no row).
 
-    ``strategy``: ``broadcast`` (fingerprint only) runs a COUNT pass whose
-    exchange carries (win_hash, cnt) partials — never (doc, pos) rows —
-    then broadcasts the duplicated-hash set and recounts map-side, so a
-    document's stats finalize inside its own batch with NO doc-keyed
-    exchange at all. That second exchange was the measured anti-scaling
-    stage of the old shape: each doc's windows scatter across ~every
-    bucket, so its per-(doc, bucket) partial rows GREW with the bucket
-    count (18 s at 8 CPUs → 33 s at 32 on 160M windows). ``exchange``
-    keeps the one-pass window-keyed exchange (the only arm for
-    ``fingerprint=False``, whose string keys the SQL oracle groups on);
-    ``auto`` picks broadcast while the dup set fits
-    ``DUP_SET_BROADCAST_LIMIT``.
+    ``strategy``: ``exchange`` (what ``auto`` picks) is the always-safe
+    one-pass window-keyed exchange. Its doc-keyed combine carries only
+    documents that HAVE duplicated windows in a bucket — ``n_windows``
+    rides as ONE tagged base row per document (pos = -(n_windows+1),
+    exact map-side since a document is one input row) — which keeps the
+    partial volume from growing with the bucket count. The original
+    shape exchanged a per-(doc, bucket) row for EVERY doc, so adding
+    workers added partial volume and the stage stopped scaling:
+    measured on a 1.6M-doc / 154M-window corpus (10 % dup docs), the
+    old shape ran 57.9 s at 8 CPUs → 55.5 s at 32 (flat) while this
+    shape ran 72.1 s → 31.8 s (2.3× from 4× CPUs; 1.7× faster than old
+    at 32). The ~20 % 8-CPU premium is the base-row emit + combine.
+    ``broadcast``
+    (fingerprint only, opt-in) runs a COUNT pass whose exchange carries
+    (win_hash, cnt) partials, then broadcasts the duplicated-hash set
+    and recounts map-side with no doc-keyed exchange; it wins only when
+    the corpus is known mostly-unique — the dup set must fit
+    ``DUP_SET_BROADCAST_LIMIT`` (every recount batch binary-searches it)
+    and the count exchange is as heavy as the window exchange, which is
+    why ``auto`` does not probe it (measuring the dup set costs the full
+    count pass; on the x640 bench corpus the probe-then-fallback shape
+    was 209 s vs 56 s at 8 CPUs). Falls back to ``exchange`` past the
+    gate.
     """
     if strategy not in ("auto", "broadcast", "exchange"):
         raise ValueError(
@@ -163,32 +207,59 @@ def window_dup_stats(
     def emit(t: pa.Table) -> pa.Table:
         return _window_rows(t, id_col, text_col, k, fingerprint)
 
-    if fingerprint and strategy != "exchange":
-        stats = _dup_stats_broadcast(
-            ds, emit, id_col, text_col, num_buckets, strategy
-        )
+    src = ds.select_columns([id_col, text_col])
+
+    if strategy == "broadcast":
+        stats = _dup_stats_broadcast(src, emit, id_col, num_buckets)
         if stats is not None:
             return stats
 
-    wins = ds.select_columns([id_col, text_col]).map_batches(
-        emit, batch_format="pyarrow"
-    )
+    def emit_with_base(t: pa.Table) -> pa.Table:
+        # window rows plus ONE base row per document carrying n_windows
+        # encoded as pos = -(n_windows + 1) — so n_windows never rides a
+        # per-(doc, bucket) partial and costs no second tokenize pass. A
+        # doc is one input row, so its window count is exact map-side.
+        return _window_rows(t, id_col, text_col, k, fingerprint, with_base=True)
+
+    wins = src.map_batches(emit_with_base, batch_format="pyarrow")
 
     def bucket_fn(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) == 0 or key not in df.columns:
-            return pd.DataFrame(
-                {
-                    id_col: pd.Series([], dtype=np.int64),
-                    "n_windows": pd.Series([], dtype=np.int64),
-                    "dup_windows": pd.Series([], dtype=np.int64),
-                }
-            )
-        gc = df.groupby(key, sort=False)[key].transform("size")
-        return (
-            df.assign(_d=(gc > 1).to_numpy().astype(np.int64))
-            .groupby(id_col, as_index=False, sort=False)
-            .agg(n_windows=(key, "size"), dup_windows=("_d", "sum"))
+        empty = pd.DataFrame(
+            {
+                id_col: pd.Series([], dtype=np.int64),
+                "n_windows": pd.Series([], dtype=np.int64),
+                "dup_windows": pd.Series([], dtype=np.int64),
+            }
         )
+        if len(df) == 0 or key not in df.columns:
+            return empty
+        pos = df["pos"].to_numpy()
+        isbase = pos < 0
+        parts = []
+        if isbase.any():
+            b = df.loc[isbase]
+            parts.append(
+                pd.DataFrame(
+                    {
+                        id_col: b[id_col].to_numpy(),
+                        "n_windows": (-b["pos"].to_numpy() - 1).astype(np.int64),
+                        "dup_windows": np.int64(0),
+                    }
+                )
+            )
+        d = df.loc[~isbase]
+        if len(d):
+            gc = d.groupby(key, sort=False)[key].transform("size")
+            d = d.loc[gc.to_numpy() > 1]
+            if len(d):
+                out = d.groupby(id_col, as_index=False, sort=False).agg(
+                    dup_windows=(key, "size")
+                )
+                out.insert(1, "n_windows", np.int64(0))
+                parts.append(out)
+        if not parts:
+            return empty
+        return pd.concat(parts, ignore_index=True)
 
     partials = exchange_group_apply(wins, key, bucket_fn, num_buckets)
     stats = grouped_aggregate(
@@ -211,15 +282,11 @@ def _finalize_dup_frac(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
-def _dup_stats_broadcast(
-    ds, emit, id_col: str, text_col: str, num_buckets: int | None,
-    strategy: str,
-):
+def _dup_stats_broadcast(src, emit, id_col: str, num_buckets: int | None):
     """Broadcast arm of :func:`window_dup_stats`; returns ``None`` when
-    ``strategy='auto'`` finds the dup set over the broadcast limit."""
+    the measured dup set is over the broadcast limit (caller falls back
+    to the exchange arm — same values, no cache-hostile giant probes)."""
     import ray
-
-    src = ds.select_columns([id_col, text_col])
 
     def count_rows(t: pa.Table) -> pa.Table:
         h = emit(t).column("win_hash").to_numpy(zero_copy_only=False)
@@ -242,7 +309,7 @@ def _dup_stats_broadcast(
         num_buckets,
     ).materialize()
     n_dup = dups.count()
-    if strategy == "auto" and 8 * n_dup >= DUP_SET_BROADCAST_LIMIT:
+    if 8 * n_dup >= DUP_SET_BROADCAST_LIMIT:
         return None
     parts = [
         b["win_hash"].to_numpy()

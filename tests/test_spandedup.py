@@ -114,8 +114,8 @@ def test_stats_match_bruteforce(fingerprint):
 
 def test_stats_strategy_arms_equal(monkeypatch):
     """broadcast (count pass + dup-set recount) ≡ exchange (window-keyed)
-    stats, and the auto gate's fallback (limit forced to 0) takes the
-    exchange arm with identical values."""
+    ≡ auto stats; a broadcast whose dup set is over the gate (limit
+    forced to 0) falls back to the exchange arm with identical values."""
     from ertransfer_ray.stages import spandedup
 
     def run(**kw):
@@ -130,10 +130,14 @@ def test_stats_strategy_arms_equal(monkeypatch):
     pd.testing.assert_frame_equal(
         bc, ex[bc.columns], check_like=True, check_dtype=False
     )
-    monkeypatch.setattr(spandedup, "DUP_SET_BROADCAST_LIMIT", 0)
     auto = run(strategy="auto")
     pd.testing.assert_frame_equal(
         auto[bc.columns], bc, check_like=True, check_dtype=False
+    )
+    monkeypatch.setattr(spandedup, "DUP_SET_BROADCAST_LIMIT", 0)
+    gated = run(strategy="broadcast")  # over the gate -> exchange fallback
+    pd.testing.assert_frame_equal(
+        gated[bc.columns], bc, check_like=True, check_dtype=False
     )
     with pytest.raises(ValueError):
         window_dup_stats(_corpus(), k=K, fingerprint=False, strategy="broadcast")
