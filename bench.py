@@ -90,6 +90,7 @@ BENCH_QUERIES = [
     "doc_clean_corpus",       # composed cleaning pipeline (round 4)
     "host_stats",             # host-level corpus stats (round 5)
     "doc_span_dup_stats",     # substring span dedup signal (round 5)
+    "documents_jsonl_roundtrip",  # gzipped-JSONL sink+source (round 5)
 ]
 
 HEADLINE = "er_documents"
