@@ -6,18 +6,18 @@ actor-pool stage shape, batch sizing for large binaries, output layout —
 is real and tested. Codec status:
 
 - ``DecodeImage(fake=False)`` / ``ResizeImage(fake=False)`` /
-  ``DecodeAudio(fake=False)`` run REAL decodes for PNG, uncompressed
-  24-bit BMP, and PCM WAV via the pure-stdlib codecs in
-  ``functions/codecs`` (zlib + ``wave`` + numpy — round-trip
+  ``DecodeAudio(fake=False)`` run REAL decodes for baseline JPEG, PNG,
+  uncompressed 24-bit BMP, and PCM WAV via the pure-stdlib codecs in
+  ``functions/codecs`` (numpy DCT + zlib + ``wave`` — round-trip
   property-tested). Rows whose payload is not one of those formats are
   SKIPPED (the at-scale policy: a corrupt crawl object must not kill the
   stage) — pass ``on_error="raise"`` to fail instead. A production
   deployment swaps in a SIMD codec (PIL/ffmpeg) inside the same actor
   ``__init__`` seam.
-- JPEG/MP3/MP4 and video frame EXTRACTION genuinely need codec libraries
-  this container lacks; ``FrameSampler`` keeps the honest ``fake=True``
-  stub, and ``fake=True`` remains available on every stage for
-  shape-testing with synthetic payloads.
+- Progressive JPEG, MP3/MP4 and video frame EXTRACTION genuinely need
+  codec libraries this container lacks; ``FrameSampler`` keeps the honest
+  ``fake=True`` stub, and ``fake=True`` remains available on every stage
+  for shape-testing with synthetic payloads.
 - Batch sizes for binary payloads must be SMALL (payload × batch_size ×
   concurrency bounds worker heap); the defaults assume ~1 MB payloads.
 
@@ -80,7 +80,12 @@ class DecodeImage:
         self.on_error = on_error
 
     def _real(self, batch: pa.Table) -> pa.Table:
-        from ..functions.codecs import decode_bmp, decode_png, image_embedding
+        from ..functions.codecs import (
+            decode_bmp,
+            decode_jpeg,
+            decode_png,
+            image_embedding,
+        )
 
         urls, mimes, widths, heights, sizes, checks, embs = (
             [], [], [], [], [], [], [],
@@ -101,6 +106,8 @@ class DecodeImage:
                     img, mime = decode_png(payload), "image/png"
                 elif payload[:2] == b"BM":
                     img, mime = decode_bmp(payload), "image/bmp"
+                elif payload[:3] == b"\xff\xd8\xff":
+                    img, mime = decode_jpeg(payload), "image/jpeg"
                 else:
                     raise ValueError("unrecognized image format")
             except Exception:
@@ -198,6 +205,7 @@ class ResizeImage:
     def _real(self, batch: pa.Table) -> pa.Table:
         from ..functions.codecs import (
             decode_bmp,
+            decode_jpeg,
             decode_png,
             encode_png,
             resize_nearest,
@@ -213,6 +221,8 @@ class ResizeImage:
                     img = decode_png(payload)
                 elif payload[:2] == b"BM":
                     img = decode_bmp(payload)
+                elif payload[:3] == b"\xff\xd8\xff":
+                    img = decode_jpeg(payload)
                 else:
                     continue
             except Exception:
