@@ -423,28 +423,34 @@ def _read_symbol(reader: _BitReader, lut) -> int:
 
 def _split_entropy(data: bytes, pos: int):
     """Entropy stream from ``pos`` -> (list of unstuffed segments split on
-    RSTn, index just past the terminating marker's 0xFF)."""
+    RSTn, index just past the terminating marker's 0xFF). Jumps between
+    0xFF candidates with ``bytes.find`` and bulk-slices the spans between
+    them — no per-byte Python loop (a multi-MB scan has millions of
+    bytes but only ~1 marker per ~100)."""
     segs = []
     cur = bytearray()
     i = pos
     n = len(data)
     while i < n:
-        b = data[i]
-        if b != 0xFF:
-            cur.append(b)
-            i += 1
-            continue
-        if i + 1 >= n:
+        j = data.find(b"\xff", i)
+        if j < 0:
+            cur += data[i:]
+            i = n
             break
-        m = data[i + 1]
+        cur += data[i:j]
+        if j + 1 >= n:
+            i = j
+            break
+        m = data[j + 1]
         if m == 0x00:
             cur.append(0xFF)
-            i += 2
+            i = j + 2
         elif 0xD0 <= m <= 0xD7:
             segs.append(bytes(cur))
             cur = bytearray()
-            i += 2
+            i = j + 2
         else:
+            i = j
             break
     segs.append(bytes(cur))
     return segs, i
@@ -467,6 +473,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     while i < n:
         if data[i] != 0xFF:
             raise ValueError("marker expected")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may pad a marker
+        while i + 1 < n and data[i + 1] == 0xFF:
+            i += 1
+        if i + 1 >= n:
+            raise ValueError("truncated marker")
         marker = data[i + 1]
         if marker == 0xD9:  # EOI
             break
@@ -526,6 +537,14 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         i += 2 + seglen
     if comps is None or scan is None:
         raise ValueError("missing SOF/SOS")
+    if len(scan) != len(comps):
+        # one-component-per-scan (non-interleaved) baseline: decoding only
+        # the first scan would emit silently wrong pixels — refuse loudly,
+        # like progressive
+        raise ValueError(
+            "unsupported non-interleaved multi-scan baseline JPEG "
+            f"(scan covers {len(scan)} of {len(comps)} components)"
+        )
 
     by_id = {c["id"]: c for c in comps}
     order = [by_id[s["id"]] for s in scan]

@@ -1316,6 +1316,7 @@ def q_documents_jsonl_roundtrip(sf_dir: str) -> pd.DataFrame:
     trip. Exercises the interchange format LLM corpora actually ship
     (Dolma/Pile/RedPajama-style gzipped JSONL)."""
     import hashlib as _hl
+    import shutil as _sh
 
     from ..sources.jsonl import read_jsonl, write_jsonl
 
@@ -1323,6 +1324,10 @@ def q_documents_jsonl_roundtrip(sf_dir: str) -> pd.DataFrame:
         "/tmp/ertransfer_jsonl_rt/"
         + _hl.sha256(sf_dir.encode()).hexdigest()[:12]
     )
+    # shard digests depend on block boundaries, which shift across CPU
+    # counts/runs — wipe the previous generation or /tmp accumulates a
+    # full corpus copy per distinct block layout
+    _sh.rmtree(out_dir, ignore_errors=True)
     docs = _read(sf_dir, "documents")
     schema = pa.schema(
         [

@@ -27,11 +27,13 @@ Scale model (mirrors ``sources/warc.py``):
   failure overwrites the same shards byte-identically instead of
   duplicating data — same resumability contract as ``write_warc``.
 
-Type fidelity: int64 / float64 / string / bool / null round-trip
+Type fidelity: int64 / finite float64 / string / bool / null round-trip
 exactly; timestamps serialize as RFC 3339 strings and parse back to
-``timestamp`` under an explicit ``schema=``. Binary columns are
-rejected with a pointer to parquet/WARC (JSON has no bytes type; a
-silent base64 coercion would corrupt a round-trip).
+``timestamp`` under an explicit ``schema=``. Two documented edges:
+binary columns are rejected with a pointer to parquet/WARC (JSON has no
+bytes type; a silent base64 coercion would corrupt a round-trip), and
+non-finite floats (NaN/±Inf — JSON has no literal for them) serialize
+as ``null``.
 """
 
 from __future__ import annotations
@@ -46,13 +48,17 @@ import pyarrow as pa
 from .warc import _GZIP_MAGIC, _iter_gzip_members
 
 
+def _empty_table(schema: pa.Schema | None) -> pa.Table:
+    sch = pa.schema([]) if schema is None else schema
+    return pa.table({f.name: pa.array([], f.type) for f in sch})
+
+
 def _parse_ndjson(data: bytes, schema: pa.Schema | None, salvage: bool):
     """One decompressed JSONL buffer → (table, n_bad_lines)."""
     import pyarrow.json as pj
 
     if not data.strip():
-        empty = pa.schema([]) if schema is None else schema
-        return pa.table({f.name: pa.array([], f.type) for f in empty}), 0
+        return _empty_table(schema), 0
     if schema is not None:
         opts = pj.ParseOptions(
             explicit_schema=schema, unexpected_field_behavior="ignore"
@@ -65,8 +71,12 @@ def _parse_ndjson(data: bytes, schema: pa.Schema | None, salvage: bool):
         if not salvage:
             raise
     # Salvage path: a corrupt line aborts Arrow's bulk parse, so recover
-    # line-by-line (orjson C parser) and re-parse only the good lines as
-    # one buffer — the vectorized kernel still does the typing work.
+    # line-by-line (orjson C parser drops non-JSON lines) and re-parse the
+    # survivors as one buffer — the vectorized kernel still does the
+    # typing work. A line can be valid JSON yet still Arrow-invalid (a
+    # type-mismatched field, a bare scalar), so when the bulk re-parse
+    # fails again each survivor is parsed alone and the offenders dropped
+    # — one bad line must never cost the file's other millions.
     import orjson
 
     good: list[bytes] = []
@@ -81,10 +91,20 @@ def _parse_ndjson(data: bytes, schema: pa.Schema | None, salvage: bool):
             continue
         good.append(line)
     if not good:
-        empty = pa.schema([]) if schema is None else schema
-        return pa.table({f.name: pa.array([], f.type) for f in empty}), bad
-    table = pj.read_json(io.BytesIO(b"\n".join(good)), parse_options=opts)
-    return table, bad
+        return _empty_table(schema), bad
+    try:
+        return pj.read_json(io.BytesIO(b"\n".join(good)), parse_options=opts), bad
+    except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+        pass
+    kept: list[pa.Table] = []
+    for line in good:
+        try:
+            kept.append(pj.read_json(io.BytesIO(line), parse_options=opts))
+        except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+            bad += 1
+    if not kept:
+        return _empty_table(schema), bad
+    return pa.concat_tables(kept, promote_options="permissive"), bad
 
 
 def read_jsonl(paths, *, schema: pa.Schema | None = None, salvage: bool = True):
@@ -117,8 +137,7 @@ def read_jsonl(paths, *, schema: pa.Schema | None = None, salvage: bool = True):
                 "read_jsonl: dropped %d malformed line(s)", total_bad
             )
         if not tables:
-            empty = pa.schema([]) if schema is None else schema
-            return pa.table({f.name: pa.array([], f.type) for f in empty})
+            return _empty_table(schema)
         return pa.concat_tables(tables, promote_options="permissive")
 
     return rd.read_binary_files(paths).map_batches(
@@ -129,7 +148,11 @@ def read_jsonl(paths, *, schema: pa.Schema | None = None, salvage: bool = True):
 def serialize_jsonl(batch: pa.Table) -> bytes:
     """Table → JSONL bytes (one object per row, ``\\n``-terminated).
     orjson serializes the row dicts in C; timestamps become RFC 3339
-    strings. Deterministic for a given batch — no process state."""
+    strings. JSON has no NaN/Infinity literal, so non-finite floats
+    serialize as ``null`` and read back as null — the one LOSSY mapping
+    in the family (finite floats, ints, strings, bools round-trip
+    exactly; pinned by test). Deterministic for a given batch — no
+    process state."""
     import orjson
 
     for f in batch.schema:

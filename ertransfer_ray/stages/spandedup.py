@@ -138,8 +138,10 @@ def _window_rows(
         "pos": pa.array(-(n_win[m].astype(np.int64)) - 1),
     }
     if fingerprint:
+        # shift in uint64 THEN cast (the window-hash form): int64 >>
+        # np.uint64 scalar becomes a TypeError under NumPy 2 (NEP 50)
         base_cols["win_hash"] = pa.array(
-            pd.util.hash_array(base_ids).astype(np.int64) >> np.uint64(1)
+            (pd.util.hash_array(base_ids) >> np.uint64(1)).astype(np.int64)
         )
     else:
         base_cols["win"] = pa.array(base_ids.astype("U"))

@@ -128,6 +128,28 @@ def test_decoder_error_paths():
         decode_jpeg(prog)
 
 
+def test_fill_bytes_before_markers_accepted():
+    """T.81 B.1.1.2: 0xFF fill bytes may pad any marker — real encoders
+    emit them and the parser must skip, not misparse."""
+    img = _gradient(16, 16)
+    data = encode_jpeg(img, quality=85)
+    padded = data.replace(b"\xff\xc0", b"\xff\xff\xff\xc0", 1)
+    assert _psnr(img, decode_jpeg(padded)) >= 40.0
+
+
+def test_multiscan_baseline_rejected_loudly():
+    """Non-interleaved (one-component-per-scan) baseline would decode
+    silently wrong from the first scan alone — it must raise instead."""
+    img = _gradient(16, 16)
+    data = encode_jpeg(img, quality=85)
+    idx = data.find(b"\xff\xda")
+    assert idx > 0
+    one_comp_sos = b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0x00]) + b"\x00\x3f\x00"
+    hacked = data[:idx] + one_comp_sos + data[idx + 2 + 12 :]
+    with pytest.raises(ValueError, match="non-interleaved"):
+        decode_jpeg(hacked)
+
+
 def test_encoder_rejects_bad_input():
     with pytest.raises(ValueError):
         encode_jpeg(np.zeros((4, 4), np.float32))

@@ -79,6 +79,35 @@ def test_schema_prunes_and_nulls_missing(tmp_path):
     assert df["text"].tolist() == ["a", None]
 
 
+def test_salvage_survives_arrow_invalid_but_valid_json(tmp_path):
+    """A line can be valid JSON yet Arrow-invalid (type-mismatched field,
+    bare scalar): salvage must drop it, not kill the file's task."""
+    p = str(tmp_path / "typed.jsonl")
+    with open(p, "w") as f:
+        f.write('{"doc_id": 1, "text": "ok"}\n')
+        f.write('{"doc_id": "oops-not-an-int", "text": "bad type"}\n')
+        f.write("42\n")  # bare scalar: valid JSON, not a record
+        f.write('{"doc_id": 3, "text": "also ok"}\n')
+    sch = pa.schema([("doc_id", pa.int64()), ("text", pa.string())])
+    df = _sorted_df(read_jsonl(p, schema=sch))
+    assert df["doc_id"].tolist() == [1, 3]
+
+
+def test_nonfinite_floats_serialize_as_null():
+    """JSON has no NaN/Inf literal: the documented lossy mapping is ->
+    null (finite values round-trip exactly)."""
+    import orjson
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3]),
+            "score": pa.array([0.5, float("nan"), float("inf")]),
+        }
+    )
+    lines = [orjson.loads(x) for x in serialize_jsonl(t).splitlines()]
+    assert [r["score"] for r in lines] == [0.5, None, None]
+
+
 def test_salvage_drops_only_bad_lines(tmp_path):
     p = str(tmp_path / "dirty.jsonl")
     with open(p, "w") as f:
