@@ -24,6 +24,7 @@ import zlib
 
 import numpy as np
 
+from .gif import decode_gif, encode_gif  # noqa: F401  (codec family API)
 from .jpeg import decode_jpeg, encode_jpeg  # noqa: F401  (codec family API)
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
@@ -39,6 +40,8 @@ def sniff_mime(data: bytes) -> str:
         return "image/bmp"
     if data[:3] == b"\xff\xd8\xff":
         return "image/jpeg"
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        return "image/gif"
     if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         return "audio/wav"
     return "application/octet-stream"

@@ -1,0 +1,260 @@
+"""Pure-Python GIF87a/89a codec (LZW) for the stdlib-only codec family.
+
+GIFs are still a meaningful slice of crawled web images; like the PNG/BMP
+/JPEG siblings this is public-spec only (GIF89a specification + the LZW
+variable-code-width scheme it mandates).
+
+- :func:`decode_gif` reads the FIRST image frame (the still-image case;
+  a crawl feature-extraction stage wants one representative raster, and
+  frame N would need full disposal-method compositing) with global or
+  local color tables and interlacing, returning (H, W, 3) uint8 RGB.
+  Extension blocks (GCE/comment/application — i.e. animation metadata)
+  are skipped structurally.
+- :func:`encode_gif` writes a single-frame GIF89a with a 256-entry
+  global palette. True-color inputs are quantized to a fixed 6×7×6
+  color cube (252 colors) — documented lossy, like every ≤256-color GIF
+  write; palette-exact inputs (≤256 distinct colors) round-trip exactly
+  because the encoder builds the exact palette when it fits.
+
+The LZW layers run on Python ints over bytearrays — GIF rasters in crawl
+thumbnails are small, and corpus-scale parallelism is across images in
+the DecodeImage actor pool (same cost model as ``functions/jpeg``).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+
+def _lzw_decode(data: bytes, min_code_size: int, expected: int) -> bytearray:
+    """GIF-variant LZW: variable code width, CLEAR/EOI codes, dictionary
+    capped at 4096 entries. Stops after ``expected`` output bytes."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    # bit cursor over the concatenated sub-block data, LSB-first per spec
+    acc = 0
+    nbits = 0
+    pos = 0
+    n = len(data)
+
+    def init_dict():
+        return {i: bytes([i]) for i in range(clear)}
+
+    table = init_dict()
+    code_size = min_code_size + 1
+    next_code = eoi + 1
+    prev: bytes | None = None
+    while len(out) < expected:
+        while nbits < code_size:
+            if pos >= n:
+                return out  # truncated stream: keep what decoded
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << code_size) - 1)
+        acc >>= code_size
+        nbits -= code_size
+        if code == clear:
+            table = init_dict()
+            code_size = min_code_size + 1
+            next_code = eoi + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code in table:
+            entry = table[code]
+        elif code == next_code:
+            entry = table_prev + table_prev[:1]  # the KwKwK case
+        else:
+            raise ValueError("corrupt LZW stream")
+        out += entry
+        if prev is not None and next_code < 4096:
+            table[next_code] = table_prev + entry[:1]
+            next_code += 1
+            if next_code == (1 << code_size) and code_size < 12:
+                code_size += 1
+        prev = code
+        table_prev = entry
+    return out
+
+
+def _lzw_encode(indices: bytes, min_code_size: int) -> bytes:
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, size: int):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += size
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table = {bytes([i]): i for i in range(clear)}
+    code_size = min_code_size + 1
+    next_code = eoi + 1
+    emit(clear, code_size)
+    w = b""
+    for b in indices:
+        wk = w + bytes([b])
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w], code_size)
+        if next_code < 4096:
+            table[wk] = next_code
+            next_code += 1
+            if next_code == (1 << code_size) + 1 and code_size < 12:
+                code_size += 1
+        else:
+            emit(clear, code_size)
+            table = {bytes([i]): i for i in range(clear)}
+            code_size = min_code_size + 1
+            next_code = eoi + 1
+        w = bytes([b])
+    if w:
+        emit(table[w], code_size)
+    emit(eoi, code_size)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def decode_gif(data: bytes) -> np.ndarray:
+    """GIF bytes -> (H, W, 3) uint8 RGB of the first image frame."""
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    sw, sh, flags, _bg, _ar = struct.unpack("<HHBBB", data[6:13])
+    i = 13
+    gct = None
+    if flags & 0x80:
+        gct_size = 2 << (flags & 0x07)
+        gct = np.frombuffer(data[i : i + 3 * gct_size], np.uint8).reshape(-1, 3)
+        i += 3 * gct_size
+    transparent = None
+    while i < len(data):
+        b = data[i]
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension: remember GCE transparency, skip blocks
+            label = data[i + 1]
+            i += 2
+            first = True
+            while i < len(data) and data[i] != 0:
+                size = data[i]
+                if label == 0xF9 and first and size >= 4 and data[i + 1] & 1:
+                    transparent = data[i + 4]
+                first = False
+                i += 1 + size
+            i += 1  # block terminator
+            continue
+        if b != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{b:02x}")
+        left, top, w, h, iflags = struct.unpack("<HHHHB", data[i + 1 : i + 10])
+        i += 10
+        lct = gct
+        if iflags & 0x80:
+            lct_size = 2 << (iflags & 0x07)
+            lct = np.frombuffer(data[i : i + 3 * lct_size], np.uint8).reshape(-1, 3)
+            i += 3 * lct_size
+        if lct is None:
+            raise ValueError("GIF frame has no color table")
+        min_code = data[i]
+        i += 1
+        sub = bytearray()
+        while i < len(data) and data[i] != 0:
+            size = data[i]
+            sub += data[i + 1 : i + 1 + size]
+            i += 1 + size
+        i += 1
+        idx = np.frombuffer(
+            bytes(_lzw_decode(bytes(sub), min_code, w * h)), np.uint8
+        )
+        if len(idx) < w * h:  # truncated: pad with background-ish 0
+            idx = np.concatenate([idx, np.zeros(w * h - len(idx), np.uint8)])
+        grid = idx[: w * h].reshape(h, w)
+        if iflags & 0x40:  # interlaced row order
+            de = np.empty_like(grid)
+            src = 0
+            for start, step in _INTERLACE_PASSES:
+                rows = range(start, h, step)
+                for r in rows:
+                    de[r] = grid[src]
+                    src += 1
+            grid = de
+        rgb = lct[np.minimum(grid, len(lct) - 1)]
+        if transparent is not None:
+            # still-image policy: transparent pixels render as white
+            rgb = rgb.copy()
+            rgb[grid == transparent] = 255
+        # place the frame on the logical screen if it is offset/smaller
+        if (left, top, w, h) != (0, 0, sw, sh) and sw >= w + left and sh >= h + top:
+            canvas = np.full((sh, sw, 3), 255, np.uint8)
+            canvas[top : top + h, left : left + w] = rgb
+            return canvas
+        return rgb.astype(np.uint8)
+    raise ValueError("GIF contains no image frame")
+
+
+def encode_gif(img: np.ndarray) -> bytes:
+    """uint8 (H, W) gray or (H, W, 3) RGB -> single-frame GIF89a. Inputs
+    with ≤256 distinct colors round-trip exactly (exact palette);
+    true-color inputs quantize to a 6×7×6 cube (documented lossy)."""
+    img = np.asarray(img)
+    if img.dtype != np.uint8:
+        raise ValueError("encode_gif expects uint8")
+    if img.ndim == 2:
+        img = np.stack([img] * 3, axis=-1)
+    if img.ndim != 3 or img.shape[2] != 3:
+        raise ValueError("expected (H, W) or (H, W, 3)")
+    h, w = img.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    flat = img.reshape(-1, 3)
+    colors, inv = np.unique(flat, axis=0, return_inverse=True)
+    if len(colors) <= 256:
+        palette = colors
+        indices = inv.astype(np.uint8)
+    else:
+        # fixed 6x7x6 cube: index = r6*42 + g7*6 + b6
+        r = (flat[:, 0].astype(np.int64) * 6) // 256
+        g = (flat[:, 1].astype(np.int64) * 7) // 256
+        b = (flat[:, 2].astype(np.int64) * 6) // 256
+        indices = (r * 42 + g * 6 + b).astype(np.uint8)
+        rr = (np.arange(6) * 256 // 6 + 256 // 12).astype(np.uint8)
+        gg = (np.arange(7) * 256 // 7 + 256 // 14).astype(np.uint8)
+        bb = rr
+        palette = np.stack(
+            np.meshgrid(rr, gg, bb, indexing="ij"), axis=-1
+        ).reshape(-1, 3)
+    size_pow = max(1, int(np.ceil(np.log2(max(len(palette), 2)))))
+    table_len = 1 << size_pow
+    pal = np.zeros((table_len, 3), np.uint8)
+    pal[: len(palette)] = palette
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (size_pow - 1), 0, 0)
+    out += pal.tobytes()
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    min_code = max(2, size_pow)
+    out.append(min_code)
+    lzw = _lzw_encode(indices.tobytes(), min_code)
+    for off in range(0, len(lzw), 255):
+        chunk = lzw[off : off + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)

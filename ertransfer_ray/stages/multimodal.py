@@ -82,6 +82,7 @@ class DecodeImage:
     def _real(self, batch: pa.Table) -> pa.Table:
         from ..functions.codecs import (
             decode_bmp,
+            decode_gif,
             decode_jpeg,
             decode_png,
             image_embedding,
@@ -108,6 +109,8 @@ class DecodeImage:
                     img, mime = decode_bmp(payload), "image/bmp"
                 elif payload[:3] == b"\xff\xd8\xff":
                     img, mime = decode_jpeg(payload), "image/jpeg"
+                elif payload[:6] in (b"GIF87a", b"GIF89a"):
+                    img, mime = decode_gif(payload), "image/gif"
                 else:
                     raise ValueError("unrecognized image format")
             except Exception:
@@ -205,6 +208,7 @@ class ResizeImage:
     def _real(self, batch: pa.Table) -> pa.Table:
         from ..functions.codecs import (
             decode_bmp,
+            decode_gif,
             decode_jpeg,
             decode_png,
             encode_png,
@@ -223,6 +227,8 @@ class ResizeImage:
                     img = decode_bmp(payload)
                 elif payload[:3] == b"\xff\xd8\xff":
                     img = decode_jpeg(payload)
+                elif payload[:6] in (b"GIF87a", b"GIF89a"):
+                    img = decode_gif(payload)
                 else:
                     continue
             except Exception:

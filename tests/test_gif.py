@@ -1,0 +1,115 @@
+"""GIF codec (functions/gif): palette-exact round-trips, true-color
+quantization bound, interlacing, transparency, LZW dictionary growth."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from ertransfer_ray.functions.gif import (
+    _INTERLACE_PASSES,
+    decode_gif,
+    encode_gif,
+)
+
+
+def _paletted(shape, n_colors, seed=3):
+    rng = np.random.default_rng(seed)
+    pal = rng.integers(0, 256, (n_colors, 3), dtype=np.uint8)
+    pal = np.unique(pal, axis=0)
+    return pal[rng.integers(0, len(pal), shape)]
+
+
+@pytest.mark.parametrize("shape,n", [((40, 56), 5), ((23, 17), 2), ((50, 60), 250), ((1, 1), 1)])
+def test_palette_exact_roundtrip(shape, n):
+    img = _paletted(shape, n)
+    out = decode_gif(encode_gif(img))
+    assert np.array_equal(out, img)
+
+
+def test_gray_roundtrip():
+    rng = np.random.default_rng(1)
+    g = (rng.integers(0, 4, (23, 17)) * 80).astype(np.uint8)
+    out = decode_gif(encode_gif(g))
+    assert np.array_equal(out, np.stack([g] * 3, axis=-1))
+
+
+def test_truecolor_quantization_bounded():
+    rng = np.random.default_rng(2)
+    img = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    out = decode_gif(encode_gif(img))
+    # 6x7x6 cube: worst-case per-channel error is ~half a cube step (<=22)
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 26
+    assert np.abs(out.astype(int) - img.astype(int)).mean() <= 14
+
+
+def test_lzw_dictionary_overflow():
+    """>4096 dictionary entries forces the mid-stream CLEAR path."""
+    rng = np.random.default_rng(4)
+    img = _paletted((200, 300), 200, seed=5)
+    out = decode_gif(encode_gif(img))
+    assert np.array_equal(out, img)
+
+
+def test_interlaced_decode():
+    """Craft an interlaced file: store rows in pass order + set the flag;
+    decode must restore the original row order."""
+    img = _paletted((16, 10), 7)
+    order = []
+    for start, step in _INTERLACE_PASSES:
+        order.extend(range(start, 16, step))
+    stored = img[np.array(order)]
+    data = bytearray(encode_gif(stored))
+    # image descriptor follows header(6) + LSD(7) + GCT(3 * 2^size_pow)
+    size_pow = (data[10] & 0x07) + 1
+    off = 13 + 3 * (1 << size_pow)
+    assert data[off] == 0x2C
+    data[off + 9] |= 0x40  # interlace flag
+    out = decode_gif(bytes(data))
+    assert np.array_equal(out, img)
+
+
+def test_transparency_renders_white():
+    img = np.zeros((4, 4, 3), np.uint8)  # single color -> palette index 0
+    data = bytearray(encode_gif(img))
+    size_pow = (data[10] & 0x07) + 1
+    off = 13 + 3 * (1 << size_pow)
+    gce = bytes([0x21, 0xF9, 0x04, 0x01, 0x00, 0x00, 0x00, 0x00])
+    out = decode_gif(bytes(data[:off]) + gce + bytes(data[off:]))
+    assert np.array_equal(out, np.full((4, 4, 3), 255, np.uint8))
+
+
+def test_sniff_and_errors():
+    from ertransfer_ray.functions.codecs import sniff_mime
+
+    img = _paletted((8, 8), 3)
+    data = encode_gif(img)
+    assert data[:6] == b"GIF89a"
+    assert sniff_mime(data) == "image/gif"
+    assert encode_gif(img) == data  # deterministic
+    with pytest.raises(ValueError):
+        decode_gif(b"NOTAGIF")
+    with pytest.raises(ValueError):
+        encode_gif(img.astype(np.float32))
+    with pytest.raises(ValueError):
+        decode_gif(data[:14] + b"\x3b")  # trailer before any frame
+
+
+def test_decode_image_stage_handles_gif():
+    import pyarrow as pa
+
+    from ertransfer_ray.stages.multimodal import DecodeImage
+
+    img = _paletted((12, 20), 9)
+    batch = pa.table(
+        {
+            "url": pa.array(["http://a/x.gif"]),
+            "mime": pa.array(["image/gif"]),
+            "payload": pa.array([encode_gif(img)], pa.binary()),
+        }
+    )
+    out = DecodeImage(fake=False)(batch)
+    assert out.num_rows == 1
+    row = out.to_pylist()[0]
+    assert row["mime"] == "image/gif"
+    assert (row["height"], row["width"]) == (12, 20)
