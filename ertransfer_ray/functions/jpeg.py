@@ -1,19 +1,27 @@
-"""Pure-numpy baseline JPEG codec (ITU-T T.81 sequential DCT, 8-bit).
+"""Pure-numpy JPEG codec (ITU-T T.81, 8-bit): baseline sequential AND
+progressive.
 
 Closes the JPEG gap in the stdlib-only codec family (``functions/codecs``):
 web crawls are overwhelmingly JPEG, and the container ships no codec
 library. Everything here is public-spec JPEG — JFIF markers, Annex-K
-quantization + Huffman tables, zigzag, level-shifted 8×8 DCT-II.
+quantization + Huffman tables, zigzag, level-shifted 8×8 DCT-II, the
+Annex-G progressive modes.
 
-- :func:`decode_jpeg` handles real-world baseline files: it takes ALL
-  tables from the file's own DQT/DHT segments (so any spec-valid encoder's
-  output decodes), grayscale and YCbCr with arbitrary sampling factors
+- :func:`decode_jpeg` handles real-world files: it takes ALL tables from
+  the file's own DQT/DHT segments (so any spec-valid encoder's output
+  decodes), grayscale and YCbCr with arbitrary sampling factors
   (4:4:4 / 4:2:2 / 4:2:0 ...), restart markers, 8- and 16-bit quant
-  tables. Progressive (SOF2) and arithmetic coding are rejected with
-  ``ValueError`` — honest scope, matching the crawl-side policy of
+  tables, one-component-per-scan sequential files, and progressive
+  (SOF2: spectral selection + successive approximation, EOB runs, DC/AC
+  refinement). Hierarchical/lossless/arithmetic processes are rejected
+  with ``ValueError`` — honest scope, matching the crawl-side policy of
   skipping undecodable payloads.
 - :func:`encode_jpeg` emits baseline JFIF with the Annex-K tables (IJG
   quality scaling), optional 4:2:0 subsampling and restart intervals.
+- :func:`encode_jpeg_progressive` emits an SOF2 scan script exercising
+  both spectral selection and successive approximation; its coefficients
+  are identical to the baseline encoder's, which pins the progressive
+  decoder BIT-IDENTICAL to the baseline decode in tests.
 
 Cost model: the DCT/IDCT, quantization, color transforms and chroma
 resampling are vectorized numpy over all blocks at once; only the entropy
@@ -223,15 +231,10 @@ def _encode_blocks(
             writer.write(code, length)
 
 
-def encode_jpeg(
-    img: np.ndarray,
-    quality: int = 85,
-    subsample: bool = False,
-    restart_interval: int = 0,
-) -> bytes:
-    """uint8 image (H,W) / (H,W,1) grayscale or (H,W,3) RGB -> baseline
-    JFIF bytes. ``subsample=True`` writes 4:2:0 chroma; ``restart_interval``
-    (in MCUs) emits DRI + RSTn markers."""
+def _plan(img: np.ndarray, quality: int, subsample: bool) -> dict:
+    """Shared encoder front half: color transform, optional 4:2:0, DCT,
+    quantization — everything up to (but not including) entropy coding.
+    Returns per-component quantized zigzag blocks + geometry/tables."""
     img = np.asarray(img)
     if img.dtype != np.uint8:
         raise ValueError("encode_jpeg expects uint8")
@@ -281,36 +284,74 @@ def encode_jpeg(
         # zz[k] = raster[ZIGZAG[k]]: gathering at ZIGZAG yields zigzag order
         qblocks_zz.append(qb.reshape(qb.shape[0], qb.shape[1], 64)[..., ZIGZAG])
 
+    return {
+        "qblocks_zz": qblocks_zz,
+        "samp": samp,
+        "qids": qids,
+        "qtabs": qtabs,
+        "h0": h0,
+        "w0": w0,
+        "mcus_x": mcus_x,
+        "mcus_y": mcus_y,
+        "ncomp": len(planes),
+    }
+
+
+def _emit_headers(plan: dict, sof_marker: int, huff_specs, restart_interval: int) -> bytearray:
+    """SOI + JFIF + DQT + SOFn + DHT(+DRI) — everything before the scans."""
+    ncomp = plan["ncomp"]
+    samp, qids, qtabs = plan["samp"], plan["qids"], plan["qtabs"]
+    out = bytearray()
+    out += b"\xff\xd8"  # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    for tid, tab in enumerate(qtabs[: 2 if ncomp == 3 else 1]):
+        out += b"\xff\xdb" + struct.pack(">HB", 67, tid) + bytes(
+            int(v) for v in tab[ZIGZAG]
+        )
+    out += bytes([0xFF, sof_marker]) + struct.pack(
+        ">HBHHB", 8 + 3 * ncomp, 8, plan["h0"], plan["w0"], ncomp
+    )
+    for i in range(ncomp):
+        out += struct.pack("BBB", i + 1, (samp[i][0] << 4) | samp[i][1], qids[i])
+    for tc, th, bits, vals in huff_specs:
+        out += b"\xff\xc4" + struct.pack(">HB", 19 + len(vals), (tc << 4) | th)
+        out += bytes(bits) + bytes(vals)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    return out
+
+
+def encode_jpeg(
+    img: np.ndarray,
+    quality: int = 85,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """uint8 image (H,W) / (H,W,1) grayscale or (H,W,3) RGB -> baseline
+    JFIF bytes. ``subsample=True`` writes 4:2:0 chroma; ``restart_interval``
+    (in MCUs) emits DRI + RSTn markers."""
+    plan = _plan(img, quality, subsample)
+    qblocks_zz = plan["qblocks_zz"]
+    samp, qids = plan["samp"], plan["qids"]
+    mcus_x, mcus_y = plan["mcus_x"], plan["mcus_y"]
+    ncomp = plan["ncomp"]
+    color = ncomp == 3
+
     dc_tabs = [_canonical_codes(DC_LUM_BITS, DC_LUM_VALS)]
     ac_tabs = [_canonical_codes(AC_LUM_BITS, AC_LUM_VALS)]
     if color:
         dc_tabs.append(_canonical_codes(DC_CHROM_BITS, DC_CHROM_VALS))
         ac_tabs.append(_canonical_codes(AC_CHROM_BITS, AC_CHROM_VALS))
     dc_of = [0] + ([1, 1] if color else [])
-    comp_idx_of = list(range(len(planes)))
+    comp_idx_of = list(range(ncomp))
 
-    out = bytearray()
-    out += b"\xff\xd8"  # SOI
-    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
-    for tid, tab in enumerate(qtabs[: 2 if color else 1]):
-        out += b"\xff\xdb" + struct.pack(">HB", 67, tid) + bytes(
-            int(v) for v in tab[ZIGZAG]
-        )
-    ncomp = 3 if color else 1
-    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h0, w0, ncomp)
-    for i in range(ncomp):
-        out += struct.pack("BBB", i + 1, (samp[i][0] << 4) | samp[i][1], qids[i])
     huff_specs = [(0, 0, DC_LUM_BITS, DC_LUM_VALS), (1, 0, AC_LUM_BITS, AC_LUM_VALS)]
     if color:
         huff_specs += [
             (0, 1, DC_CHROM_BITS, DC_CHROM_VALS),
             (1, 1, AC_CHROM_BITS, AC_CHROM_VALS),
         ]
-    for tc, th, bits, vals in huff_specs:
-        out += b"\xff\xc4" + struct.pack(">HB", 19 + len(vals), (tc << 4) | th)
-        out += bytes(bits) + bytes(vals)
-    if restart_interval:
-        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    out = _emit_headers(plan, 0xC0, huff_specs, restart_interval)
     out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ncomp, ncomp)
     for i in range(ncomp):
         out += struct.pack("BB", i + 1, (dc_of[i] << 4) | dc_of[i])
@@ -346,6 +387,221 @@ def encode_jpeg(
     writer.flush()
     out += writer.buf
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+#: every symbol a progressive AC scan can emit: (run, size) pairs, ZRL,
+#: and the EOBn family 0x00..0xE0 — which the Annex-K tables do NOT carry
+#: (they only have EOB0), so progressive scans use a flat custom table.
+_PROG_AC_SYMBOLS = (
+    [(r << 4) | s for r in range(16) for s in range(1, 11)]
+    + [0xF0]
+    + [r << 4 for r in range(15)]
+)
+
+
+def _flat_table(vals):
+    """All symbols at one canonical code length (the smallest that leaves
+    the all-ones code unused): spec-valid, compression-suboptimal. Used
+    for progressive AC scans; written into the file's DHT like any table."""
+    length = max(2, (len(vals) + 1).bit_length())
+    bits = [0] * 16
+    bits[length - 1] = len(vals)
+    return bits, list(vals)
+
+
+def _enc_ac_first_scan(blocks_zz, block_iter, ac_code, al) -> bytes:
+    """Progressive AC first scan (G.1.2.2): magnitudes >> al, EOB runs."""
+    w = _BitWriter()
+    eobrun = 0
+
+    def flush_eob():
+        nonlocal eobrun
+        if eobrun:
+            nb = eobrun.bit_length() - 1
+            code, ln = ac_code[nb << 4]
+            w.write(code, ln)
+            if nb:
+                w.write(eobrun - (1 << nb), nb)
+            eobrun = 0
+
+    for row, col in block_iter:
+        zz = blocks_zz[row, col]
+        r = 0
+        for k in range(1, 64):
+            t = int(zz[k])
+            v = abs(t) >> al
+            if v == 0:
+                r += 1
+                continue
+            flush_eob()
+            while r > 15:
+                code, ln = ac_code[0xF0]
+                w.write(code, ln)
+                r -= 16
+            size, bitsv = _magnitude(v if t > 0 else -v)
+            code, ln = ac_code[(r << 4) | size]
+            w.write(code, ln)
+            w.write(bitsv, size)
+            r = 0
+        if r > 0:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush_eob()
+    flush_eob()
+    w.flush()
+    return bytes(w.buf)
+
+
+def _enc_ac_refine_scan(blocks_zz, block_iter, ac_code, al) -> bytes:
+    """Progressive AC refinement scan (G.1.2.3): correction bits for
+    already-nonzero coefficients, ±1 for newly visible ones, buffered
+    correction bits riding behind EOBn/ZRL symbols — the IJG emit order,
+    which is what the refinement decoder consumes."""
+    w = _BitWriter()
+    eobrun = 0
+    pending: list[int] = []
+
+    def flush_eob():
+        nonlocal eobrun, pending
+        if eobrun:
+            nb = eobrun.bit_length() - 1
+            code, ln = ac_code[nb << 4]
+            w.write(code, ln)
+            if nb:
+                w.write(eobrun - (1 << nb), nb)
+            for b in pending:
+                w.write(b, 1)
+            pending = []
+            eobrun = 0
+
+    for row, col in block_iter:
+        zz = blocks_zz[row, col]
+        absv = [abs(int(zz[k])) >> al for k in range(64)]
+        eob = 0
+        for k in range(1, 64):
+            if absv[k] == 1:
+                eob = k
+        r = 0
+        br: list[int] = []
+        for k in range(1, 64):
+            t = absv[k]
+            if t == 0:
+                r += 1
+                continue
+            while r > 15 and k <= eob:
+                flush_eob()
+                code, ln = ac_code[0xF0]
+                w.write(code, ln)
+                r -= 16
+                for b in br:
+                    w.write(b, 1)
+                br = []
+            if t > 1:  # already nonzero: one correction bit, run untouched
+                br.append(t & 1)
+                continue
+            flush_eob()
+            code, ln = ac_code[(r << 4) | 1]
+            w.write(code, ln)
+            w.write(1 if int(zz[k]) > 0 else 0, 1)
+            for b in br:
+                w.write(b, 1)
+            br = []
+            r = 0
+        if r > 0 or br:
+            eobrun += 1
+            pending.extend(br)
+            if eobrun == 0x7FFF:
+                flush_eob()
+    flush_eob()
+    w.flush()
+    return bytes(w.buf)
+
+
+def encode_jpeg_progressive(
+    img: np.ndarray, quality: int = 85, subsample: bool = False
+) -> bytes:
+    """uint8 image -> progressive JFIF (SOF2). Scan script: interleaved DC
+    first at Al=1, per-component AC first (Ss=1..63, Al=1), interleaved DC
+    refinement (raw bits), per-component AC refinement — i.e. both
+    successive approximation AND spectral selection, so a decoder must
+    implement every Annex-G path to reproduce the baseline pixels. The
+    quantized coefficients are identical to :func:`encode_jpeg`'s, so the
+    decoded output is bit-identical to decoding the baseline encoding."""
+    plan = _plan(img, quality, subsample)
+    qblocks_zz = plan["qblocks_zz"]
+    samp = plan["samp"]
+    mcus_x, mcus_y = plan["mcus_x"], plan["mcus_y"]
+    ncomp = plan["ncomp"]
+    color = ncomp == 3
+    AL = 1
+
+    dc_specs = [(0, 0, DC_LUM_BITS, DC_LUM_VALS)]
+    if color:
+        dc_specs.append((0, 1, DC_CHROM_BITS, DC_CHROM_VALS))
+    ac_bits, ac_vals = _flat_table(_PROG_AC_SYMBOLS)
+    out = _emit_headers(plan, 0xC2, dc_specs + [(1, 0, ac_bits, ac_vals)], 0)
+    dc_of = [0] + ([1, 1] if color else [])
+    dc_tabs = [_canonical_codes(b, v) for _, _, b, v in dc_specs]
+    ac_code = _canonical_codes(ac_bits, ac_vals)
+
+    def sos(entries, ss, se, ah, al):
+        seg = b"\xff\xda" + struct.pack(">HB", 6 + 2 * len(entries), len(entries))
+        for cid, tt in entries:
+            seg += struct.pack("BB", cid, tt)
+        return seg + bytes([ss, se, (ah << 4) | al])
+
+    def interleaved():
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for ci in range(ncomp):
+                    hs, vs = samp[ci]
+                    for v in range(vs):
+                        for hh in range(hs):
+                            yield ci, my * vs + v, mx * hs + hh
+
+    def comp_blocks(ci):
+        hs, vs = samp[ci]
+        hmax = max(s[0] for s in samp)
+        vmax = max(s[1] for s in samp)
+        xi = -(-plan["w0"] * hs // hmax)
+        yi = -(-plan["h0"] * vs // vmax)
+        bw2 = -(-xi // 8)
+        bh2 = -(-yi // 8)
+        for row in range(bh2):
+            for col in range(bw2):
+                yield row, col
+
+    # scan 1: DC first, interleaved, successive approximation Al=1
+    out += sos([(i + 1, dc_of[i] << 4) for i in range(ncomp)], 0, 0, 0, AL)
+    w = _BitWriter()
+    preds = [0] * ncomp
+    for ci, r, c in interleaved():
+        dc = int(qblocks_zz[ci][r, c, 0]) >> AL
+        size, bitsv = _magnitude(dc - preds[ci])
+        preds[ci] = dc
+        code, ln = dc_tabs[dc_of[ci]][size]
+        w.write(code, ln)
+        if size:
+            w.write(bitsv, size)
+    w.flush()
+    out += w.buf
+    # per-component AC first scans
+    for ci in range(ncomp):
+        out += sos([(ci + 1, 0x00)], 1, 63, 0, AL)
+        out += _enc_ac_first_scan(qblocks_zz[ci], comp_blocks(ci), ac_code, AL)
+    # DC refinement: one raw bit per block, interleaved
+    out += sos([(i + 1, 0x00) for i in range(ncomp)], 0, 0, AL, 0)
+    w = _BitWriter()
+    for ci, r, c in interleaved():
+        w.write(int(qblocks_zz[ci][r, c, 0]) & 1, 1)
+    w.flush()
+    out += w.buf
+    # per-component AC refinement scans
+    for ci in range(ncomp):
+        out += sos([(ci + 1, 0x00)], 1, 63, AL, 0)
+        out += _enc_ac_refine_scan(qblocks_zz[ci], comp_blocks(ci), ac_code, 0)
+    out += b"\xff\xd9"
     return bytes(out)
 
 
@@ -456,20 +712,234 @@ def _split_entropy(data: bytes, pos: int):
     return segs, i
 
 
+def _comp_block_dims(c, h0, w0, hmax, vmax):
+    """Non-interleaved block grid of one component (T.81 A.1.1: ceil of
+    the component's own sample dims — NOT the MCU-padded grid)."""
+    xi = -(-w0 * c["h"] // hmax)
+    yi = -(-h0 * c["v"] // vmax)
+    return -(-yi // 8), -(-xi // 8)
+
+
+def _decode_sequential_scan(
+    segs, scan_comps, restart, mcus_y, mcus_x, h0, w0, hmax, vmax
+):
+    """One baseline/extended-sequential scan: DC+AC per block. Interleaved
+    (all components, MCU order) when len(scan_comps) > 1, else the single
+    component's own block raster."""
+    seg_idx = 0
+    reader = _BitReader(segs[0])
+    preds = {c["id"]: 0 for c in scan_comps}
+    since = 0
+
+    def next_segment():
+        nonlocal seg_idx, reader, preds, since
+        seg_idx += 1
+        if seg_idx >= len(segs):
+            raise ValueError("missing restart segment")
+        reader = _BitReader(segs[seg_idx])
+        preds = {c["id"]: 0 for c in scan_comps}
+        since = 0
+
+    def one_block(c, row, col):
+        zz = c["q"][row * c["bw"] + col]
+        size = _read_symbol(reader, c["dc_lut"])
+        diff = _extend(reader.receive(size), size)
+        preds[c["id"]] += diff
+        zz[0] = preds[c["id"]]
+        k = 1
+        while k < 64:
+            rs = _read_symbol(reader, c["ac_lut"])
+            if rs == 0x00:  # EOB
+                break
+            run, sz = rs >> 4, rs & 0x0F
+            if sz == 0:
+                if run != 15:
+                    raise ValueError("bad AC symbol")
+                k += 16
+                continue
+            k += run
+            if k > 63:
+                raise ValueError("AC index overflow")
+            zz[k] = _extend(reader.receive(sz), sz)
+            k += 1
+
+    if len(scan_comps) > 1:  # interleaved over MCUs
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if restart and since == restart:
+                    next_segment()
+                for c in scan_comps:
+                    for v in range(c["v"]):
+                        for hh in range(c["h"]):
+                            one_block(c, my * c["v"] + v, mx * c["h"] + hh)
+                since += 1
+    else:  # non-interleaved: the component's own block raster
+        c = scan_comps[0]
+        bh2, bw2 = _comp_block_dims(c, h0, w0, hmax, vmax)
+        for row in range(bh2):
+            for col in range(bw2):
+                if restart and since == restart:
+                    next_segment()
+                one_block(c, row, col)
+                since += 1
+
+
+def _refine_coef(block, k, p1, m1, reader):
+    """Correction bit for an already-nonzero coefficient (G.1.2.3)."""
+    if reader.receive(1) and (int(block[k]) & p1) == 0:
+        block[k] += p1 if block[k] >= 0 else m1
+
+
+def _decode_progressive_scan(
+    segs, scan_comps, restart, params, mcus_y, mcus_x, h0, w0, hmax, vmax
+):
+    """One SOF2 scan (T.81 Annex G): DC first/refine (interleaved or not),
+    AC first/refine (single component by spec). EOB runs, ZRL-in-refine,
+    and per-restart eobrun/pred resets included."""
+    ss, se, ah, al = params
+    seg_idx = 0
+    reader = _BitReader(segs[0])
+    preds = {c["id"]: 0 for c in scan_comps}
+    state = {"eobrun": 0}
+    since = 0
+
+    def next_segment():
+        nonlocal seg_idx, reader, preds, since
+        seg_idx += 1
+        if seg_idx >= len(segs):
+            raise ValueError("missing restart segment")
+        reader = _BitReader(segs[seg_idx])
+        preds = {c["id"]: 0 for c in scan_comps}
+        state["eobrun"] = 0
+        since = 0
+
+    def dc_block(c, row, col):
+        zz = c["q"][row * c["bw"] + col]
+        if ah == 0:  # first DC scan: huffman-coded diff, scaled by 2^Al
+            size = _read_symbol(reader, c["dc_lut"])
+            diff = _extend(reader.receive(size), size)
+            preds[c["id"]] += diff
+            zz[0] = preds[c["id"]] << al
+        else:  # refinement: one raw bit (two's-complement OR restores it)
+            if reader.receive(1):
+                zz[0] = int(zz[0]) | (1 << al)
+
+    def ac_first(c, row, col):
+        if state["eobrun"] > 0:
+            state["eobrun"] -= 1
+            return
+        zz = c["q"][row * c["bw"] + col]
+        k = ss
+        while k <= se:
+            rs = _read_symbol(reader, c["ac_lut"])
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r < 15:  # EOBn: run of 2^r + ext bits blocks
+                    state["eobrun"] = (1 << r) - 1
+                    if r:
+                        state["eobrun"] += reader.receive(r)
+                    break
+                k += 16  # ZRL
+                continue
+            k += r
+            if k > se:
+                raise ValueError("AC index overflow")
+            zz[k] = _extend(reader.receive(s), s) << al
+            k += 1
+
+    def ac_refine(c, row, col):
+        zz = c["q"][row * c["bw"] + col]
+        p1 = 1 << al
+        m1 = -1 << al
+        k = ss
+        if state["eobrun"] == 0:
+            while k <= se:
+                rs = _read_symbol(reader, c["ac_lut"])
+                r, s = rs >> 4, rs & 0x0F
+                val = 0
+                if s == 0:
+                    if r < 15:
+                        state["eobrun"] = 1 << r
+                        if r:
+                            state["eobrun"] += reader.receive(r)
+                        break
+                    # r == 15 (ZRL): pass 16 zero-history coefficients
+                else:
+                    if s != 1:
+                        raise ValueError("bad refinement symbol")
+                    val = p1 if reader.receive(1) else m1
+                while k <= se:
+                    if zz[k] != 0:
+                        _refine_coef(zz, k, p1, m1, reader)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if val and k <= se:
+                    zz[k] = val
+                k += 1
+        if state["eobrun"] > 0:
+            while k <= se:
+                if zz[k] != 0:
+                    _refine_coef(zz, k, p1, m1, reader)
+                k += 1
+            state["eobrun"] -= 1
+
+    if ss == 0:  # DC scan (Se must be 0 per spec)
+        if se != 0:
+            raise ValueError("progressive scan mixes DC and AC")
+        if len(scan_comps) > 1:
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    if restart and since == restart:
+                        next_segment()
+                    for c in scan_comps:
+                        for v in range(c["v"]):
+                            for hh in range(c["h"]):
+                                dc_block(c, my * c["v"] + v, mx * c["h"] + hh)
+                    since += 1
+        else:
+            c = scan_comps[0]
+            bh2, bw2 = _comp_block_dims(c, h0, w0, hmax, vmax)
+            for row in range(bh2):
+                for col in range(bw2):
+                    if restart and since == restart:
+                        next_segment()
+                    dc_block(c, row, col)
+                    since += 1
+        return
+    if len(scan_comps) != 1:
+        raise ValueError("progressive AC scan must be single-component")
+    c = scan_comps[0]
+    fn = ac_first if ah == 0 else ac_refine
+    bh2, bw2 = _comp_block_dims(c, h0, w0, hmax, vmax)
+    for row in range(bh2):
+        for col in range(bw2):
+            if restart and since == restart:
+                next_segment()
+            fn(c, row, col)
+            since += 1
+
+
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline JPEG bytes -> uint8 array: (H, W) for 1 component,
-    (H, W, 3) RGB for 3 (YCbCr per JFIF). Tables come from the file's own
-    DQT/DHT segments; SOF2/arithmetic raise ``ValueError``."""
+    """JPEG bytes -> uint8 array: (H, W) for 1 component, (H, W, 3) RGB
+    for 3 (YCbCr per JFIF). Handles baseline/extended sequential (SOF0/1,
+    interleaved or one-component-per-scan) and progressive (SOF2: spectral
+    selection + successive approximation, EOB runs, DC/AC refinement).
+    Tables come from the file's own DQT/DHT segments; hierarchical,
+    lossless and arithmetic-coded processes raise ``ValueError``."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     qtabs: dict[int, np.ndarray] = {}
-    huff: dict[tuple[int, int], dict] = {}
+    huff: dict[tuple[int, int], tuple] = {}
     comps = None
-    h0 = w0 = 0
+    h0 = w0 = hmax = vmax = mcus_x = mcus_y = 0
     restart = 0
+    progressive = False
+    saw_scan = False
     i = 2
     n = len(data)
-    scan = None
     while i < n:
         if data[i] != 0xFF:
             raise ValueError("marker expected")
@@ -506,7 +976,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 t = np.empty(64, dtype=np.int64)
                 t[ZIGZAG] = vals  # stored zigzag -> raster
                 qtabs[tq] = t
-        elif marker == 0xC4:  # DHT
+        elif marker == 0xC4:  # DHT (may be redefined between scans)
             j = 0
             while j < len(body):
                 tc, th = body[j] >> 4, body[j] & 0x0F
@@ -515,98 +985,76 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 vals = list(body[j + 17 : j + 17 + nv])
                 huff[(tc, th)] = _decode_huff_table(bits, vals)
                 j += 17 + nv
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (both baseline-decodable)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
+            progressive = marker == 0xC2
             _, h0, w0, nc = struct.unpack(">BHHB", body[:6])
             comps = []
             for k in range(nc):
                 cid, hv, tq = body[6 + 3 * k : 9 + 3 * k]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcus_x = -(-w0 // (8 * hmax))
+            mcus_y = -(-h0 // (8 * vmax))
+            for c in comps:
+                c["bw"] = mcus_x * c["h"]
+                c["bh"] = mcus_y * c["v"]
+                c["q"] = np.zeros((c["bh"] * c["bw"], 64), dtype=np.int64)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise ValueError(f"unsupported JPEG coding process (SOF{marker - 0xC0})")
         elif marker == 0xDD:  # DRI
             restart = struct.unpack(">H", body[:2])[0]
-        elif marker == 0xDA:  # SOS
+        elif marker == 0xDA:  # SOS — one of possibly many scans
+            if comps is None:
+                raise ValueError("SOS before SOF")
             ns = body[0]
-            scan = []
+            by_id = {c["id"]: c for c in comps}
+            scan_comps = []
             for k in range(ns):
                 cs, tt = body[1 + 2 * k : 3 + 2 * k]
-                scan.append({"id": cs, "dc": tt >> 4, "ac": tt & 0x0F})
-            i = i + 2 + seglen
-            break
+                c = by_id.get(cs)
+                if c is None:
+                    raise ValueError("scan references unknown component")
+                c["dc_lut"] = huff.get((0, tt >> 4))
+                c["ac_lut"] = huff.get((1, tt & 0x0F))
+                scan_comps.append(c)
+            ss, se, aa = body[1 + 2 * ns : 4 + 2 * ns]
+            ah, al = aa >> 4, aa & 0x0F
+            if 1 < ns < len(comps):
+                raise ValueError(
+                    "unsupported partial-interleave scan "
+                    f"({ns} of {len(comps)} components)"
+                )
+            # table presence: DC needed unless AC-only scan, and vice versa
+            for c in scan_comps:
+                needs_dc = ss == 0 and not (progressive and ah > 0)
+                needs_ac = se > 0
+                if needs_dc and c["dc_lut"] is None:
+                    raise ValueError("missing DC Huffman table")
+                if needs_ac and c["ac_lut"] is None:
+                    raise ValueError("missing AC Huffman table")
+                if c["tq"] not in qtabs:
+                    raise ValueError("missing quant table")
+            segs, end = _split_entropy(data, i + 2 + seglen)
+            if progressive:
+                _decode_progressive_scan(
+                    segs, scan_comps, restart, (ss, se, ah, al),
+                    mcus_y, mcus_x, h0, w0, hmax, vmax,
+                )
+            else:
+                if (ss, se, ah, al) != (0, 63, 0, 0):
+                    raise ValueError("bad sequential scan header")
+                _decode_sequential_scan(
+                    segs, scan_comps, restart,
+                    mcus_y, mcus_x, h0, w0, hmax, vmax,
+                )
+            saw_scan = True
+            i = end
+            continue
         i += 2 + seglen
-    if comps is None or scan is None:
+    if comps is None or not saw_scan:
         raise ValueError("missing SOF/SOS")
-    if len(scan) != len(comps):
-        # one-component-per-scan (non-interleaved) baseline: decoding only
-        # the first scan would emit silently wrong pixels — refuse loudly,
-        # like progressive
-        raise ValueError(
-            "unsupported non-interleaved multi-scan baseline JPEG "
-            f"(scan covers {len(scan)} of {len(comps)} components)"
-        )
-
-    by_id = {c["id"]: c for c in comps}
-    order = [by_id[s["id"]] for s in scan]
-    for c, s in zip(order, scan):
-        c["dc_lut"] = huff.get((0, s["dc"]))
-        c["ac_lut"] = huff.get((1, s["ac"]))
-        if c["dc_lut"] is None or c["ac_lut"] is None:
-            raise ValueError("missing Huffman table")
-        if c["tq"] not in qtabs:
-            raise ValueError("missing quant table")
-
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    mcus_x = -(-w0 // (8 * hmax))
-    mcus_y = -(-h0 // (8 * vmax))
-    for c in comps:
-        c["bw"] = mcus_x * c["h"]
-        c["bh"] = mcus_y * c["v"]
-        c["q"] = np.zeros((c["bh"] * c["bw"], 64), dtype=np.int64)
-
-    segs, _ = _split_entropy(data, i)
-    seg_idx = 0
-    reader = _BitReader(segs[0])
-    preds = {c["id"]: 0 for c in comps}
-    since = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if restart and since == restart:
-                seg_idx += 1
-                if seg_idx >= len(segs):
-                    raise ValueError("missing restart segment")
-                reader = _BitReader(segs[seg_idx])
-                preds = {c["id"]: 0 for c in comps}
-                since = 0
-            for c in order:
-                for v in range(c["v"]):
-                    for hh in range(c["h"]):
-                        zz = np.zeros(64, dtype=np.int64)
-                        size = _read_symbol(reader, c["dc_lut"])
-                        diff = _extend(reader.receive(size), size)
-                        preds[c["id"]] += diff
-                        zz[0] = preds[c["id"]]
-                        k = 1
-                        while k < 64:
-                            rs = _read_symbol(reader, c["ac_lut"])
-                            if rs == 0x00:  # EOB
-                                break
-                            run, sz = rs >> 4, rs & 0x0F
-                            if sz == 0:
-                                if run != 15:
-                                    raise ValueError("bad AC symbol")
-                                k += 16
-                                continue
-                            k += run
-                            if k > 63:
-                                raise ValueError("AC index overflow")
-                            zz[k] = _extend(reader.receive(sz), sz)
-                            k += 1
-                        row = my * c["v"] + v
-                        col = mx * c["h"] + hh
-                        c["q"][row * c["bw"] + col] = zz
-            since += 1
 
     planes = []
     for c in comps:

@@ -6,18 +6,18 @@ actor-pool stage shape, batch sizing for large binaries, output layout —
 is real and tested. Codec status:
 
 - ``DecodeImage(fake=False)`` / ``ResizeImage(fake=False)`` /
-  ``DecodeAudio(fake=False)`` run REAL decodes for baseline JPEG, PNG,
-  uncompressed 24-bit BMP, and PCM WAV via the pure-stdlib codecs in
-  ``functions/codecs`` (numpy DCT + zlib + ``wave`` — round-trip
-  property-tested). Rows whose payload is not one of those formats are
-  SKIPPED (the at-scale policy: a corrupt crawl object must not kill the
-  stage) — pass ``on_error="raise"`` to fail instead. A production
-  deployment swaps in a SIMD codec (PIL/ffmpeg) inside the same actor
-  ``__init__`` seam.
-- Progressive JPEG, MP3/MP4 and video frame EXTRACTION genuinely need
-  codec libraries this container lacks; ``FrameSampler`` keeps the honest
-  ``fake=True`` stub, and ``fake=True`` remains available on every stage
-  for shape-testing with synthetic payloads.
+  ``DecodeAudio(fake=False)`` run REAL decodes for JPEG (baseline AND
+  progressive), PNG, GIF, uncompressed 24-bit BMP, and PCM WAV via the
+  pure-stdlib codecs in ``functions/codecs`` (numpy DCT + zlib + LZW +
+  ``wave`` — round-trip property-tested). Rows whose payload is not one
+  of those formats are SKIPPED (the at-scale policy: a corrupt crawl
+  object must not kill the stage) — pass ``on_error="raise"`` to fail
+  instead. A production deployment swaps in a SIMD codec (PIL/ffmpeg)
+  inside the same actor ``__init__`` seam.
+- MP3/MP4 and video frame EXTRACTION genuinely need codec libraries this
+  container lacks; ``FrameSampler`` keeps the honest ``fake=True`` stub,
+  and ``fake=True`` remains available on every stage for shape-testing
+  with synthetic payloads.
 - Batch sizes for binary payloads must be SMALL (payload × batch_size ×
   concurrency bounds worker heap); the defaults assume ~1 MB payloads.
 

@@ -9,7 +9,11 @@ import numpy as np
 import pytest
 
 from ertransfer_ray.functions import jpeg as J
-from ertransfer_ray.functions.jpeg import decode_jpeg, encode_jpeg
+from ertransfer_ray.functions.jpeg import (
+    decode_jpeg,
+    encode_jpeg,
+    encode_jpeg_progressive,
+)
 
 
 def _psnr(a: np.ndarray, b: np.ndarray) -> float:
@@ -92,6 +96,7 @@ def test_annex_k_tables_are_valid_huffman():
         (J.DC_CHROM_BITS, J.DC_CHROM_VALS),
         (J.AC_LUM_BITS, J.AC_LUM_VALS),
         (J.AC_CHROM_BITS, J.AC_CHROM_VALS),
+        J._flat_table(J._PROG_AC_SYMBOLS),  # the progressive AC table
     ]:
         assert sum(bits) == len(vals)
         assert len(set(vals)) == len(vals)
@@ -122,10 +127,10 @@ def test_decoder_error_paths():
         decode_jpeg(b"\x00\x01\x02")
     with pytest.raises(ValueError):
         decode_jpeg(data[:40])  # truncated before SOS
-    # progressive flag: rewrite SOF0 (C0) marker to SOF2 (C2)
-    prog = data.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    # lossless flag: rewrite SOF0 (C0) marker to SOF3 (C3)
+    lossless = data.replace(b"\xff\xc0", b"\xff\xc3", 1)
     with pytest.raises(ValueError, match="unsupported"):
-        decode_jpeg(prog)
+        decode_jpeg(lossless)
 
 
 def test_fill_bytes_before_markers_accepted():
@@ -137,17 +142,75 @@ def test_fill_bytes_before_markers_accepted():
     assert _psnr(img, decode_jpeg(padded)) >= 40.0
 
 
-def test_multiscan_baseline_rejected_loudly():
-    """Non-interleaved (one-component-per-scan) baseline would decode
-    silently wrong from the first scan alone — it must raise instead."""
-    img = _gradient(16, 16)
-    data = encode_jpeg(img, quality=85)
-    idx = data.find(b"\xff\xda")
-    assert idx > 0
-    one_comp_sos = b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0x00]) + b"\x00\x3f\x00"
-    hacked = data[:idx] + one_comp_sos + data[idx + 2 + 12 :]
-    with pytest.raises(ValueError, match="non-interleaved"):
-        decode_jpeg(hacked)
+@pytest.mark.parametrize(
+    "shape,subsample",
+    [
+        ((48, 64, 3), False),
+        ((48, 64, 3), True),
+        ((37, 29), False),
+        ((45, 35, 3), True),
+        ((9, 17, 3), False),
+        ((1, 1), False),
+    ],
+)
+def test_progressive_bit_identical_to_baseline(shape, subsample):
+    """The progressive scan script (DC Al=1 + refine, per-component AC
+    first + refine) carries the SAME quantized coefficients as the
+    baseline encoding, so decode must be bit-identical — this pins every
+    Annex-G decoder path (EOB runs, ZRL-in-refine, correction bits,
+    successive approximation) against the already-validated baseline.
+    Random noise maximizes the refinement traffic."""
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, shape, dtype=np.uint8)
+    base = decode_jpeg(encode_jpeg(img, quality=85, subsample=subsample))
+    prog = decode_jpeg(encode_jpeg_progressive(img, quality=85, subsample=subsample))
+    assert np.array_equal(base, prog)
+
+
+def test_progressive_smooth_and_sniffable():
+    img = _gradient(40, 40)
+    data = encode_jpeg_progressive(img, quality=90)
+    assert b"\xff\xc2" in data  # SOF2
+    assert np.array_equal(decode_jpeg(data), decode_jpeg(encode_jpeg(img, quality=90)))
+
+
+def test_sequential_noninterleaved_scans():
+    """One-component-per-scan SEQUENTIAL files (spec-legal, occasionally
+    emitted): splice three grayscale entropy streams into one 3-component
+    SOF0 file and decode."""
+    from ertransfer_ray.functions.jpeg import _rgb_to_ycbcr
+
+    img = _gradient(24, 24)
+    y, cb, cr = (np.clip(np.round(p), 0, 255).astype(np.uint8)
+                 for p in _rgb_to_ycbcr(img))
+    streams = []
+    for plane in (y, cb, cr):
+        d = encode_jpeg(plane, quality=90)
+        s = d.find(b"\xff\xda")
+        streams.append(d[s + 2 + 8 : -2])  # entropy between SOS hdr and EOI
+        header_src = d  # headers identical across the three gray encodes
+    sof = header_src.find(b"\xff\xc0")
+    out = bytearray(header_src[:sof])  # SOI+APP0+DQT(lum)
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 9, 8, 24, 24, 3)
+    for cid in (1, 2, 3):
+        out += struct.pack("BBB", cid, 0x11, 0)
+    dht_start = header_src.find(b"\xff\xc4")
+    out += header_src[dht_start : header_src.find(b"\xff\xda")]
+    for cid, stream in zip((1, 2, 3), streams):
+        out += b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([cid, 0x00])
+        out += b"\x00\x3f\x00" + stream
+    out += b"\xff\xd9"
+    got = decode_jpeg(bytes(out))
+    # expected: same coefficients via the gray decodes + the module's own
+    # color formula (gray path rounds planes first -> allow off-by-2)
+    yd, cbd, crd = (decode_jpeg(encode_jpeg(p, quality=90)).astype(np.float64)
+                    for p in (y, cb, cr))
+    exp = np.clip(np.round(np.stack([
+        yd + 1.402 * (crd - 128.0),
+        yd - 0.344136 * (cbd - 128.0) - 0.714136 * (crd - 128.0),
+        yd + 1.772 * (cbd - 128.0),
+    ], axis=-1)), 0, 255)
+    assert np.abs(got.astype(np.float64) - exp).max() <= 2.0
 
 
 def test_encoder_rejects_bad_input():
