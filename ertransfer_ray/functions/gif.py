@@ -133,8 +133,9 @@ def _lzw_encode(indices: bytes, min_code_size: int) -> bytes:
 _INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
 
 
-def decode_gif(data: bytes) -> np.ndarray:
-    """GIF bytes -> (H, W, 3) uint8 RGB of the first image frame."""
+def _iter_raw_frames(data: bytes):
+    """Yield ((sw, sh), left, top, grid, lct, transparent, disposal) per
+    image block — index grids with interlacing already undone."""
     if data[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF")
     sw, sh, flags, _bg, _ar = struct.unpack("<HHBBB", data[6:13])
@@ -145,18 +146,20 @@ def decode_gif(data: bytes) -> np.ndarray:
         gct = np.frombuffer(data[i : i + 3 * gct_size], np.uint8).reshape(-1, 3)
         i += 3 * gct_size
     transparent = None
+    disposal = 0
     while i < len(data):
         b = data[i]
         if b == 0x3B:  # trailer
             break
-        if b == 0x21:  # extension: remember GCE transparency, skip blocks
+        if b == 0x21:  # extension: remember GCE fields, skip blocks
             label = data[i + 1]
             i += 2
             first = True
             while i < len(data) and data[i] != 0:
                 size = data[i]
-                if label == 0xF9 and first and size >= 4 and data[i + 1] & 1:
-                    transparent = data[i + 4]
+                if label == 0xF9 and first and size >= 4:
+                    disposal = (data[i + 1] >> 2) & 0x07
+                    transparent = data[i + 4] if data[i + 1] & 1 else None
                 first = False
                 i += 1 + size
             i += 1  # block terminator
@@ -190,23 +193,124 @@ def decode_gif(data: bytes) -> np.ndarray:
             de = np.empty_like(grid)
             src = 0
             for start, step in _INTERLACE_PASSES:
-                rows = range(start, h, step)
-                for r in rows:
+                for r in range(start, h, step):
                     de[r] = grid[src]
                     src += 1
             grid = de
-        rgb = lct[np.minimum(grid, len(lct) - 1)]
-        if transparent is not None:
-            # still-image policy: transparent pixels render as white
-            rgb = rgb.copy()
-            rgb[grid == transparent] = 255
-        # place the frame on the logical screen if it is offset/smaller
-        if (left, top, w, h) != (0, 0, sw, sh) and sw >= w + left and sh >= h + top:
+        yield (sw, sh), left, top, grid, lct, transparent, disposal
+        transparent = None
+        disposal = 0
+
+
+def decode_gif_frames(data: bytes, max_frames: int | None = None):
+    """Yield composited (H, W, 3) uint8 RGB frames of a (possibly
+    animated) GIF, applying disposal methods over a white canvas:
+    0/1 leave in place, 2 restore the frame rect to background (white),
+    3 restore the previous canvas. Transparent pixels keep what the
+    canvas holds — the standard frame-compositing model."""
+    canvas = None
+    emitted = 0
+    for (sw, sh), left, top, grid, lct, transparent, disposal in _iter_raw_frames(data):
+        if canvas is None:
             canvas = np.full((sh, sw, 3), 255, np.uint8)
-            canvas[top : top + h, left : left + w] = rgb
-            return canvas
-        return rgb.astype(np.uint8)
-    raise ValueError("GIF contains no image frame")
+        h, w = grid.shape
+        if left + w > sw or top + h > sh:  # clip out-of-screen rects
+            w = min(w, sw - left)
+            h = min(h, sh - top)
+            if w <= 0 or h <= 0:
+                continue
+            grid = grid[:h, :w]
+        prev = canvas.copy() if disposal == 3 else None
+        rgb = lct[np.minimum(grid, len(lct) - 1)]
+        region = canvas[top : top + h, left : left + w]
+        if transparent is not None:
+            mask = (grid != transparent)[..., None]
+            region[...] = np.where(mask, rgb, region)
+        else:
+            region[...] = rgb
+        yield canvas.copy()
+        emitted += 1
+        if max_frames is not None and emitted >= max_frames:
+            return
+        if disposal == 2:
+            canvas[top : top + h, left : left + w] = 255
+        elif disposal == 3 and prev is not None:
+            canvas = prev
+    if emitted == 0:
+        raise ValueError("GIF contains no image frame")
+
+
+def decode_gif(data: bytes) -> np.ndarray:
+    """GIF bytes -> (H, W, 3) uint8 RGB of the first (composited) frame."""
+    return next(decode_gif_frames(data, max_frames=1))
+
+
+def encode_gif_animation(frames, screen=None) -> bytes:
+    """Multi-frame GIF89a writer (the test/interchange side of
+    :func:`decode_gif_frames`). ``frames`` is a list of dicts:
+    ``{"img": (h, w, 3) uint8, "left": 0, "top": 0, "disposal": 0,
+    "transparent_mask": optional (h, w) bool}``. One global palette is
+    built over all frame pixels (must stay ≤ 255 distinct colors — one
+    index is reserved for transparency); partial-rect frames + disposal
+    methods exercise the compositing model."""
+    norm = []
+    for f in frames:
+        img = np.asarray(f["img"])
+        if img.dtype != np.uint8 or img.ndim != 3 or img.shape[2] != 3:
+            raise ValueError("animation frames must be uint8 (h, w, 3)")
+        norm.append(
+            {
+                "img": img,
+                "left": int(f.get("left", 0)),
+                "top": int(f.get("top", 0)),
+                "disposal": int(f.get("disposal", 0)),
+                "mask": f.get("transparent_mask"),
+            }
+        )
+    if not norm:
+        raise ValueError("no frames")
+    sw = max(f["left"] + f["img"].shape[1] for f in norm)
+    sh = max(f["top"] + f["img"].shape[0] for f in norm)
+    if screen is not None:
+        sw, sh = max(sw, screen[0]), max(sh, screen[1])
+    colors = np.unique(
+        np.concatenate([f["img"].reshape(-1, 3) for f in norm]), axis=0
+    )
+    if len(colors) > 255:
+        raise ValueError("animation palette over 255 colors; quantize first")
+    trans_idx = len(colors)
+    lut = {tuple(c): i for i, c in enumerate(colors)}
+    size_pow = max(1, int(np.ceil(np.log2(max(trans_idx + 1, 2)))))
+    table_len = 1 << size_pow
+    pal = np.zeros((table_len, 3), np.uint8)
+    pal[: len(colors)] = colors
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", sw, sh, 0x80 | (size_pow - 1), 0, 0)
+    out += pal.tobytes()
+    min_code = max(2, size_pow)
+    for f in norm:
+        h, w = f["img"].shape[:2]
+        flat = f["img"].reshape(-1, 3)
+        idx = np.fromiter(
+            (lut[tuple(p)] for p in flat), dtype=np.uint8, count=len(flat)
+        )
+        tflag = 0
+        if f["mask"] is not None:
+            idx = np.where(f["mask"].reshape(-1), np.uint8(trans_idx), idx)
+            tflag = 1
+        out += bytes([0x21, 0xF9, 0x04, (f["disposal"] << 2) | tflag, 0, 0,
+                      trans_idx, 0x00])
+        out += b"\x2c" + struct.pack("<HHHHB", f["left"], f["top"], w, h, 0)
+        out.append(min_code)
+        lzw = _lzw_encode(idx.tobytes(), min_code)
+        for off in range(0, len(lzw), 255):
+            chunk = lzw[off : off + 255]
+            out.append(len(chunk))
+            out += chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
 
 
 def encode_gif(img: np.ndarray) -> bytes:

@@ -14,8 +14,10 @@ is real and tested. Codec status:
   object must not kill the stage) — pass ``on_error="raise"`` to fail
   instead. A production deployment swaps in a SIMD codec (PIL/ffmpeg)
   inside the same actor ``__init__`` seam.
-- MP3/MP4 and video frame EXTRACTION genuinely need codec libraries this
-  container lacks; ``FrameSampler`` keeps the honest ``fake=True`` stub,
+- ``FrameSampler(fake=False)`` runs REAL frame sampling for animated GIF
+  (disposal-composited frames via ``functions/gif``, k picked evenly,
+  re-encoded as PNG payloads). MP3 and MP4/H.264 genuinely need codec
+  libraries this container lacks — those stay honest ``fake=True`` stubs,
   and ``fake=True`` remains available on every stage for shape-testing
   with synthetic payloads.
 - Batch sizes for binary payloads must be SMALL (payload × batch_size ×
@@ -375,16 +377,60 @@ def decode_audio(ds, fake: bool = True, concurrency: int | tuple = (1, 4),
 
 
 class FrameSampler:
-    """Video frame-sampling stage shape: binary video → k evenly spaced
-    frame payloads (stub: slices of the byte stream). One row in, k rows out
-    (flat_map-shaped via map_batches)."""
+    """Video frame-sampling stage: binary video → k evenly spaced frame
+    payloads. One row in, ≤ k rows out (flat_map-shaped via map_batches).
 
-    def __init__(self, k: int = 4, fake: bool = True):
-        if not fake:
-            raise NotImplementedError("no video codec in this environment")
+    ``fake=False`` runs REAL sampling for animated GIF — the one motion
+    format decodable in this container (``functions/gif``): frames are
+    disposal-composited, k are picked evenly across the animation, and
+    each is re-encoded as PNG (lossless) into ``frame_payload``. Non-GIF
+    payloads are skipped (at-scale policy) or raised per ``on_error``.
+    MP4/H.264 genuinely need a codec library; the same stage seam takes
+    an ffmpeg-backed sampler in production. ``fake=True`` keeps the
+    byte-slice stub for shape tests with synthetic payloads."""
+
+    def __init__(self, k: int = 4, fake: bool = True, on_error: str = "skip"):
         self.k = k
+        self.fake = fake
+        self.on_error = on_error
+
+    def _real(self, batch: pa.Table) -> pa.Table:
+        from ..functions.codecs import encode_png
+        from ..functions.gif import decode_gif_frames
+
+        urls, frames, idxs = [], [], []
+        for url, payload in zip(
+            batch.column("url").to_pylist(), batch.column("payload").to_pylist()
+        ):
+            payload = bytes(payload)
+            try:
+                if payload[:6] not in (b"GIF87a", b"GIF89a"):
+                    raise ValueError("not an animated-GIF payload")
+                all_frames = list(decode_gif_frames(payload))
+            except Exception:
+                if self.on_error == "raise":
+                    raise
+                continue
+            picks = np.unique(
+                np.linspace(0, len(all_frames) - 1, num=min(self.k, len(all_frames)))
+                .round()
+                .astype(np.int64)
+            )
+            for i, fi in enumerate(picks):
+                urls.append(url)
+                idxs.append(i)
+                frames.append(encode_png(all_frames[fi]))
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "frame_index": pa.array(idxs, pa.int32()),
+                "frame_payload": pa.array(frames, pa.binary()),
+            }
+        )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if not self.fake:
+            return self._real(batch)
         urls, frames, idxs = [], [], []
         for url, payload in zip(
             batch.column("url").to_pylist(), batch.column("payload").to_pylist()
@@ -404,10 +450,13 @@ class FrameSampler:
         )
 
 
-def sample_frames(ds, k: int = 4, batch_size: int = 8, concurrency: int | tuple = (1, 4)):
+def sample_frames(
+    ds, k: int = 4, fake: bool = True, batch_size: int = 8,
+    concurrency: int | tuple = (1, 4),
+):
     return ds.map_batches(
         FrameSampler,
-        fn_constructor_kwargs={"k": k},
+        fn_constructor_kwargs={"k": k, "fake": fake},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,

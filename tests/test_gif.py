@@ -79,6 +79,87 @@ def test_transparency_renders_white():
     assert np.array_equal(out, np.full((4, 4, 3), 255, np.uint8))
 
 
+def test_animation_compositing_disposal_methods():
+    """Partial-rect frames + disposal 1/2/3 composite per the standard
+    model (white canvas; 2 = clear rect, 3 = restore previous)."""
+    from ertransfer_ray.functions.gif import (
+        decode_gif_frames,
+        encode_gif_animation,
+    )
+
+    base = np.full((10, 12, 3), 200, np.uint8)
+    red = np.zeros((4, 4, 3), np.uint8)
+    red[..., 0] = 255
+    blue = np.zeros((3, 3, 3), np.uint8)
+    blue[..., 2] = 255
+    data = encode_gif_animation(
+        [
+            {"img": base, "disposal": 1},
+            {"img": red, "left": 2, "top": 2, "disposal": 3},
+            {"img": blue, "left": 6, "top": 5, "disposal": 2},
+            {"img": red, "left": 0, "top": 0, "disposal": 0},
+        ]
+    )
+    f = list(decode_gif_frames(data))
+    assert len(f) == 4 and f[0].shape == (10, 12, 3)
+    assert (f[0] == 200).all()
+    assert (f[1][2:6, 2:6] == [255, 0, 0]).all() and (f[1][0, 0] == 200).all()
+    # disposal 3 after frame 2: red patch restored away
+    assert (f[2][2, 2] == 200).all() and (f[2][5:8, 6:9] == [0, 0, 255]).all()
+    # disposal 2 after frame 3: blue rect cleared to background white
+    assert (f[3][5:8, 6:9] == 255).all() and (f[3][0:4, 0:4] == [255, 0, 0]).all()
+
+
+def test_animation_transparency_mask():
+    from ertransfer_ray.functions.gif import (
+        decode_gif_frames,
+        encode_gif_animation,
+    )
+
+    base = np.full((6, 6, 3), 200, np.uint8)
+    red = np.zeros((4, 4, 3), np.uint8)
+    red[..., 0] = 255
+    m = np.zeros((4, 4), bool)
+    m[0, :] = True  # top row transparent -> canvas shows through
+    data = encode_gif_animation(
+        [{"img": base, "disposal": 1},
+         {"img": red, "transparent_mask": m}]
+    )
+    f = list(decode_gif_frames(data))
+    assert (f[1][0, 0:4] == 200).all()
+    assert (f[1][1:4, 0:4] == [255, 0, 0]).all()
+
+
+def test_frame_sampler_real_gif():
+    """FrameSampler(fake=False): animated GIF in, k evenly spaced
+    PNG-encoded composited frames out; non-GIF rows skipped."""
+    import pyarrow as pa
+
+    from ertransfer_ray.functions.codecs import decode_png
+    from ertransfer_ray.functions.gif import encode_gif_animation
+    from ertransfer_ray.stages.multimodal import FrameSampler
+
+    frames = [
+        {"img": np.full((8, 8, 3), 30 * i, np.uint8), "disposal": 1}
+        for i in range(6)
+    ]
+    gif = encode_gif_animation(frames)
+    batch = pa.table(
+        {
+            "url": pa.array(["http://a/anim.gif", "http://a/not-video"]),
+            "mime": pa.array(["image/gif", "application/octet-stream"]),
+            "payload": pa.array([gif, b"junk"], pa.binary()),
+        }
+    )
+    out = FrameSampler(k=3, fake=False)(batch)
+    assert out.num_rows == 3  # junk skipped
+    rows = out.to_pylist()
+    assert [r["frame_index"] for r in rows] == [0, 1, 2]
+    imgs = [decode_png(r["frame_payload"]) for r in rows]
+    # evenly spaced across 6 frames: 0, ~2.5, 5 -> values 0, 60|90, 150
+    assert (imgs[0] == 0).all() and (imgs[2] == 150).all()
+
+
 def test_sniff_and_errors():
     from ertransfer_ray.functions.codecs import sniff_mime
 
