@@ -31,6 +31,8 @@ import numpy as np
 def _lzw_decode(data: bytes, min_code_size: int, expected: int) -> bytearray:
     """GIF-variant LZW: variable code width, CLEAR/EOI codes, dictionary
     capped at 4096 entries. Stops after ``expected`` output bytes."""
+    if not 1 <= min_code_size <= 11:
+        raise ValueError(f"bad LZW minimum code size {min_code_size}")
     clear = 1 << min_code_size
     eoi = clear + 1
     out = bytearray()
@@ -65,11 +67,9 @@ def _lzw_decode(data: bytes, min_code_size: int, expected: int) -> bytearray:
             continue
         if code == eoi:
             break
-        if prev is None:
+        if code in table:
             entry = table[code]
-        elif code in table:
-            entry = table[code]
-        elif code == next_code:
+        elif prev is not None and code == next_code:
             entry = table_prev + table_prev[:1]  # the KwKwK case
         else:
             raise ValueError("corrupt LZW stream")
@@ -138,11 +138,15 @@ def _iter_raw_frames(data: bytes):
     image block — index grids with interlacing already undone."""
     if data[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF")
+    if len(data) < 13:
+        raise ValueError("truncated GIF header")
     sw, sh, flags, _bg, _ar = struct.unpack("<HHBBB", data[6:13])
     i = 13
     gct = None
     if flags & 0x80:
         gct_size = 2 << (flags & 0x07)
+        if i + 3 * gct_size > len(data):
+            raise ValueError("truncated GIF color table")
         gct = np.frombuffer(data[i : i + 3 * gct_size], np.uint8).reshape(-1, 3)
         i += 3 * gct_size
     transparent = None
@@ -152,6 +156,8 @@ def _iter_raw_frames(data: bytes):
         if b == 0x3B:  # trailer
             break
         if b == 0x21:  # extension: remember GCE fields, skip blocks
+            if i + 1 >= len(data):
+                raise ValueError("truncated GIF extension")
             label = data[i + 1]
             i += 2
             first = True
@@ -166,15 +172,21 @@ def _iter_raw_frames(data: bytes):
             continue
         if b != 0x2C:
             raise ValueError(f"unexpected GIF block 0x{b:02x}")
+        if i + 10 > len(data):
+            raise ValueError("truncated GIF image descriptor")
         left, top, w, h, iflags = struct.unpack("<HHHHB", data[i + 1 : i + 10])
         i += 10
         lct = gct
         if iflags & 0x80:
             lct_size = 2 << (iflags & 0x07)
+            if i + 3 * lct_size > len(data):
+                raise ValueError("truncated GIF color table")
             lct = np.frombuffer(data[i : i + 3 * lct_size], np.uint8).reshape(-1, 3)
             i += 3 * lct_size
         if lct is None:
             raise ValueError("GIF frame has no color table")
+        if i >= len(data):
+            raise ValueError("truncated GIF image data")
         min_code = data[i]
         i += 1
         sub = bytearray()

@@ -941,12 +941,19 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     i = 2
     n = len(data)
     while i < n:
+        # once a scan decoded, trailer garbage (truncated EOI, appended
+        # junk) must not reject the pixels already in hand — real crawl
+        # files end dirty; stop parsing instead of raising
         if data[i] != 0xFF:
+            if saw_scan:
+                break
             raise ValueError("marker expected")
         # T.81 B.1.1.2: any number of 0xFF fill bytes may pad a marker
         while i + 1 < n and data[i + 1] == 0xFF:
             i += 1
         if i + 1 >= n:
+            if saw_scan:
+                break
             raise ValueError("truncated marker")
         marker = data[i + 1]
         if marker == 0xD9:  # EOI
@@ -955,6 +962,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             i += 2
             continue
         if i + 4 > n:
+            if saw_scan:
+                break
             raise ValueError("truncated segment header")
         seglen = struct.unpack(">H", data[i + 2 : i + 4])[0]
         body = data[i + 4 : i + 2 + seglen]
@@ -1002,6 +1011,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 c["q"] = np.zeros((c["bh"] * c["bw"], 64), dtype=np.int64)
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
+            if saw_scan:  # junk trailer that happens to look like an SOF
+                break
             raise ValueError(f"unsupported JPEG coding process (SOF{marker - 0xC0})")
         elif marker == 0xDD:  # DRI
             restart = struct.unpack(">H", body[:2])[0]

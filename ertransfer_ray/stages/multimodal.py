@@ -390,13 +390,15 @@ class FrameSampler:
     byte-slice stub for shape tests with synthetic payloads."""
 
     def __init__(self, k: int = 4, fake: bool = True, on_error: str = "skip"):
+        if on_error not in ("skip", "raise"):
+            raise ValueError("on_error must be 'skip' or 'raise'")
         self.k = k
         self.fake = fake
         self.on_error = on_error
 
     def _real(self, batch: pa.Table) -> pa.Table:
         from ..functions.codecs import encode_png
-        from ..functions.gif import decode_gif_frames
+        from ..functions.gif import _iter_raw_frames, decode_gif_frames
 
         urls, frames, idxs = [], [], []
         for url, payload in zip(
@@ -406,20 +408,33 @@ class FrameSampler:
             try:
                 if payload[:6] not in (b"GIF87a", b"GIF89a"):
                     raise ValueError("not an animated-GIF payload")
-                all_frames = list(decode_gif_frames(payload))
+                # count pass first: holding EVERY composited canvas of a
+                # 300-frame crawl GIF (x batch x actors) blows worker
+                # heaps; index grids live one at a time here, and the
+                # composite pass below keeps only the k picked frames
+                n_frames = sum(1 for _ in _iter_raw_frames(payload))
+                if n_frames == 0:
+                    raise ValueError("GIF contains no image frame")
+                picks = set(
+                    np.unique(
+                        np.linspace(0, n_frames - 1, num=min(self.k, n_frames))
+                        .round()
+                        .astype(np.int64)
+                    ).tolist()
+                )
+                kept = [
+                    f
+                    for fi, f in enumerate(decode_gif_frames(payload))
+                    if fi in picks
+                ]
             except Exception:
                 if self.on_error == "raise":
                     raise
                 continue
-            picks = np.unique(
-                np.linspace(0, len(all_frames) - 1, num=min(self.k, len(all_frames)))
-                .round()
-                .astype(np.int64)
-            )
-            for i, fi in enumerate(picks):
+            for i, frame in enumerate(kept):
                 urls.append(url)
                 idxs.append(i)
-                frames.append(encode_png(all_frames[fi]))
+                frames.append(encode_png(frame))
         return pa.table(
             {
                 "url": pa.array(urls, pa.string()),
@@ -451,8 +466,8 @@ class FrameSampler:
 
 
 def sample_frames(
-    ds, k: int = 4, fake: bool = True, batch_size: int = 8,
-    concurrency: int | tuple = (1, 4),
+    ds, k: int = 4, batch_size: int = 8,
+    concurrency: int | tuple = (1, 4), *, fake: bool = True,
 ):
     return ds.map_batches(
         FrameSampler,

@@ -176,6 +176,28 @@ def test_sniff_and_errors():
         decode_gif(data[:14] + b"\x3b")  # trailer before any frame
 
 
+@pytest.mark.parametrize("cut", [7, 12, 20, 40, -3])
+def test_corrupt_gifs_raise_valueerror(cut):
+    """The codec-family contract: undecodable payloads raise ValueError,
+    never KeyError/IndexError/struct.error."""
+    img = _paletted((12, 12), 9)
+    data = encode_gif(img)
+    corrupt = data[:cut] if cut > 0 else data[:cut] + b"\xff\xff\xff"
+    try:
+        decode_gif(corrupt)
+    except ValueError:
+        pass  # the documented failure mode (full decode also acceptable)
+
+
+def test_corrupt_lzw_first_code_raises_valueerror():
+    from ertransfer_ray.functions.gif import _lzw_decode
+
+    with pytest.raises(ValueError):
+        _lzw_decode(b"\x07", 2, 10)  # out-of-table first code
+    with pytest.raises(ValueError):
+        _lzw_decode(b"\x00", 200, 10)  # absurd min code size
+
+
 def test_decode_image_stage_handles_gif():
     import pyarrow as pa
 

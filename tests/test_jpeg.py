@@ -213,6 +213,23 @@ def test_sequential_noninterleaved_scans():
     assert np.abs(got.astype(np.float64) - exp).max() <= 2.0
 
 
+def test_dirty_trailer_tolerated_after_scan():
+    """Real crawl files end dirty: truncated EOI or appended junk after
+    the entropy data must not reject pixels already decoded."""
+    img = _gradient(16, 16)
+    data = encode_jpeg(img, quality=85)
+    clean = decode_jpeg(data)
+    # drop EOI, leave a dangling 0xFF
+    assert np.array_equal(decode_jpeg(data[:-2] + b"\xff"), clean)
+    # appended junk containing marker-like bytes (incl. a fake SOF3)
+    assert np.array_equal(
+        decode_jpeg(data[:-2] + b"\x00junk\xff\xc3\x99"), clean
+    )
+    # but pre-scan truncation still raises
+    with pytest.raises(ValueError):
+        decode_jpeg(data[:40])
+
+
 def test_encoder_rejects_bad_input():
     with pytest.raises(ValueError):
         encode_jpeg(np.zeros((4, 4), np.float32))
