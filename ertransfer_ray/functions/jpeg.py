@@ -564,10 +564,11 @@ def encode_jpeg_progressive(
         hs, vs = samp[ci]
         hmax = max(s[0] for s in samp)
         vmax = max(s[1] for s in samp)
-        xi = -(-plan["w0"] * hs // hmax)
-        yi = -(-plan["h0"] * vs // vmax)
-        bw2 = -(-xi // 8)
-        bh2 = -(-yi // 8)
+        # the decoder's block-grid math, verbatim — the two sides must
+        # stay bit-identical on non-MCU-aligned subsampled images
+        bh2, bw2 = _comp_block_dims(
+            {"h": hs, "v": vs}, plan["h0"], plan["w0"], hmax, vmax
+        )
         for row in range(bh2):
             for col in range(bw2):
                 yield row, col
