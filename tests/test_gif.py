@@ -27,6 +27,25 @@ def test_palette_exact_roundtrip(shape, n):
     assert np.array_equal(out, img)
 
 
+def test_gif_property_roundtrip():
+    """Hypothesis: any ≤256-color uint8 image round-trips exactly."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        h=st.integers(1, 20),
+        w=st.integers(1, 20),
+        n_colors=st.integers(1, 8),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def check(h, w, n_colors, seed):
+        img = _paletted((h, w), n_colors, seed=seed)
+        assert np.array_equal(decode_gif(encode_gif(img)), img)
+
+    check()
+
+
 def test_gray_roundtrip():
     rng = np.random.default_rng(1)
     g = (rng.integers(0, 4, (23, 17)) * 80).astype(np.uint8)

@@ -167,6 +167,36 @@ def test_progressive_bit_identical_to_baseline(shape, subsample):
     assert np.array_equal(base, prog)
 
 
+def test_progressive_property_bit_identical():
+    """Hypothesis: for ANY image/geometry/quality/subsampling, the
+    progressive encoding decodes bit-identically to the baseline one —
+    the two carry the same quantized coefficients by construction."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        h=st.integers(1, 24),
+        w=st.integers(1, 24),
+        color=st.booleans(),
+        subsample=st.booleans(),
+        quality=st.integers(30, 95),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def check(h, w, color, subsample, quality, seed):
+        rng = np.random.default_rng(seed)
+        shape = (h, w, 3) if color else (h, w)
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        sub = subsample and color
+        base = decode_jpeg(encode_jpeg(img, quality=quality, subsample=sub))
+        prog = decode_jpeg(
+            encode_jpeg_progressive(img, quality=quality, subsample=sub)
+        )
+        assert np.array_equal(base, prog)
+
+    check()
+
+
 def test_progressive_smooth_and_sniffable():
     img = _gradient(40, 40)
     data = encode_jpeg_progressive(img, quality=90)
