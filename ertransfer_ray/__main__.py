@@ -1,8 +1,16 @@
-"""CLI for the three-step container contract (SURVEY §2.10):
+"""CLI for the three-step container contract (SURVEY §2.10) plus the
+job-submission flagship entrypoint:
 
     python -m ertransfer_ray splitter  <input_dir> [output_dir] [-r R] [-d] [--method m] [-s SEED]
     python -m ertransfer_ray matcher   <input_dir> [output_dir] [-t DIR ...] [-e N] [-pt] [-s SEED]
     python -m ertransfer_ray clustering <predictions_file> [output_dir] [-d]
+    python -m ertransfer_ray run-er    <pages.parquet> <workdir> [--theta T] [--shards N]
+
+``run-er`` is the shape a cluster deployment submits
+(``ray job submit --working-dir . -- python -m ertransfer_ray run-er …``):
+the driver process attaches to the running cluster via RAY_ADDRESS, runs the
+checkpointed three-stage pipeline, and a resubmitted job resumes finished
+stages from their manifests at zero recompute.
 
 Argument shapes mirror the reference entrypoints
 (/root/reference/splitters/KNN-Join/splitter.py:135-158,
@@ -56,6 +64,27 @@ def build_parser() -> argparse.ArgumentParser:
     cl.add_argument("output", nargs="?", default=None)
     cl.add_argument("-d", "--default", action="store_true")
     cl.add_argument("-s", "--seed", type=int, default=42)
+
+    # the `ray job submit` entrypoint (BASELINE.json north_rule): the whole
+    # three-stage flagship over an input_hint-shaped pages parquet, with
+    # durable per-stage checkpoints + manifests so a killed job resumes at
+    # zero recompute:  ray job submit --working-dir . -- \
+    #     python -m ertransfer_ray run-er pages.parquet /mnt/ckpt/run1
+    er = sub.add_parser(
+        "run-er",
+        help="pages parquet -> checkpointed blocking/scoring/clustering run",
+    )
+    er.add_argument("input", help="pages parquet (url, warc_ts, html, text, lang)")
+    er.add_argument("workdir", help="checkpoint dir (stage parquet + manifests)")
+    er.add_argument("--theta", type=float, default=0.5,
+                    help="match-probability threshold for the cluster graph")
+    er.add_argument("--shards", type=int, default=4,
+                    help="resume granularity for the shardable stages")
+    er.add_argument("--key-bits", type=int, choices=[64, 128], default=64,
+                    dest="key_bits",
+                    help="connected-components node-key width (128 beyond ~1e10 nodes)")
+    er.add_argument("--normalized", action="store_true",
+                    help="input already carries (url, norm_text, norm_title)")
     return p
 
 
@@ -64,12 +93,30 @@ def main(argv: list[str] | None = None) -> dict:
 
     import ray
 
-    from .pipelines.steps import get_stage
-
     owns_ray = not ray.is_initialized()
     if owns_ray:
         ray.init(address="local", include_dashboard=False, logging_level="ERROR")
     try:
+        if args.stage == "run-er":
+            from .pipelines.checkpointed import run_er_checkpointed
+            from .pipelines.er_pipeline import ERConfig
+
+            result = run_er_checkpointed(
+                args.input,
+                args.workdir,
+                cfg=ERConfig(theta=args.theta, cc_key_bits=args.key_bits),
+                num_shards=args.shards,
+                normalized_input=args.normalized,
+            )
+            print(json.dumps(
+                {"stage": "run-er", "ok": True, "stages": result["stages"],
+                 "metrics": result["metrics"]},
+                sort_keys=True,
+            ))
+            return result
+
+        from .pipelines.steps import get_stage
+
         stage = get_stage(args.stage)()
         if args.stage in ("normalize", "merger"):
             result = stage.run(args.input, args.output)

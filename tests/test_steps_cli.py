@@ -210,3 +210,30 @@ def test_merger_stage_round_trips_matches(tmp_path):
         for s in ("train", "valid", "test")
     )
     assert len(got_set) == labeled_pos
+
+
+def test_run_er_cli_computes_then_resumes(tmp_path, pages_dir):
+    """`python -m ertransfer_ray run-er` — the ray-job-submit entrypoint —
+    runs the checkpointed flagship end-to-end, and a resubmitted run
+    resumes every stage from its manifest (BASELINE.json north_rule:
+    resumable `ray job submit` runs)."""
+    from ertransfer_ray.pipelines.checkpointed import read_clusters
+
+    pages = os.path.join(pages_dir, "pages.parquet")
+    workdir = str(tmp_path / "er_run")
+    r1 = main(["run-er", pages, workdir, "--shards", "2"])
+    assert set(r1["stages"]) == {"normalized", "pairs", "predictions", "clusters"}
+    assert all(v == "computed" for v in r1["stages"].values())
+
+    clusters = read_clusters(workdir).to_pandas()
+    assert len(clusters) > 0
+    assert {"url", "cluster_id"} <= set(clusters.columns)
+    # clustered urls are real input urls, each assigned exactly once
+    # (singletons with no above-threshold edge carry no row by contract)
+    pages_df = pd.read_parquet(pages, columns=["url"])
+    assert set(clusters["url"]) <= set(pages_df["url"])
+    assert clusters["url"].is_unique
+    assert clusters["cluster_id"].nunique() < len(clusters)
+
+    r2 = main(["run-er", pages, workdir, "--shards", "2"])
+    assert all(v == "resumed" for v in r2["stages"].values())
