@@ -380,14 +380,17 @@ class FrameSampler:
     """Video frame-sampling stage: binary video → k evenly spaced frame
     payloads. One row in, ≤ k rows out (flat_map-shaped via map_batches).
 
-    ``fake=False`` runs REAL sampling for animated GIF — the one motion
-    format decodable in this container (``functions/gif``): frames are
-    disposal-composited, k are picked evenly across the animation, and
-    each is re-encoded as PNG (lossless) into ``frame_payload``. Non-GIF
-    payloads are skipped (at-scale policy) or raised per ``on_error``.
-    MP4/H.264 genuinely need a codec library; the same stage seam takes
-    an ffmpeg-backed sampler in production. ``fake=True`` keeps the
-    byte-slice stub for shape tests with synthetic payloads."""
+    ``fake=False`` runs REAL sampling for the two motion formats decodable
+    in this container: animated GIF (``functions/gif`` — frames are
+    disposal-composited) and MJPEG-in-AVI (``functions/avi`` walks the
+    RIFF container header-only; picked frames decode via
+    ``functions/jpeg``). k frames are picked evenly across the animation
+    and each is re-encoded as PNG (lossless) into ``frame_payload``.
+    Other payloads are skipped (at-scale policy) or raised per
+    ``on_error``. MP4/H.264 genuinely need a codec library; the same
+    stage seam takes an ffmpeg-backed sampler in production.
+    ``fake=True`` keeps the byte-slice stub for shape tests with
+    synthetic payloads."""
 
     def __init__(self, k: int = 4, fake: bool = True, on_error: str = "skip"):
         if on_error not in ("skip", "raise"):
@@ -396,9 +399,21 @@ class FrameSampler:
         self.fake = fake
         self.on_error = on_error
 
+    @staticmethod
+    def _even_picks(n_frames: int, k: int) -> set[int]:
+        return set(
+            np.unique(
+                np.linspace(0, n_frames - 1, num=min(k, n_frames))
+                .round()
+                .astype(np.int64)
+            ).tolist()
+        )
+
     def _real(self, batch: pa.Table) -> pa.Table:
+        from ..functions.avi import is_avi, iter_avi_mjpeg_frames
         from ..functions.codecs import encode_png
         from ..functions.gif import _iter_raw_frames, decode_gif_frames
+        from ..functions.jpeg import decode_jpeg
 
         urls, frames, idxs = [], [], []
         for url, payload in zip(
@@ -406,27 +421,35 @@ class FrameSampler:
         ):
             payload = bytes(payload)
             try:
-                if payload[:6] not in (b"GIF87a", b"GIF89a"):
-                    raise ValueError("not an animated-GIF payload")
-                # count pass first: holding EVERY composited canvas of a
-                # 300-frame crawl GIF (x batch x actors) blows worker
-                # heaps; index grids live one at a time here, and the
-                # composite pass below keeps only the k picked frames
-                n_frames = sum(1 for _ in _iter_raw_frames(payload))
-                if n_frames == 0:
-                    raise ValueError("GIF contains no image frame")
-                picks = set(
-                    np.unique(
-                        np.linspace(0, n_frames - 1, num=min(self.k, n_frames))
-                        .round()
-                        .astype(np.int64)
-                    ).tolist()
-                )
-                kept = [
-                    f
-                    for fi, f in enumerate(decode_gif_frames(payload))
-                    if fi in picks
-                ]
+                if payload[:6] in (b"GIF87a", b"GIF89a"):
+                    # count pass first: holding EVERY composited canvas of
+                    # a 300-frame crawl GIF (x batch x actors) blows worker
+                    # heaps; index grids live one at a time here, and the
+                    # composite pass below keeps only the k picked frames
+                    n_frames = sum(1 for _ in _iter_raw_frames(payload))
+                    if n_frames == 0:
+                        raise ValueError("GIF contains no image frame")
+                    picks = self._even_picks(n_frames, self.k)
+                    kept = [
+                        f
+                        for fi, f in enumerate(decode_gif_frames(payload))
+                        if fi in picks
+                    ]
+                elif is_avi(payload):
+                    # same two-pass shape: the count pass walks RIFF chunk
+                    # headers only (no entropy decode), then exactly the k
+                    # picked 00dc chunks pay the JPEG decode
+                    n_frames = sum(1 for _ in iter_avi_mjpeg_frames(payload))
+                    if n_frames == 0:
+                        raise ValueError("AVI contains no video frame")
+                    picks = self._even_picks(n_frames, self.k)
+                    kept = [
+                        decode_jpeg(jpg)
+                        for fi, jpg in enumerate(iter_avi_mjpeg_frames(payload))
+                        if fi in picks
+                    ]
+                else:
+                    raise ValueError("not an animated-GIF or MJPEG-AVI payload")
             except Exception:
                 if self.on_error == "raise":
                     raise
