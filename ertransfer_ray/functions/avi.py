@@ -101,6 +101,25 @@ def avi_info(data: bytes) -> dict:
     return info
 
 
+def count_avi_frames(data: bytes) -> int:
+    """Number of video-frame chunks, walking chunk HEADERS only — no frame
+    bytes are sliced/copied (what the sampler's count pass wants; a
+    300-frame clip would otherwise copy its whole ``movi`` body just to be
+    counted). Same stream/codec validation as the frame iterator."""
+    _expect(is_avi(data), "not a RIFF/AVI payload")
+    fourcc = avi_info(data)["fourcc"].upper()
+    _expect(fourcc in ("MJPG", "DMB1", ""), f"stream codec {fourcc!r} is not MJPEG")
+    n = 0
+    for cc, off, size in _iter_chunks(data, 12, len(data)):
+        if cc != b"LIST:movi":
+            continue
+        for c2, _o2, s2 in _iter_chunks(data, off, off + size):
+            if c2 in (b"00dc", b"00db") and s2 > 0:
+                n += 1
+        break
+    return n
+
+
 def iter_avi_mjpeg_frames(data: bytes):
     """Yield raw JPEG bytes per video frame (``00dc``/``00db`` chunks of
     stream 0 in the ``movi`` list), lazily — header-only walking until a

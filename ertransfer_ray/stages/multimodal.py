@@ -410,7 +410,7 @@ class FrameSampler:
         )
 
     def _real(self, batch: pa.Table) -> pa.Table:
-        from ..functions.avi import is_avi, iter_avi_mjpeg_frames
+        from ..functions.avi import count_avi_frames, is_avi, iter_avi_mjpeg_frames
         from ..functions.codecs import encode_png
         from ..functions.gif import _iter_raw_frames, decode_gif_frames
         from ..functions.jpeg import decode_jpeg
@@ -437,9 +437,9 @@ class FrameSampler:
                     ]
                 elif is_avi(payload):
                     # same two-pass shape: the count pass walks RIFF chunk
-                    # headers only (no entropy decode), then exactly the k
-                    # picked 00dc chunks pay the JPEG decode
-                    n_frames = sum(1 for _ in iter_avi_mjpeg_frames(payload))
+                    # headers only (no byte copies, no entropy decode), then
+                    # exactly the k picked 00dc chunks pay the JPEG decode
+                    n_frames = count_avi_frames(payload)
                     if n_frames == 0:
                         raise ValueError("AVI contains no video frame")
                     picks = self._even_picks(n_frames, self.k)

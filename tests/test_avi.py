@@ -133,3 +133,17 @@ def test_sniff_mime_avi():
     from ertransfer_ray.functions.codecs import sniff_mime
 
     assert sniff_mime(encode_avi_mjpeg(_frames(1))) == "video/x-msvideo"
+
+
+def test_count_avi_frames_matches_iterator():
+    from ertransfer_ray.functions.avi import count_avi_frames
+
+    frames = _frames(6)
+    avi = encode_avi_mjpeg(frames)
+    assert count_avi_frames(avi) == len(list(iter_avi_mjpeg_frames(avi))) == 6
+    # truncated payloads count exactly the frames the iterator yields
+    full = list(iter_avi_mjpeg_frames(avi))
+    cut = avi.rfind(full[-1]) + len(full[-1]) // 2
+    assert count_avi_frames(avi[:cut]) == 5
+    with pytest.raises(ValueError):
+        count_avi_frames(b"not avi")
