@@ -193,7 +193,7 @@ def probability_histogram(
 ) -> pd.DataFrame:
     """Per-label probability histogram, the reference's plot data
     (entrypoint.py:10-30): bins [0, 1] step 0.01, one count column per
-    label. Rendered as a table; the PNG is optional (matplotlib-gated)."""
+    label. Rendered as a table AND a real PNG (functions/plot.py)."""
     bins = np.arange(0.0, 1.0 + bin_width, bin_width)
     out = {"bin_lo": bins[:-1]}
     for lab in (0, 1):
@@ -212,9 +212,10 @@ def write_clustering_report(
 ) -> dict:
     """The S11 step: tune (or apply θ=0.5 in ``default`` mode, mirroring
     entrypoint.py:71-76/89-94) both clustering methods, write
-    ``<ds>_clustering.txt`` + ``<ds>_histogram.txt`` (+ PNG when matplotlib
-    exists — it does not in this container, so the text table is the
-    checked artifact). Returns the per-method results dict."""
+    ``<ds>_clustering.txt`` + ``<ds>_histogram.txt`` + a real
+    ``<ds>_histogram.png`` (rendered by functions/plot.py over the repo's
+    own PNG encoder — no matplotlib needed). Returns the per-method
+    results dict."""
     os.makedirs(out_dir, exist_ok=True)
     results: dict[str, dict] = {}
     for method in ("unique", "exact"):
@@ -238,20 +239,17 @@ def write_clustering_report(
     hist.to_csv(
         os.path.join(out_dir, f"{ds_name}_histogram.txt"), sep="\t", index=False
     )
-    try:  # optional PNG — matplotlib is absent in this container
-        import matplotlib
+    # PNG artifact (entrypoint.py:108 plot_histogram): rendered by the
+    # repo's own raster plotter + PNG encoder (functions/plot.py) — real,
+    # deterministic bytes with no matplotlib dependency. Same shape as the
+    # reference's figure: per-label translucent bars on a log y axis.
+    from ..functions.plot import bar_chart, save_png
 
-        matplotlib.use("Agg")
-        from matplotlib import pyplot as plt
-
-        fig, ax = plt.subplots()
-        centers = hist["bin_lo"] + 0.005
-        ax.bar(centers, hist["count_0"], width=0.01, alpha=0.5, label="0")
-        ax.bar(centers, hist["count_1"], width=0.01, alpha=0.5, label="1")
-        ax.set_yscale("log")
-        ax.legend()
-        fig.savefig(os.path.join(out_dir, f"{ds_name}_histogram.png"))
-        plt.close(fig)
-    except ImportError:
-        pass
+    img = bar_chart(
+        hist["bin_lo"].to_numpy(),
+        {"0": hist["count_0"].to_numpy(), "1": hist["count_1"].to_numpy()},
+        bin_width=0.01,
+        log_y=True,
+    )
+    save_png(os.path.join(out_dir, f"{ds_name}_histogram.png"), img)
     return results
