@@ -422,6 +422,49 @@ class HllSketch:
         return float(e)
 
 
+def column_hash64(values) -> np.ndarray:
+    """uint64 stable hash of a column in its NATIVE dtype: numeric arrays
+    take pandas' vectorized int/float hashing path (no object boxing),
+    everything else goes through :func:`stable_hash64`. Deterministic
+    across processes and runs, like stable_hash64."""
+    arr = np.asarray(values)
+    if arr.dtype.kind in "iufb":
+        return pd.util.hash_array(arr, categorize=False)
+    return stable_hash64(arr)
+
+
+def hll_exact_stats(registers: np.ndarray, p: int) -> tuple[int, int, int]:
+    """Exact-integer sufficient statistics + estimate for an HLL register
+    array: ``(zeros, s_scaled, approx_ndv)``.
+
+    ``s_scaled = sum_r 2^(rmax - reg_r)`` with ``rmax = 64 - p + 1`` is the
+    register harmonic sum scaled to an EXACT integer (fits int128 for all
+    p), so an independent engine (the DuckDB oracle) can reproduce the
+    whole estimate bit-for-bit: both sides compute
+    ``alpha * m * m * 2^rmax / float(s_scaled)`` in the same operation
+    order, and the linear-counting branch ``m * ln(m / zeros)`` from the
+    same exact integers. ``approx_ndv`` is the floor of the estimate."""
+    import math
+
+    m = 1 << p
+    rmax = 64 - p + 1
+    regs = np.asarray(registers, np.int64)
+    if regs.shape != (m,):
+        raise ValueError(f"expected {m} registers, got shape {regs.shape}")
+    zeros = int((regs == 0).sum())
+    counts = np.bincount(regs[regs > 0], minlength=rmax + 1)
+    s_scaled = zeros * (1 << rmax) + sum(
+        int(c) * (1 << (rmax - r)) for r, c in enumerate(counts) if c
+    )
+    alpha = 0.7213 / (1 + 1.079 / m)
+    e = alpha * m * m * float(2**rmax) / float(s_scaled)
+    if e <= 2.5 * m and zeros > 0:
+        est = m * math.log(m / zeros)
+    else:
+        est = e
+    return zeros, s_scaled, int(math.floor(est))
+
+
 def approx_distinct(ds, col: str, p: int = 12) -> float:
     """Distributed approximate distinct count of one column: per-batch HLL
     partials (a 2^p-byte register array each) merged on the driver —
