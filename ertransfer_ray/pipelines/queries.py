@@ -46,7 +46,7 @@ from ..stages.groupby import (
 )
 from ..stages.joins import BroadcastHashJoin, BroadcastSemiJoin, keys_of, put_broadcast
 from ..stages.knn import brute_force_topk
-from ..stages.windows import sessionize, tumbling_window_agg
+from ..stages.windows import arrow_min_max, sessionize, tumbling_window_agg
 
 
 def _r(x, n: int):
@@ -286,11 +286,8 @@ def q_value_histogram(sf_dir: str) -> pd.DataFrame:
     """A4 fixed-bin histogram as per-batch partials + driver combine,
     binning formula chosen for exact SQL parity (floor + clamp)."""
     ev = _read(sf_dir, "events", ["value"])
-    mm = partial_aggregate(
-        ev.map_batches(lambda df: df.assign(_one=1), batch_format="pandas"),
-        "_one", {"lo": ("value", "min"), "hi": ("value", "max")},
-    )
-    lo, hi = float(mm["lo"][0]), float(mm["hi"][0])
+    lo, hi, _ = arrow_min_max(ev, "value")
+    lo, hi = float(lo), float(hi)
     bins = 100
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:

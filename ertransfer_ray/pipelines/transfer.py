@@ -25,18 +25,14 @@ import numpy as np
 import pandas as pd
 
 from ..stages.groupby import partial_aggregate
-from ..stages.windows import global_histogram
+from ..stages.windows import arrow_min_max, global_histogram
 
 EPS = 1e-12
 
 
 def _min_max(ds, value_col: str) -> tuple[float, float]:
-    mm = partial_aggregate(
-        ds.map_batches(lambda df: df.assign(_one=1), batch_format="pandas"),
-        "_one",
-        {"lo": (value_col, "min"), "hi": (value_col, "max")},
-    )
-    return float(mm["lo"][0]), float(mm["hi"][0])
+    lo, hi, _ = arrow_min_max(ds, value_col)
+    return float(lo), float(hi)
 
 
 def _smoothed_density(counts: np.ndarray, smoothing: str | None) -> np.ndarray:
