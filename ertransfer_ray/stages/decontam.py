@@ -24,6 +24,18 @@ Scale shape (the 100 TB contract):
   partials, id-only throughout.
 - the strategy gate meters the eval side with the same distributed
   (rows, bytes) pass as ``dedup._auto_strategy`` — never a head sample.
+- ``strategy="bloom"`` is the opt-in middle path for eval sets past the
+  exact-broadcast gate but where the join arm's full corpus-shingle
+  exchange is the cost to avoid: a mergeable Bloom filter over the eval
+  shingles (stages/bloom.py, ~1.4 B/key vs 8 B/key exact) broadcasts
+  once; the map-side probe is DEFINITIVE for misses (no false
+  negatives), so clean docs — the overwhelming majority — never shuffle,
+  and only the bloom-suspicious docs ride the exact join-arm
+  verification. False positives cost only wasted verification, never a
+  wrong answer: the composed output is EXACT (equal to the other arms,
+  pinned by tests + the doc_decontam_bloom SQL oracle). ``auto`` keeps
+  choosing between the two exact single-pass arms — bloom adds a second
+  corpus read, which is only worth it when the corpus/eval ratio is big.
 """
 
 from __future__ import annotations
@@ -91,6 +103,48 @@ def _batch_stats(
     )
 
 
+def _eval_bloom(eval_ds, id_col: str, text_col: str, k_words: int, fpp: float):
+    """Bloom filter over the eval set's distinct shingle hashes, built
+    distributed (per-block probe positions, OR-merged — see stages/bloom).
+    Sized from an HLL distinct estimate of the same keyed stream (+25 %
+    headroom for the ~1.6 % HLL error), so no caller guesswork."""
+    from ..functions.hashing import approx_distinct
+    from .bloom import BloomFilter, bloom_from_keyed, bloom_params
+
+    keyed = eval_ds.select_columns([id_col, text_col]).map_batches(
+        _shingle_doc_keys(id_col, text_col, k_words), batch_format="pyarrow"
+    )
+    n_hat = max(1024, int(approx_distinct(keyed, "shingle") * 1.25))
+    m_bits, k = bloom_params(n_hat, fpp)
+    return bloom_from_keyed(keyed, "shingle", m_bits, k)
+
+
+def _bloom_suspicious(corpus, bf, id_col: str, text_col: str, k_words: int):
+    """(id_col, text_col) subset of docs with ≥1 bloom-hit shingle — the
+    docs that need exact verification. Misses are definitive (one-sided
+    error), so everything filtered out here is provably clean."""
+    import ray
+
+    from .bloom import BloomFilter
+
+    ref = ray.put(bf.words)
+    m_bits, k = bf.m_bits, bf.k
+
+    def keep_suspicious(t: pa.Table) -> pa.Table:
+        flat, lens = _batch_doc_shingle_hashes(t.column(text_col), k_words)
+        if flat.size == 0:
+            return t.slice(0, 0)
+        probe = BloomFilter(m_bits, k, ray.get(ref))
+        hit = probe.contains(flat)
+        owners = np.repeat(np.arange(t.num_rows), lens)
+        doc_hits = np.bincount(owners, weights=hit, minlength=t.num_rows)
+        return t.filter(pa.array(doc_hits > 0))
+
+    return corpus.select_columns([id_col, text_col]).map_batches(
+        keep_suspicious, batch_format="pyarrow"
+    )
+
+
 def contamination_stats(
     corpus,
     eval_ds,
@@ -100,16 +154,68 @@ def contamination_stats(
     strategy: str = "auto",
     num_buckets: int | None = None,
     max_broadcast_bytes: int | None = None,
+    bloom_fpp: float = 0.005,
 ):
     """Per-corpus-doc Dataset (id_col, n_shingles, n_hits, contaminated):
     n_hits = how many of the doc's DISTINCT k-word shingles appear in the
     eval set. Docs with no shingles (empty text) emit no row."""
     import ray
 
-    if strategy not in ("auto", "broadcast", "join"):
-        raise ValueError(f"strategy must be auto|broadcast|join, got {strategy!r}")
+    if strategy not in ("auto", "broadcast", "join", "bloom"):
+        raise ValueError(
+            f"strategy must be auto|broadcast|join|bloom, got {strategy!r}"
+        )
     if strategy == "auto":
         strategy = _auto_strategy(eval_ds, id_col, text_col, max_broadcast_bytes)
+
+    if strategy == "bloom":
+        from .bloom import BloomFilter
+
+        bf = _eval_bloom(eval_ds, id_col, text_col, shingle_words, bloom_fpp)
+        ref = ray.put(bf.words)
+        m_bits, kp = bf.m_bits, bf.k
+
+        def clean_stats(t: pa.Table) -> pd.DataFrame:
+            """Map-side rows for the definitively-clean docs: a bloom miss
+            on every shingle is exact (no false negatives), so
+            n_hits = 0 / contaminated = False needs no verification."""
+            empty = pd.DataFrame(
+                {
+                    id_col: pd.Series([], dtype=np.int64),
+                    "n_shingles": pd.Series([], dtype=np.int64),
+                    "n_hits": pd.Series([], dtype=np.int64),
+                    "contaminated": pd.Series([], dtype=bool),
+                }
+            )
+            flat, lens = _batch_doc_shingle_hashes(t.column(text_col), shingle_words)
+            if flat.size == 0:
+                return empty
+            probe = BloomFilter(m_bits, kp, ray.get(ref))
+            hit = probe.contains(flat)
+            owners = np.repeat(np.arange(t.num_rows), lens)
+            doc_hits = np.bincount(owners, weights=hit, minlength=t.num_rows)
+            clean = (lens > 0) & (doc_hits == 0)
+            if not clean.any():
+                return empty
+            ids = t.column(id_col).to_numpy(zero_copy_only=False)[clean]
+            return pd.DataFrame(
+                {
+                    id_col: ids.astype(np.int64),
+                    "n_shingles": lens[clean].astype(np.int64),
+                    "n_hits": np.zeros(clean.sum(), dtype=np.int64),
+                    "contaminated": np.zeros(clean.sum(), dtype=bool),
+                }
+            )
+
+        clean = corpus.select_columns([id_col, text_col]).map_batches(
+            clean_stats, batch_format="pyarrow"
+        )
+        suspicious = _bloom_suspicious(corpus, bf, id_col, text_col, shingle_words)
+        exact = contamination_stats(
+            suspicious, eval_ds, id_col, text_col, shingle_words,
+            strategy="join", num_buckets=num_buckets,
+        )
+        return clean.union(exact)
 
     if strategy == "broadcast":
         ref = ray.put(_eval_shingle_set(eval_ds, id_col, text_col, shingle_words))
@@ -206,6 +312,7 @@ def decontaminate(
     strategy: str = "auto",
     num_buckets: int | None = None,
     max_broadcast_bytes: int | None = None,
+    bloom_fpp: float = 0.005,
 ):
     """Corpus rows (all columns) with contaminated documents REMOVED.
 
@@ -214,11 +321,16 @@ def decontaminate(
     shuffle, no second pass). Join arm: contaminated ids from
     :func:`contamination_stats`, then a broadcast anti-join on id (the
     contaminated set is bounded by the eval set's reach, far smaller than
-    the corpus)."""
+    the corpus). Bloom arm: the broadcast Bloom prefilter restricts the
+    exact join-arm verification to bloom-suspicious docs only — the
+    corpus-shingle exchange shrinks to the suspicious slice while the
+    output stays EXACT (bloom misses are definitive)."""
     import ray
 
-    if strategy not in ("auto", "broadcast", "join"):
-        raise ValueError(f"strategy must be auto|broadcast|join, got {strategy!r}")
+    if strategy not in ("auto", "broadcast", "join", "bloom"):
+        raise ValueError(
+            f"strategy must be auto|broadcast|join|bloom, got {strategy!r}"
+        )
     if strategy == "auto":
         strategy = _auto_strategy(eval_ds, id_col, text_col, max_broadcast_bytes)
 
@@ -241,8 +353,15 @@ def decontaminate(
 
     from .joins import BroadcastSemiJoin
 
+    if strategy == "bloom":
+        # exact verification restricted to the bloom-suspicious slice —
+        # the shingle exchange carries only those docs' shingles
+        bf = _eval_bloom(eval_ds, id_col, text_col, shingle_words, bloom_fpp)
+        verify_side = _bloom_suspicious(corpus, bf, id_col, text_col, shingle_words)
+    else:
+        verify_side = corpus
     stats = contamination_stats(
-        corpus, eval_ds, id_col, text_col, shingle_words,
+        verify_side, eval_ds, id_col, text_col, shingle_words,
         strategy="join", num_buckets=num_buckets,
     )
     import pyarrow.compute as pc
