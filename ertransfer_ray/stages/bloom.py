@@ -137,6 +137,34 @@ class BloomFilter:
         return float(np.unpackbits(self.words.view(np.uint8)).mean())
 
 
+def bloom_sparse_table(bf: BloomFilter) -> pa.Table:
+    """Sparse (word_idx, word) rows of the non-zero bitmap words — the
+    persistable sidecar form. Size follows the number of SET bits (≈ keys
+    added), not the filter width, so a small increment's sidecar is small
+    even under a store-capacity-sized filter."""
+    idx = np.flatnonzero(bf.words)
+    return pa.table(
+        {
+            "word_idx": pa.array(idx, pa.int64()),
+            "word": pa.array(bf.words[idx], pa.uint64()),
+        }
+    )
+
+
+def merge_sparse_into(bf: BloomFilter, table: pa.Table) -> BloomFilter:
+    """OR a sparse sidecar table into ``bf`` (same (m_bits, k) geometry —
+    the caller owns that contract via its persisted config)."""
+    idx = table.column("word_idx").to_numpy(zero_copy_only=False)
+    if idx.size and (idx.min() < 0 or idx.max() >= bf.words.size):
+        raise ValueError(
+            "sparse bloom sidecar word_idx out of range — geometry mismatch "
+            "with the configured (m_bits, k)"
+        )
+    w = table.column("word").to_numpy(zero_copy_only=False).astype(np.uint64)
+    np.bitwise_or.at(bf.words, idx.astype(np.int64), w)
+    return bf
+
+
 def bloom_from_keyed(ds, col: str, m_bits: int, k: int) -> BloomFilter:
     """Distributed Bloom build over an int64 hash column: each block emits
     its distinct probe positions (k × distinct keys uint64s, NOT an m-bit

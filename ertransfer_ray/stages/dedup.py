@@ -393,6 +393,67 @@ def add_content_hash(ds, text_col: str = "text", out: str = "content_hash"):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def _bloom_cfg(state_dir: str, capacity: int, fpp: float) -> dict:
+    """Load (or atomically create) the store's fixed Bloom geometry."""
+    import json
+    import os
+
+    from .bloom import bloom_params
+
+    cfg_path = os.path.join(state_dir, "bloom_config.json")
+    if os.path.exists(cfg_path):
+        return json.load(open(cfg_path))
+    m_bits, k = bloom_params(capacity, fpp)
+    cfg = {"m_bits": m_bits, "k": k}
+    tmp = cfg_path + ".tmp"
+    json.dump(cfg, open(tmp, "w"))
+    os.replace(tmp, cfg_path)
+    return cfg
+
+
+def _store_bloom(state_dir: str, prior_dirs: list[str], capacity: int, fpp: float):
+    """Merged Bloom filter over every prior increment's content hashes,
+    assembled from persisted SPARSE sidecars (state_dir/bloom_sidecars/
+    increment=<name>.parquet) — the store's hash files are NOT rescanned.
+    Geometry (m_bits, k) is fixed per store in bloom_config.json (created
+    on first use, sized for ``capacity`` total hashes at ``fpp``); a
+    missing sidecar (increment ingested before bloom gating existed, or a
+    crash between registration and sidecar write) self-heals: that one
+    increment's hashes are scanned distributed and the sidecar persisted."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from .bloom import (
+        BloomFilter,
+        bloom_from_keyed,
+        bloom_params,
+        bloom_sparse_table,
+        merge_sparse_into,
+    )
+
+    cfg = _bloom_cfg(state_dir, capacity, fpp)
+    side_dir = os.path.join(state_dir, "bloom_sidecars")
+    os.makedirs(side_dir, exist_ok=True)
+
+    bf = BloomFilter(cfg["m_bits"], cfg["k"])
+    for p in prior_dirs:
+        name = os.path.basename(p)  # increment=<name>
+        side = os.path.join(side_dir, f"{name}.parquet")
+        if not os.path.exists(side):
+            healed = bloom_from_keyed(
+                rd.read_parquet(p, file_extensions=["parquet"]),
+                "content_hash", cfg["m_bits"], cfg["k"],
+            )
+            tmp = side + ".tmp"
+            pq.write_table(bloom_sparse_table(healed), tmp)
+            os.replace(tmp, side)
+        merge_sparse_into(bf, pq.read_table(side))
+    return bf, cfg, side_dir
+
+
 def exact_dedup_incremental(
     ds,
     state_dir: str,
@@ -401,6 +462,9 @@ def exact_dedup_incremental(
     text_col: str = "text",
     max_broadcast_ids: int = 50_000_000,
     num_buckets: int | None = None,
+    seen_filter: str = "auto",
+    bloom_capacity: int = 50_000_000,
+    bloom_fpp: float = 0.002,
 ):
     """Incremental exact dedup against a PERSISTED content-hash store — the
     daily-increment ingestion shape: a new crawl increment keeps only
@@ -420,6 +484,19 @@ def exact_dedup_incremental(
     map-side; past that the increment anti-joins the store on content_hash
     through the bucketed exchange. Within-increment dedup is
     :func:`exact_dedup` (id-only exchange).
+
+    ``seen_filter="bloom"`` is the store-scale gate: a merged Bloom filter
+    over all prior hashes loads from persisted SPARSE sidecars (one per
+    increment, written at registration — the store's hash files are never
+    rescanned to build it). Bloom misses are definitive, so the typical
+    mostly-new increment resolves almost entirely map-side; only the
+    bloom-suspicious hashes (true cross-increment dups + the configured
+    ~0.2 % false positives) are confirmed against the store via ONE
+    column-pruned streaming semi-scan — no exchange on either side. The
+    confirmation step makes the output EXACT (equal to the other arms).
+    Should the suspicious set ever exceed ``max_broadcast_ids`` (an
+    increment that is mostly re-crawl), it degrades to the bucketed
+    anti-join, which is the right tool for that shape anyway.
 
     Returns the surviving rows of ``ds`` (original schema) as a Dataset.
     """
@@ -447,7 +524,70 @@ def exact_dedup_incremental(
     survivors = exact_dedup(ds, id_col, text_col, max_broadcast_ids)
     hashed = add_content_hash(survivors, text_col).materialize()
 
-    if prior_dirs:
+    if seen_filter not in ("auto", "bloom"):
+        raise ValueError(f"seen_filter must be auto|bloom, got {seen_filter!r}")
+
+    if prior_dirs and seen_filter == "bloom":
+        from .bloom import BloomFilter
+
+        bf, cfg, _ = _store_bloom(state_dir, prior_dirs, bloom_capacity, bloom_fpp)
+        ref = ray.put(bf.words)
+        m_bits, kp = cfg["m_bits"], cfg["k"]
+
+        def keep_suspicious(t: pa.Table) -> pa.Table:
+            h = t.column("content_hash").to_numpy(zero_copy_only=False)
+            probe = BloomFilter(m_bits, kp, ray.get(ref))
+            return t.filter(pa.array(probe.contains(h)))
+
+        susp_parts = []
+        susp_total = 0
+        for b in hashed.map_batches(
+            keep_suspicious, batch_format="pyarrow"
+        ).iter_batches(batch_format="pyarrow"):
+            if b.num_rows:
+                susp_parts.append(
+                    b.column("content_hash").to_numpy(zero_copy_only=False)
+                )
+                susp_total += b.num_rows
+            if susp_total > max_broadcast_ids:
+                break
+
+        if susp_total > max_broadcast_ids:
+            # mostly-recrawl increment: the suspicious side is itself big —
+            # the bucketed anti-join is the right shape, take it
+            seen = rd.read_parquet(prior_dirs, file_extensions=["parquet"])
+            hashed = bucketed_anti_semi_join(
+                hashed, seen, "content_hash", anti=True, num_buckets=num_buckets,
+            ).materialize()
+        elif susp_parts:
+            susp = np.unique(np.concatenate(susp_parts))
+            # ONE streaming semi-scan of the store confirms which suspicious
+            # hashes are real dups (bloom FPs drop out here) — the store
+            # side never exchanges, it just flows through a map filter
+            seen = rd.read_parquet(prior_dirs, file_extensions=["parquet"])
+            confirmed_parts = []
+            for b in seen.map_batches(
+                BroadcastSemiJoin(ray.put(pa.array(susp, pa.int64())), "content_hash"),
+                batch_format="pyarrow",
+            ).iter_batches(batch_format="pyarrow"):
+                if b.num_rows:
+                    confirmed_parts.append(
+                        b.column("content_hash").to_numpy(zero_copy_only=False)
+                    )
+            confirmed = (
+                np.unique(np.concatenate(confirmed_parts))
+                if confirmed_parts
+                else np.empty(0, np.int64)
+            )
+            hashed = hashed.map_batches(
+                BroadcastSemiJoin(
+                    ray.put(pa.array(confirmed, pa.int64())), "content_hash",
+                    anti=True,
+                ),
+                batch_format="pyarrow",
+            ).materialize()
+        # else: zero suspicious hashes — the whole increment is provably new
+    elif prior_dirs:
         seen = rd.read_parquet(prior_dirs, file_extensions=["parquet"])
         n_seen = seen.count()
         if n_seen <= max_broadcast_ids:
@@ -485,6 +625,30 @@ def exact_dedup_incremental(
     os.rename(staged, inc_dir)
     shutil.rmtree(tmp_parent + f"/increment={increment}.staging",
                   ignore_errors=True)
+
+    # keep the sparse bloom sidecar current once this store is bloom-gated
+    # (written AFTER the increment rename: a crash in between leaves a
+    # registered increment without a sidecar, which _store_bloom self-heals)
+    if seen_filter == "bloom" or os.path.exists(
+        os.path.join(state_dir, "bloom_config.json")
+    ):
+        import pyarrow.parquet as pq
+
+        from .bloom import bloom_from_keyed, bloom_sparse_table
+
+        cfg = _bloom_cfg(state_dir, bloom_capacity, bloom_fpp)
+        side_dir = os.path.join(state_dir, "bloom_sidecars")
+        os.makedirs(side_dir, exist_ok=True)
+        side = os.path.join(side_dir, f"increment={increment}.parquet")
+        inc_bf = bloom_from_keyed(
+            rd.read_parquet(inc_dir, file_extensions=["parquet"])
+            if any(f.endswith(".parquet") for f in os.listdir(inc_dir))
+            else rd.from_arrow(pa.table({"content_hash": pa.array([], pa.int64())})),
+            "content_hash", cfg["m_bits"], cfg["k"],
+        )
+        tmp = side + ".tmp"
+        pq.write_table(bloom_sparse_table(inc_bf), tmp)
+        os.replace(tmp, side)
 
     return hashed.drop_columns(["content_hash"])
 

@@ -320,3 +320,121 @@ def test_exact_dedup_incremental_join_arm(tmp_path):
     ).to_pandas()
     # doc 5 ("y") was seen on d1; doc 7 duplicates 6 within the increment
     assert sorted(got["doc_id"]) == sorted(want["doc_id"]) == [6]
+
+
+# ---------------------------------------------------------------------------
+# round 5: bloom-gated incremental store (sparse sidecars, exact output)
+# ---------------------------------------------------------------------------
+
+def test_exact_dedup_incremental_bloom_arm_matches_and_persists_sidecars(tmp_path):
+    import os
+
+    import pandas as pd
+    import ray.data as rd
+
+    from ertransfer_ray.stages.dedup import exact_dedup_incremental
+
+    state = str(tmp_path / "state")
+    inc1 = rd.from_pandas(pd.DataFrame({
+        "doc_id": [1, 2, 3, 4], "text": ["alpha", "beta", "alpha", "gamma"],
+    }))
+    out1 = exact_dedup_incremental(
+        inc1, state, "day1", seen_filter="bloom"
+    ).to_pandas()
+    assert sorted(out1["doc_id"]) == [1, 2, 4]
+    assert os.path.exists(f"{state}/bloom_config.json")
+    assert os.path.exists(f"{state}/bloom_sidecars/increment=day1.parquet")
+
+    inc2 = rd.from_pandas(pd.DataFrame({
+        "doc_id": [10, 11, 12, 13], "text": ["beta", "delta", "delta", "epsilon"],
+    }))
+    out2 = exact_dedup_incremental(
+        inc2, state, "day2", seen_filter="bloom"
+    ).to_pandas()
+    assert sorted(out2["doc_id"]) == [11, 13]
+    assert list(out2.columns) == ["doc_id", "text"]
+
+    inc3 = rd.from_pandas(pd.DataFrame({"doc_id": [20], "text": ["delta"]}))
+    out3 = exact_dedup_incremental(
+        inc3, state, "day3", seen_filter="bloom"
+    ).to_pandas()
+    assert len(out3) == 0
+
+
+def test_exact_dedup_incremental_bloom_self_heals_missing_sidecar(tmp_path):
+    import os
+
+    import pandas as pd
+    import ray.data as rd
+
+    from ertransfer_ray.stages.dedup import exact_dedup_incremental
+
+    state = str(tmp_path / "state")
+    inc1 = rd.from_pandas(pd.DataFrame({"doc_id": [1], "text": ["seen"]}))
+    # day1 ingested BEFORE bloom gating existed on this store
+    exact_dedup_incremental(inc1, state, "day1")
+    assert not os.path.exists(f"{state}/bloom_sidecars/increment=day1.parquet")
+
+    inc2 = rd.from_pandas(pd.DataFrame({
+        "doc_id": [5, 6], "text": ["seen", "new"],
+    }))
+    out2 = exact_dedup_incremental(
+        inc2, state, "day2", seen_filter="bloom"
+    ).to_pandas()
+    assert sorted(out2["doc_id"]) == [6]
+    # the missing day1 sidecar was healed and persisted during the load
+    assert os.path.exists(f"{state}/bloom_sidecars/increment=day1.parquet")
+    assert os.path.exists(f"{state}/bloom_sidecars/increment=day2.parquet")
+
+
+def test_exact_dedup_incremental_bloom_zero_suspicious_and_sloppy_filter(tmp_path):
+    import pandas as pd
+    import ray.data as rd
+
+    from ertransfer_ray.stages.dedup import exact_dedup_incremental
+
+    # disjoint increments: the whole second increment is provably new
+    state = str(tmp_path / "s1")
+    inc1 = rd.from_pandas(pd.DataFrame({"doc_id": [1, 2], "text": ["a", "b"]}))
+    inc2 = rd.from_pandas(pd.DataFrame({"doc_id": [3, 4], "text": ["c", "d"]}))
+    exact_dedup_incremental(inc1, state, "d1", seen_filter="bloom")
+    out = exact_dedup_incremental(
+        inc2, state, "d2", seen_filter="bloom"
+    ).to_pandas()
+    assert sorted(out["doc_id"]) == [3, 4]
+
+    # a deliberately saturated filter (capacity 1024 at fpp 0.5): false
+    # positives cost confirmation work, never survivors
+    state2 = str(tmp_path / "s2")
+    df1 = pd.DataFrame({"doc_id": range(500), "text": [f"t{i}" for i in range(500)]})
+    df2 = pd.DataFrame({
+        "doc_id": range(1000, 1600),
+        "text": [f"t{i}" for i in range(300)] + [f"n{i}" for i in range(300)],
+    })
+    exact_dedup_incremental(
+        rd.from_pandas(df1), state2, "d1", seen_filter="bloom",
+        bloom_capacity=1024, bloom_fpp=0.5,
+    )
+    got = exact_dedup_incremental(
+        rd.from_pandas(df2), state2, "d2", seen_filter="bloom",
+        bloom_capacity=1024, bloom_fpp=0.5,
+    ).to_pandas()
+    assert sorted(got["doc_id"]) == list(range(1300, 1600))
+
+
+def test_exact_dedup_incremental_bloom_overflow_degrades_to_join(tmp_path):
+    """A mostly-recrawl increment overflows the suspicious-broadcast cap:
+    the arm must degrade to the bucketed anti-join and stay exact."""
+    import pandas as pd
+    import ray.data as rd
+
+    from ertransfer_ray.stages.dedup import exact_dedup_incremental
+
+    state = str(tmp_path / "state")
+    inc1 = rd.from_pandas(pd.DataFrame({"doc_id": [1, 2], "text": ["x", "y"]}))
+    inc2 = rd.from_pandas(pd.DataFrame({"doc_id": [5, 6, 7], "text": ["y", "z", "z"]}))
+    exact_dedup_incremental(inc1, state, "d1", seen_filter="bloom")
+    got = exact_dedup_incremental(
+        inc2, state, "d2", seen_filter="bloom", max_broadcast_ids=0
+    ).to_pandas()
+    assert sorted(got["doc_id"]) == [6]
