@@ -91,6 +91,8 @@ BENCH_QUERIES = [
     "host_stats",             # host-level corpus stats (round 5)
     "doc_span_dup_stats",     # substring span dedup signal (round 5)
     "documents_jsonl_roundtrip",  # gzipped-JSONL sink+source (round 5)
+    "doc_decontam_bloom",     # Bloom-gated exact decontamination (round 5)
+    "corpus_top_terms_mg",    # certified Misra-Gries heavy hitters (round 5)
 ]
 
 HEADLINE = "er_documents"

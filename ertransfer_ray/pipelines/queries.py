@@ -841,6 +841,20 @@ def q_doc_source_mixture(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id", ignore_index=True)
 
 
+def q_doc_temperature_mixture(sf_dir: str) -> pd.DataFrame:
+    """Temperature-flattened mixture resampling (PaLM/UniMax p_s ∝ n_s^τ,
+    τ=0.5 here): one shuffle-free per-source count pass sets deterministic
+    keep rates (smallest source keeps all, rate_s=(n_min/n_s)^(1-τ)), then
+    the hash-keyed rate_sample map — stages/sampling.temperature_sample."""
+    from ..stages.sampling import temperature_sample
+
+    # flatten by lang — the skewed grouping on this corpus (en dominates),
+    # so the op genuinely downsamples; source is uniform here
+    docs = _read(sf_dir, "documents", ["doc_id", "lang"])
+    out, _ = temperature_sample(docs, key_col="lang", temperature=0.5, mod=1000)
+    return out.to_pandas().sort_values("doc_id", ignore_index=True)
+
+
 def q_doc_token_p90_filter(sf_dir: str) -> pd.DataFrame:
     """Global-quantile thresholding: docs whose whitespace token count is
     strictly above the corpus-wide quantile_cont(0.9) —
@@ -1484,21 +1498,24 @@ def build_queries() -> dict:
     # er_documents (the flagship) and kmeans_embeddings lead the dict: the
     # driver's CORRECTNESS harness checks only the first 50 entries, and in
     # round 4 these two silently fell off the end (VERDICT.md "What's wrong" #1).
-    # ALL 60 entries carry value-level SQL oracles. Ten must overflow the
-    # 50-entry driver window; the late-round-5 additions (host_stats /
+    # ALL 61 entries carry value-level SQL oracles. Eleven must overflow
+    # the 50-entry driver window; the late-round-5 additions (host_stats /
     # host_filtered_docs / doc_span_dup_stats / doc_dedup_spans /
     # documents_jsonl_roundtrip / event_user_ndv_approx /
-    # doc_decontam_bloom / corpus_top_terms_mg — brand-new operator
-    # families with no driver history) sit right after the flagship so
-    # they get their first hard-signal rows, and the overflow slots go to
-    # queries with multi-round hash-green driver history whose operators
-    # other in-window queries evidence redundantly:
+    # doc_decontam_bloom / corpus_top_terms_mg / doc_temperature_mixture —
+    # brand-new operator families with no driver history) sit right after
+    # the flagship so they get their first hard-signal rows, and the
+    # overflow slots go to queries with multi-round hash-green driver
+    # history whose operators other in-window queries evidence
+    # redundantly:
     # sliding_user_windows (windowed aggregates: user_sessions +
     # event_value_quantiles stay in-window),
     # region_customer_count + customer_order_counts (grouped counts:
     # customer_order_stats / top1_order_per_customer in-window),
     # value_histogram (A4 histograms nested in the in-window
     # transfer_kl_scores composite),
+    # doc_token_stats (token counting nested in the in-window doc_quality
+    # and doc_token_p90_filter),
     # distinct_event_types (distinct: union_distinct_custkeys),
     # filter_clicks (threshold filter: doc_token_p90_filter),
     # hourly_event_stats (time bucketing: user_sessions / event_order_asof),
@@ -1518,6 +1535,7 @@ def build_queries() -> dict:
         "event_user_ndv_approx": q_event_user_ndv_approx,
         "doc_decontam_bloom": q_doc_decontam_bloom,
         "corpus_top_terms_mg": q_corpus_top_terms_mg,
+        "doc_temperature_mixture": q_doc_temperature_mixture,
         "pricing_summary": q_pricing_summary,
         "top_orders": q_top_orders,
         "customer_order_stats": q_customer_order_stats,
@@ -1526,7 +1544,6 @@ def build_queries() -> dict:
         "union_distinct_custkeys": q_union_distinct_custkeys,
         "user_sessions": q_user_sessions,
         "transfer_kl_scores": q_transfer_kl_scores,
-        "doc_token_stats": q_doc_token_stats,
         "exact_dedup_docs": q_exact_dedup_docs,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "doc_quality": q_doc_quality,
@@ -1561,6 +1578,7 @@ def build_queries() -> dict:
         "region_customer_count": q_region_customer_count,
         "customer_order_counts": q_customer_order_counts,
         "value_histogram": q_value_histogram,
+        "doc_token_stats": q_doc_token_stats,
         "distinct_event_types": q_distinct_event_types,
         "filter_clicks": q_filter_clicks,
         "hourly_event_stats": q_hourly_event_stats,
@@ -2850,3 +2868,19 @@ ORACLE_SQL["doc_decontam_bloom"] = ORACLE_SQL["doc_decontaminated"]
 # The Misra–Gries path certifies exactness at runtime (heavyhitters.py),
 # so it shares corpus_top_terms' oracle verbatim.
 ORACLE_SQL["corpus_top_terms_mg"] = ORACLE_SQL["corpus_top_terms"]
+
+# Temperature mixture: rates are (n_min/n_s)^0.5 quantized to 1/1000 with
+# floor(x+0.5) — the SQL reproduces count, pow (same libm), quantization,
+# and the Knuth-hash keep rule bit-for-bit.
+ORACLE_SQL["doc_temperature_mixture"] = """
+    WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+    m AS (SELECT min(n) AS n_min FROM c),
+    r AS (SELECT c.lang,
+                 floor(pow(CAST(m.n_min AS DOUBLE) / c.n, 0.5) * 1000 + 0.5)
+                     AS thr
+          FROM c, m)
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN r ON d.lang = r.lang
+    WHERE (CAST(d.doc_id AS HUGEINT) * 2654435761) % 4294967296 % 1000 < r.thr
+    ORDER BY d.doc_id
+"""

@@ -83,6 +83,49 @@ def rate_sample(
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def temperature_rates(
+    counts: dict, temperature: float, mod: int = 1000
+) -> dict:
+    """Per-source keep rates for temperature-flattened mixture resampling
+    (the PaLM/UniMax-style ``p_s ∝ n_s^τ`` reweighting, realized as pure
+    downsampling): the SMALLEST source keeps everything and every other
+    source keeps ``(n_min/n_s)^(1-τ)`` — τ=1 keeps the natural mixture,
+    τ=0 flattens to equal per-source volume. Rates are pre-quantized to
+    1/``mod`` with floor(x+0.5) (DuckDB ``round`` semantics, NOT Python's
+    banker's round) so the SQL oracle reproduces thresholds bit-for-bit."""
+    if not 0.0 <= temperature <= 1.0:
+        raise ValueError(f"temperature must be in [0, 1], got {temperature}")
+    if not counts:
+        return {}
+    if min(counts.values()) <= 0:
+        raise ValueError("temperature_rates requires positive per-source counts")
+    n_min = min(counts.values())
+    return {
+        k: float(np.floor((n_min / n) ** (1.0 - temperature) * mod + 0.5) / mod)
+        for k, n in counts.items()
+    }
+
+
+def temperature_sample(
+    ds,
+    key_col: str = "source",
+    id_col: str = "doc_id",
+    temperature: float = 0.7,
+    mod: int = 1000,
+):
+    """Temperature-flattened corpus mixture: one shuffle-free per-source
+    count pass (per-block partials, driver combine — source cardinality is
+    bounded), rates from :func:`temperature_rates`, then the deterministic
+    :func:`rate_sample` map — the corpus itself never shuffles. Returns
+    ``(sampled_ds, rates)``."""
+    from .groupby import partial_aggregate
+
+    counts_df = partial_aggregate(ds, key_col, {"n": (None, "count")})
+    counts = dict(zip(counts_df[key_col], counts_df["n"].astype(int)))
+    rates = temperature_rates(counts, temperature, mod)
+    return rate_sample(ds, rates, key_col, id_col, default_rate=1.0, mod=mod), rates
+
+
 def approx_quantile(
     ds, value_col: str, q: float, bins: int = 8192
 ) -> float | None:

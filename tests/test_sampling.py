@@ -155,3 +155,53 @@ def test_consistent_sample_k():
     half = rd.from_arrow(t.slice(0, 2000)).repartition(4)
     got_half = set(consistent_sample_k(half, 50).to_pandas()["doc_id"])
     assert {d for d in want if d < 2000} <= got_half
+
+
+def test_temperature_rates_formula_and_validation():
+    import numpy as np
+    import pytest
+
+    from ertransfer_ray.stages.sampling import temperature_rates
+
+    counts = {"en": 400, "fr": 100, "de": 100}
+    # tau=1 keeps the natural mixture; tau=0 flattens to equal volume
+    assert temperature_rates(counts, 1.0) == {"en": 1.0, "fr": 1.0, "de": 1.0}
+    flat = temperature_rates(counts, 0.0)
+    assert flat["fr"] == flat["de"] == 1.0 and abs(flat["en"] - 0.25) < 1e-9
+    half = temperature_rates(counts, 0.5)
+    assert abs(half["en"] - np.floor(0.5 * 1000 + 0.5) / 1000) < 1e-12
+    with pytest.raises(ValueError):
+        temperature_rates(counts, 1.5)
+    with pytest.raises(ValueError):
+        temperature_rates({"a": 0}, 0.5)
+    assert temperature_rates({}, 0.5) == {}
+
+
+def test_temperature_sample_downsamples_toward_flat():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from ertransfer_ray.stages.sampling import temperature_sample
+
+    rng = np.random.default_rng(5)
+    n_big, n_small = 4000, 250
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(n_big + n_small, dtype=np.int64),
+            "source": ["big"] * n_big + ["small"] * n_small,
+        }
+    )
+    ds = rd.from_pandas(df).repartition(4)
+    out, rates = temperature_sample(ds, temperature=0.5, mod=1000)
+    got = out.to_pandas()
+    assert rates["small"] == 1.0
+    assert abs(rates["big"] - 0.25) < 1e-9  # sqrt(250/4000)=0.25
+    # the small source survives whole; the big one lands near its rate
+    assert (got["source"] == "small").sum() == n_small
+    kept_big = (got["source"] == "big").sum()
+    assert abs(kept_big / n_big - 0.25) < 0.03
+    # deterministic across parallelism
+    out2, _ = temperature_sample(rd.from_pandas(df).repartition(13),
+                                 temperature=0.5, mod=1000)
+    assert sorted(out2.to_pandas()["doc_id"]) == sorted(got["doc_id"])
