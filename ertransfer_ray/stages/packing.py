@@ -1,0 +1,123 @@
+"""GPT-style concat-and-chunk sequence packing — place every document in
+the token stream formed by concatenating docs in id order, then chunk the
+stream into fixed-length training sequences.
+
+Beyond-reference operator (the reference never prepares LM training
+batches); the concat-then-chunk layout is the standard GPT/Pile recipe.
+
+Distributed shape — a PREFIX SCAN, the one aggregate family the repo's
+exchange primitives don't cover (cumulative state over a global order):
+
+1. ``sort(id_col)`` range-partitions the corpus into disjoint id-ordered
+   blocks, materialized ONCE so both passes see identical block
+   boundaries (``batch_size=None`` ⇒ one batch per block).
+2. Pass 1 streams one (min_id, token_total) row per block to the driver —
+   O(blocks), never values. The driver orders blocks by min_id (disjoint
+   ranges make min_id the block's global position) and prefix-sums the
+   totals into per-block stream OFFSETS.
+3. Pass 2 broadcasts the {min_id: offset} map and each block assigns
+   ``start_pos = offset + intra-block exclusive cumsum`` map-side.
+
+Output per doc: (id, token_count, start_pos, seq_first, seq_last) with
+``seq_first = start_pos // seq_len`` and ``seq_last`` the chunk holding
+the doc's final token (empty docs occupy no tokens: seq_last = seq_first
+at their stream position). SQL-oracle-checkable as a window function —
+``SUM(token_count) OVER (ORDER BY id ROWS UNBOUNDED PRECEDING)``.
+
+Contract: ``id_col`` values are unique (the corpus id contract); packing
+is only meaningful under a defined order, and the sort supplies it.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def pack_sequences(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seq_len: int = 512,
+    token_col: str | None = None,
+):
+    """Dataset of (id_col, token_count, start_pos, seq_first, seq_last),
+    the concat-and-chunk packing layout at ``seq_len`` tokens per
+    sequence. ``token_col`` supplies precomputed counts; otherwise
+    whitespace counts of ``text_col`` (the corpus-wide convention,
+    functions/textstats.token_count_batch)."""
+    import ray
+
+    from ..functions.textstats import token_count_batch
+
+    if seq_len <= 0:
+        raise ValueError(f"seq_len must be positive, got {seq_len}")
+
+    def counts_of(t: pa.Table) -> np.ndarray:
+        if token_col is not None:
+            return t.column(token_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        return token_count_batch(t.column(text_col)).to_numpy(zero_copy_only=False).astype(np.int64)
+
+    cols = [id_col] + ([token_col] if token_col else [text_col])
+    ordered = ds.select_columns(cols).sort(id_col).materialize()
+
+    def block_meta(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"min_id": pa.array([], pa.int64()),
+                             "total": pa.array([], pa.int64())})
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "min_id": pa.array([pc.min(t.column(id_col)).as_py()], pa.int64()),
+                "total": pa.array([int(counts_of(t).sum())], pa.int64()),
+            }
+        )
+
+    metas = []
+    for b in ordered.map_batches(
+        block_meta, batch_format="pyarrow", batch_size=None
+    ).iter_batches(batch_format="pyarrow", batch_size=None):
+        for mid, tot in zip(b.column("min_id").to_pylist(), b.column("total").to_pylist()):
+            metas.append((mid, tot))
+    metas.sort()
+    offsets: dict[int, int] = {}
+    acc = 0
+    for mid, tot in metas:
+        offsets[mid] = acc
+        acc += tot
+    ref = ray.put(offsets)
+
+    def assign(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                id_col: pa.array([], pa.int64()),
+                "token_count": pa.array([], pa.int64()),
+                "start_pos": pa.array([], pa.int64()),
+                "seq_first": pa.array([], pa.int64()),
+                "seq_last": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")  # blocks are ranges; rows may not be sorted
+        t = t.take(pa.array(order.astype(np.int64)))
+        ids = ids[order]
+        c = counts_of(t)
+        base = ray.get(ref)[int(ids[0])]
+        start = base + np.concatenate([[0], np.cumsum(c[:-1])])
+        # a doc's final token sits at start+c-1; empty docs span no tokens
+        # and are pinned to the chunk at their stream position
+        last_tok = start + np.maximum(c, 1) - 1
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "token_count": pa.array(c, pa.int64()),
+                "start_pos": pa.array(start.astype(np.int64)),
+                "seq_first": pa.array((start // seq_len).astype(np.int64)),
+                "seq_last": pa.array((last_tok // seq_len).astype(np.int64)),
+            }
+        )
+
+    return ordered.map_batches(assign, batch_format="pyarrow", batch_size=None)
