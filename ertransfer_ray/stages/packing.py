@@ -121,3 +121,142 @@ def pack_sequences(
         )
 
     return ordered.map_batches(assign, batch_format="pyarrow", batch_size=None)
+
+
+def packed_sequences(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seq_len: int = 512,
+    num_buckets: int | None = None,
+):
+    """Materialize the packed training sequences themselves: Dataset of
+    (seq_id, n_tokens, n_docs, first_token, last_token, tokens) where
+    ``tokens`` is the sequence's token list (lowercase whitespace tokens —
+    swap in a trained vocab via functions/lm_tokenize downstream) in
+    stream order, ``n_docs`` the count of docs contributing tokens to the
+    chunk (each doc emits at most one fragment per chunk).
+
+    Shape: the prefix scan (above) assigns each doc its stream position
+    map-side; docs spanning a chunk boundary are SLICED map-side into
+    per-chunk (seq_id, pos, tokens) fragments, so the one exchange —
+    keyed by seq_id — carries each token exactly once and every bucket
+    assembles its sequences with a vectorized sort. The final chunk may
+    be shorter than ``seq_len`` (no padding here; padding is the
+    tokenizer stage's job)."""
+    from .groupby import exchange_group_apply
+
+    # re-run the scan inline to get (start_pos) alongside the text
+    from ..functions.textstats import token_count_batch
+
+    if seq_len <= 0:
+        raise ValueError(f"seq_len must be positive, got {seq_len}")
+    import ray
+
+    ordered = ds.select_columns([id_col, text_col]).sort(id_col).materialize()
+
+    def block_meta(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"min_id": pa.array([], pa.int64()),
+                             "total": pa.array([], pa.int64())})
+        import pyarrow.compute as pc
+
+        c = token_count_batch(t.column(text_col)).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "min_id": pa.array([pc.min(t.column(id_col)).as_py()], pa.int64()),
+                "total": pa.array([int(c.sum())], pa.int64()),
+            }
+        )
+
+    metas = []
+    for b in ordered.map_batches(
+        block_meta, batch_format="pyarrow", batch_size=None
+    ).iter_batches(batch_format="pyarrow", batch_size=None):
+        metas.extend(zip(b.column("min_id").to_pylist(), b.column("total").to_pylist()))
+    metas.sort()
+    offsets: dict[int, int] = {}
+    acc = 0
+    for mid, tot in metas:
+        offsets[mid] = acc
+        acc += tot
+    ref = ray.put(offsets)
+
+    def fragments(t: pa.Table) -> pa.Table:
+        """Per-chunk fragments: (seq_id, pos, frag) — frag is the doc's
+        token slice landing in that chunk, pos its start within the
+        stream. Emitted map-side so the exchange moves each token once."""
+        empty = pa.table(
+            {
+                "seq_id": pa.array([], pa.int64()),
+                "pos": pa.array([], pa.int64()),
+                "frag": pa.array([], pa.string()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")
+        t = t.take(pa.array(order.astype(np.int64)))
+        ids = ids[order]
+        texts = t.column(text_col).to_pylist()
+        base = ray.get(ref)[int(ids[0])]
+        rows_seq, rows_pos, rows_frag = [], [], []
+        pos = base
+        for txt in texts:
+            toks = (txt or "").lower().split()
+            i = 0
+            while i < len(toks):
+                room = seq_len - (pos % seq_len)
+                take = min(room, len(toks) - i)
+                rows_seq.append(pos // seq_len)
+                rows_pos.append(pos)
+                rows_frag.append(" ".join(toks[i : i + take]))
+                pos += take
+                i += take
+        return pa.table(
+            {
+                "seq_id": pa.array(rows_seq, pa.int64()),
+                "pos": pa.array(rows_pos, pa.int64()),
+                "frag": pa.array(rows_frag, pa.string()),
+            }
+        )
+
+    frags = ordered.map_batches(fragments, batch_format="pyarrow", batch_size=None)
+
+    def assemble(df: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    "seq_id": pd.Series([], dtype=np.int64),
+                    "n_tokens": pd.Series([], dtype=np.int64),
+                    "n_docs": pd.Series([], dtype=np.int64),
+                    "first_token": pd.Series([], dtype=object),
+                    "last_token": pd.Series([], dtype=object),
+                    "tokens": pd.Series([], dtype=object),
+                }
+            )
+        df = df.sort_values(["seq_id", "pos"], kind="stable")
+        out = []
+        for sid, g in df.groupby("seq_id", sort=False):
+            toks: list[str] = []
+            for f in g["frag"]:
+                if f:
+                    toks.extend(f.split())
+            if not toks:
+                continue
+            out.append(
+                {
+                    "seq_id": int(sid),
+                    "n_tokens": len(toks),
+                    "n_docs": len(g),
+                    "first_token": toks[0],
+                    "last_token": toks[-1],
+                    "tokens": toks,
+                }
+            )
+        return pd.DataFrame(out)
+
+    return exchange_group_apply(frags, "seq_id", assemble, num_buckets)

@@ -79,3 +79,65 @@ def test_pack_with_precomputed_token_column_and_validation():
     assert list(got["seq_last"]) == [0, 0, 2]  # doc 3: tokens 2..8
     with pytest.raises(ValueError):
         pack_sequences(ds, token_col="n_tok", seq_len=0)
+
+
+def _brute_packed(texts: dict[int, str], seq_len: int) -> pd.DataFrame:
+    stream, owners = [], []
+    for did in sorted(texts):
+        toks = texts[did].lower().split()
+        stream.extend(toks)
+        owners.extend([did] * len(toks))
+    rows = []
+    for s in range(0, len(stream), seq_len):
+        chunk = stream[s : s + seq_len]
+        docs = set(owners[s : s + seq_len])
+        rows.append(
+            {
+                "seq_id": s // seq_len,
+                "n_tokens": len(chunk),
+                "n_docs": len(docs),
+                "first_token": chunk[0],
+                "last_token": chunk[-1],
+                "tokens": chunk,
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def test_packed_sequences_matches_bruteforce_across_layouts():
+    from ertransfer_ray.stages.packing import packed_sequences
+
+    rng = np.random.default_rng(21)
+    texts = {
+        int(i): " ".join(f"W{i}x{j}" for j in range(rng.integers(0, 23)))
+        for i in range(80)
+    }
+    texts[7] = ""          # empty doc contributes nothing
+    want = _brute_packed(texts, 16)
+    for parts in (2, 7):
+        got = (
+            packed_sequences(_ds(texts, parts), seq_len=16)
+            .to_pandas().sort_values("seq_id", ignore_index=True)
+        )
+        assert list(got["seq_id"]) == list(want["seq_id"])
+        assert list(got["n_tokens"]) == list(want["n_tokens"])
+        assert list(got["n_docs"]) == list(want["n_docs"])
+        assert list(got["first_token"]) == list(want["first_token"])
+        assert list(got["last_token"]) == list(want["last_token"])
+        assert [list(x) for x in got["tokens"]] == [list(x) for x in want["tokens"]]
+
+
+def test_packed_sequences_spanning_doc_and_tail():
+    from ertransfer_ray.stages.packing import packed_sequences
+
+    texts = {1: "a b c", 2: "d e f g h i j", 3: "k l"}  # 12 tokens, seq_len 5
+    got = (
+        packed_sequences(_ds(texts, 2), seq_len=5)
+        .to_pandas().sort_values("seq_id", ignore_index=True)
+    )
+    assert list(got["n_tokens"]) == [5, 5, 2]   # final chunk short, unpadded
+    assert [list(x) for x in got["tokens"]] == [
+        ["a", "b", "c", "d", "e"], ["f", "g", "h", "i", "j"], ["k", "l"],
+    ]
+    # doc 2 spans chunks 0 and 1: both count it
+    assert list(got["n_docs"]) == [2, 1, 1]
