@@ -33,14 +33,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL for each oracle-expressible query — including
-    the flagship ``er_documents`` (score-graph + recursive-CTE connected
+    """DuckDB-runnable ANSI SQL for EVERY queries() entry — including the
+    flagship ``er_documents`` (score-graph + recursive-CTE connected
     components), ``ngram_jaccard_pairs`` (exploded-shingle set arithmetic),
-    and since round 5 ``minhash_neardup_pairs`` / ``simhash_neardup_pairs``
-    (sketches persisted as parquet side-inputs by the query fns; SQL
-    re-derives pairing + verification — see queries._write_oracle_side).
-    Only the trained classifier and the recall-floor ANN remain rows-only;
-    their exactness is pinned by pytest (tests/test_queries_oracle.py)."""
+    and the sketch/trained pipelines (``minhash_neardup_pairs`` /
+    ``simhash_neardup_pairs`` / ``doc_quality_classifier`` /
+    ``kmeans_embeddings`` / ``deepblocker_topk``) whose query fns persist
+    their sketches / trained artifacts as parquet side-inputs so SQL
+    re-derives the full decision arithmetic — see
+    queries._write_oracle_side. Zero rows-only entries since round 5."""
     from ertransfer_ray.pipelines.queries import ORACLE_SQL
 
     return dict(ORACLE_SQL)
