@@ -93,6 +93,10 @@ BENCH_QUERIES = [
     "documents_jsonl_roundtrip",  # gzipped-JSONL sink+source (round 5)
     "doc_decontam_bloom",     # Bloom-gated exact decontamination (round 5)
     "corpus_top_terms_mg",    # certified Misra-Gries heavy hitters (round 5)
+    # doc_pagerank stays out of the timed suite: 10 fixed iterations x 2
+    # exchanges are pure fixed-overhead at sf0.1 graph sizes (~0.9 s per
+    # round regardless of data) — measured 9.5-15 s, all scheduling; the
+    # oracle sweep still value-checks it at both scales every round.
 ]
 
 HEADLINE = "er_documents"
