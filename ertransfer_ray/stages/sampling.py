@@ -83,6 +83,66 @@ def rate_sample(
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def weighted_sample_k(ds, k: int, weight_col: str, id_col: str = "doc_id"):
+    """Exactly-k sample WITHOUT replacement with inclusion probability
+    proportional to ``weight_col`` (Efraimidis–Spirakis reservoir keys,
+    deterministic randomness): every row gets the key ln(u)/w with
+    u = (mix_hash(id)+0.5)/2^32 ∈ (0,1), and the k LARGEST keys win —
+    equivalent to top-k by u^(1/w). Rows with weight ≤ 0 are never
+    sampled. Deterministic at any parallelism (ties broken by id) and
+    SQL-reproducible term by term (ln/division on the same doubles).
+
+    Distributed shape mirrors consistent_sample_k: per-block partial
+    top-k of (key, id) pairs, ≤ k·blocks driver merge, winner ids
+    broadcast back as a map-side filter — full rows never shuffle."""
+    import ray
+
+    from .joins import BroadcastSemiJoin
+
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "key": pa.array([], pa.float64()),
+                id_col: pa.array(
+                    [], t.schema.field(id_col).type if t.num_columns else pa.int64()
+                ),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        w = t.column(weight_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        pos = w > 0
+        if not pos.any():
+            return empty
+        ids, w = ids[pos], w[pos]
+        u = (_mix_hash(ids).astype(np.float64) + 0.5) / 4294967296.0
+        key = np.log(u) / w
+        order = np.lexsort((ids, -key))[:k]
+        return pa.table({"key": pa.array(key[order]), id_col: pa.array(ids[order])})
+
+    parts = [
+        b
+        for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
+        if b.num_rows
+    ]
+    if not parts:
+        return ds.limit(0)
+    cand = pa.concat_tables(parts)
+    keys = cand.column("key").to_numpy(zero_copy_only=False)
+    ids = cand.column(id_col).to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, -keys))[:k]
+    win = pa.array(np.sort(ids[order]))
+    return ds.map_batches(
+        BroadcastSemiJoin(ray.put(win), id_col), batch_format="pyarrow"
+    )
+
+
 def temperature_rates(
     counts: dict, temperature: float, mod: int = 1000
 ) -> dict:

@@ -205,3 +205,41 @@ def test_temperature_sample_downsamples_toward_flat():
     out2, _ = temperature_sample(rd.from_pandas(df).repartition(13),
                                  temperature=0.5, mod=1000)
     assert sorted(out2.to_pandas()["doc_id"]) == sorted(got["doc_id"])
+
+
+def test_weighted_sample_k_matches_bruteforce_and_biases_heavy_rows():
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from ertransfer_ray.stages.sampling import _mix_hash, weighted_sample_k
+
+    n = 2000
+    ids = np.arange(n, dtype=np.int64)
+    w = np.where(ids % 2 == 0, 100, 1).astype(np.int64)  # heavy evens
+    w[5] = 0  # never sampled
+    df = pd.DataFrame({"doc_id": ids, "token_count": w})
+
+    # brute force: same key formula, global top-k
+    u = (_mix_hash(ids).astype(np.float64) + 0.5) / 4294967296.0
+    key = np.where(w > 0, np.log(u) / np.where(w > 0, w, 1), -np.inf)
+    order = np.lexsort((ids, -key))[:150]
+    want = set(ids[order])
+
+    for parts in (1, 6):
+        ds = rd.from_pandas(df).repartition(parts)
+        got = weighted_sample_k(ds, 150, "token_count").to_pandas()
+        assert set(got["doc_id"]) == want, parts
+    assert 5 not in want
+    # heavy rows dominate the sample
+    heavy = sum(1 for i in want if i % 2 == 0)
+    assert heavy > 120
+
+    with pytest.raises(ValueError):
+        weighted_sample_k(rd.from_pandas(df), 0, "token_count")
+    # all-zero weights: empty sample, schema preserved
+    zero = df.assign(token_count=0)
+    out = weighted_sample_k(rd.from_pandas(zero), 10, "token_count")
+    assert out.count() == 0
