@@ -266,3 +266,112 @@ def kl_divergence(p: np.ndarray, q: np.ndarray, eps: float = 1e-12) -> float:
     q = np.maximum(q / q.sum(), eps)
     mask = p > 0
     return float(np.sum(p[mask] * np.log(p[mask] / q[mask])))
+
+
+def grouped_approx_quantiles(
+    ds,
+    key_col: str,
+    value_col: str,
+    qs: tuple = (0.5, 0.9, 0.99),
+    bins: int = 1024,
+    num_buckets: int | None = None,
+):
+    """Approximate per-group quantiles from MERGEABLE binned counts — the
+    unbounded-group complement of :func:`grouped_quantiles` (which needs
+    every group whole in one worker): only (group, bin) count rows ride
+    the exchanges, so a single group may exceed any worker's memory.
+
+    Two passes: (1) grouped (lo, hi, n) ranges; (2) the per-row bin index
+    ``min(floor((v - lo)·bins/(hi - lo)), bins-1)`` (the value_histogram
+    formula, proven SQL-exact) emits per-block (group, bin) partials,
+    summed through one exchange, and each group's estimates resolve
+    IN-BUCKET. Estimate rule, integer-exact in SQL: target rank
+    r = floor(q·(n-1)) (0-based), answer = the LEFT EDGE
+    ``lo + b·(hi-lo)/bins`` of the first bin whose cumulative count
+    exceeds r. Rank-bracketing guarantee: the true order statistic at
+    rank r lies within one bin width above the estimate. Nulls/NaNs are
+    excluded (quantile_cont semantics); a constant group answers its
+    value at every q. Output: (key_col, n, q50_approx, ... one per q)."""
+    import pyarrow.compute as pc
+
+    from .groupby import exchange_group_apply, grouped_aggregate
+
+    cols = [quantile_col_name(q) + "_approx" for q in qs]
+    if len(set(cols)) != len(cols):
+        raise ValueError(f"duplicate quantile column names from {qs}: {cols}")
+
+    ranges = grouped_aggregate(
+        ds.select_columns([key_col, value_col]),
+        key_col,
+        {"lo": (value_col, "min"), "hi": (value_col, "max"),
+         "n": (value_col, "count")},
+        num_buckets,
+    ).to_pandas()
+    # group cardinality is bounded (that's what makes the range table
+    # broadcastable); the VALUES per group are what this op lets overflow
+    rng = {
+        k: (float(lo), float(hi), int(n))
+        for k, lo, hi, n in zip(ranges[key_col], ranges["lo"], ranges["hi"], ranges["n"])
+        if n > 0
+    }
+    import ray
+
+    ref = ray.put(rng)
+
+    def binned(t: pa.Table) -> pd.DataFrame:
+        df = t.select([key_col, value_col]).to_pandas()
+        df = df.dropna(subset=[value_col])
+        if df.empty:
+            return pd.DataFrame({key_col: pd.Series([], dtype=object),
+                                 "bin": pd.Series([], dtype=np.int64),
+                                 "cnt": pd.Series([], dtype=np.int64)})
+        r = ray.get(ref)
+        rtab = pd.DataFrame(
+            {key_col: list(r),
+             "_lo": [v[0] for v in r.values()],
+             "_hi": [v[1] for v in r.values()]}
+        )
+        df = df.merge(rtab, on=key_col, how="inner")  # vectorized range lookup
+        keys = df[key_col].to_numpy()
+        v = df[value_col].to_numpy(dtype=np.float64)
+        lo = df["_lo"].to_numpy()
+        hi = df["_hi"].to_numpy()
+        span = hi - lo
+        b = np.where(
+            span > 0,
+            np.minimum(np.floor((v - lo) * bins / np.where(span > 0, span, 1.0)),
+                       bins - 1),
+            0,
+        ).astype(np.int64)
+        out = pd.DataFrame({key_col: keys, "bin": b})
+        return out.groupby([key_col, "bin"], as_index=False, sort=False).size().rename(
+            columns={"size": "cnt"}
+        )
+
+    partials = ds.select_columns([key_col, value_col]).map_batches(
+        binned, batch_format="pyarrow"
+    )
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {key_col: pd.Series([], dtype=object),
+             "n": pd.Series([], dtype=np.int64),
+             **{c: pd.Series([], dtype=np.float64) for c in cols}}
+        )
+        if df.empty or "bin" not in df.columns:
+            return empty
+        r_all = ray.get(ref)
+        rows = []
+        for k, g in df.groupby(key_col, sort=False):
+            lo, hi, n = r_all[k]
+            counts = g.groupby("bin")["cnt"].sum().sort_index()
+            cum = counts.cumsum()
+            row = {key_col: k, "n": n}
+            for q, c in zip(qs, cols):
+                target = int(np.floor(q * (n - 1)))
+                b = int(cum.index[np.searchsorted(cum.to_numpy(), target + 1)])
+                row[c] = lo + b * (hi - lo) / bins if hi > lo else lo
+            rows.append(row)
+        return pd.DataFrame(rows)
+
+    return exchange_group_apply(partials, key_col, resolve, num_buckets)

@@ -95,3 +95,47 @@ def test_grouped_quantiles_matches_pandas():
         np.testing.assert_allclose(
             got[c].to_numpy(), want[q].to_numpy(), rtol=1e-12
         )
+
+
+def test_grouped_approx_quantiles_rank_bracketing_and_layouts():
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ertransfer_ray.stages.windows import grouped_approx_quantiles
+
+    rng = np.random.default_rng(31)
+    n = 6000
+    df = pd.DataFrame(
+        {
+            "k": rng.choice(["a", "b", "c"], size=n),
+            "v": rng.normal(0, 100, size=n),
+        }
+    )
+    df.loc[df.index[:50], "v"] = np.nan        # nulls excluded
+    df.loc[df["k"] == "c", "v"] = 7.0          # constant group
+    bins = 512
+    outs = []
+    for parts in (2, 9):
+        ds = rd.from_pandas(df).repartition(parts)
+        out = (
+            grouped_approx_quantiles(ds, "k", "v", qs=(0.5, 0.9), bins=bins)
+            .to_pandas().sort_values("k", ignore_index=True)
+        )
+        outs.append(out)
+    pd.testing.assert_frame_equal(outs[0], outs[1])  # layout-invariant
+
+    got = outs[0].set_index("k")
+    clean = df.dropna(subset=["v"])
+    for k, g in clean.groupby("k"):
+        lo, hi = g["v"].min(), g["v"].max()
+        width = (hi - lo) / bins if hi > lo else 0.0
+        assert got.loc[k, "n"] == len(g)
+        for q, col in ((0.5, "q50_approx"), (0.9, "q90_approx")):
+            est = got.loc[k, col]
+            # rank bracketing: the order statistic at floor(q*(n-1)) lies
+            # in [est, est + width]
+            true = np.sort(g["v"].to_numpy())[int(np.floor(q * (len(g) - 1)))]
+            assert est - 1e-9 <= true <= est + width + 1e-9, (k, q)
+    assert got.loc["c", "q50_approx"] == 7.0 and got.loc["c", "q90_approx"] == 7.0
