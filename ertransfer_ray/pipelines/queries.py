@@ -561,16 +561,22 @@ def q_local_supplier_revenue(sf_dir: str) -> pd.DataFrame:
         df = df[df["c_nation"] == df["s_nation"]]
         if df.empty:
             return pd.DataFrame({"n_name": pd.Series([], dtype=object),
-                                 "revenue": pd.Series([], dtype=np.float64)})
+                                 "rev_milli": pd.Series([], dtype=np.int64)})
+        # per-line revenue quantized to integer milli-units BEFORE the sum:
+        # int64 addition is order-independent, so partial sums here and
+        # DuckDB's aggregate agree exactly (a plain double sum differed by
+        # 1 ulp at the round(…, 3) boundary between the two engines)
         rev = df["l_extendedprice"].to_numpy() * (1 - df["l_discount"].to_numpy())
-        out = pd.DataFrame({"n_name": df["n_name"], "revenue": rev})
-        return out.groupby("n_name", as_index=False, sort=False)["revenue"].sum()
+        milli = np.floor(rev * 1000 + 0.5).astype(np.int64)
+        out = pd.DataFrame({"n_name": df["n_name"], "rev_milli": milli})
+        return out.groupby("n_name", as_index=False, sort=False)["rev_milli"].sum()
 
     agg = partial_aggregate(
         joined.map_batches(partial, batch_format="pandas"),
-        "n_name", {"revenue": ("revenue", "sum")},
+        "n_name", {"rev_milli": ("rev_milli", "sum")},
     )
-    agg["revenue"] = _r(agg["revenue"], 3)
+    agg["revenue"] = agg["rev_milli"].to_numpy() / 1000.0
+    agg = agg.drop(columns=["rev_milli"])
     return agg.sort_values("revenue", ascending=False, ignore_index=True)
 
 
@@ -3353,9 +3359,12 @@ ORACLE_SQL["lang_top_terms"] = """
     SELECT lang, term, n FROM r WHERE rn <= 3 ORDER BY lang, term
 """
 
+# Per-line milli-unit quantization makes the revenue sum exact int64
+# arithmetic — order-independent, so both engines agree bit-for-bit.
 ORACLE_SQL["local_supplier_revenue"] = """
     SELECT n.n_name,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 3) AS revenue
+           sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 1000
+                          + 0.5) AS BIGINT)) / 1000.0 AS revenue
     FROM lineitem l
     JOIN orders o    ON o.o_orderkey = l.l_orderkey
     JOIN customer c  ON c.c_custkey = o.o_custkey
