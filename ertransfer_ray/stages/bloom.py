@@ -64,6 +64,22 @@ def bloom_params(n_keys: int, fpp: float = 0.005) -> tuple[int, int]:
     return m_bits, min(16, max(1, k))
 
 
+def probe_positions(h: np.ndarray, m_bits: int, k: int) -> np.ndarray:
+    """Flat DISTINCT bit positions the keys ``h`` map to under the
+    (m_bits, k) geometry — without allocating a bitmap, so per-block build
+    partials carry no per-call m_bits/8-byte buffer."""
+    if h.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    x = np.ascontiguousarray(h, dtype=np.int64).view(np.uint64)
+    h1 = _splitmix64(x)
+    h2 = _splitmix64(x ^ _SEED2) | _ONE
+    mask = np.uint64(m_bits - 1)
+    out = np.empty((k, x.size), dtype=np.uint64)
+    for i in range(k):
+        out[i] = (h1 + np.uint64(i) * h2) & mask
+    return np.unique(out.ravel())
+
+
 class BloomFilter:
     """Fixed-width Bloom filter over int64 hash keys, vectorized probes.
 
@@ -99,12 +115,9 @@ class BloomFilter:
         return out
 
     def positions(self, h: np.ndarray) -> np.ndarray:
-        """Flat DISTINCT bit positions ``h`` would set — the mergeable
-        per-block partial of the distributed build (sized by the block's
-        key count, never by the filter width)."""
-        if h.size == 0:
-            return np.empty(0, dtype=np.uint64)
-        return np.unique(self._probes(h).ravel())
+        """Flat DISTINCT bit positions ``h`` would set (see module-level
+        :func:`probe_positions` for the allocation-free form)."""
+        return probe_positions(h, self.m_bits, self.k)
 
     def set_positions(self, pos: np.ndarray) -> None:
         p = np.ascontiguousarray(pos, dtype=np.uint64)
@@ -173,15 +186,17 @@ def bloom_from_keyed(ds, col: str, m_bits: int, k: int) -> BloomFilter:
     sets is order-free."""
 
     def partial(t: pa.Table) -> pa.Table:
-        probe = BloomFilter(m_bits, k)  # stateless probe geometry
         h = t.column(col).to_numpy(zero_copy_only=False)
-        pos = probe.positions(np.unique(h))
+        pos = probe_positions(np.unique(h), m_bits, k)
         return pa.table({"pos": pa.array(pos, pa.uint64())})
 
     bf = BloomFilter(m_bits, k)
+    # whole-block batches: the default batch_size=1024 splits a block into
+    # thousands of tiny partial calls (measured 17 s → 2 s on a 1.6M-key
+    # single-file store)
     for b in ds.select_columns([col]).map_batches(
-        partial, batch_format="pyarrow"
-    ).iter_batches(batch_format="pyarrow"):
+        partial, batch_format="pyarrow", batch_size=None
+    ).iter_batches(batch_format="pyarrow", batch_size=None):
         if b.num_rows:
             bf.set_positions(b.column("pos").to_numpy(zero_copy_only=False))
     return bf

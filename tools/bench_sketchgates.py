@@ -156,6 +156,63 @@ def run_arm(arm: str, num_cpus: int) -> None:
         out.update(docs=n_docs, sec=wall, docs_per_s=round(n_docs / wall),
                    exchange_rows=rows,
                    top=[(r.term, int(r.n)) for r in top.itertuples()])
+    elif arm.startswith("incexact_"):
+        # incremental exact dedup: day1 registers the expanded corpus's
+        # hashes; day2 (same corpus with doc_ids shifted, so ~the whole
+        # increment is a cross-increment duplicate by content) dedups
+        # against the persisted store via the chosen seen_filter
+        import shutil
+
+        import numpy as np
+        import pyarrow as pa
+
+        from ertransfer_ray.stages.dedup import exact_dedup_incremental
+
+        seen_filter = arm.split("_", 1)[1]
+        state = f"/tmp/graft_bench/incexact_{seen_filter}_state"
+        shutil.rmtree(state, ignore_errors=True)
+
+        def day(shift: int, novel_half: bool = False):
+            def reid(t: pa.Table) -> pa.Table:
+                ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+                texts = t.column("text")
+                if novel_half:
+                    # odd ids get genuinely-new content: the realistic
+                    # mostly-mixed increment (half re-crawl, half new)
+                    import pyarrow.compute as pc
+
+                    tag = pa.array(
+                        np.where(ids % 2 == 1,
+                                 np.char.add(" novel", ids.astype("U20")), ""),
+                        pa.string(),
+                    )
+                    texts = pc.binary_join_element_wise(texts, tag, "")
+                return pa.table(
+                    {"doc_id": pa.array(ids + shift, pa.int64()), "text": texts}
+                )
+            return rd.read_parquet(DOCS, columns=["doc_id", "text"]).map_batches(
+                reid, batch_format="pyarrow"
+            )
+
+        n_docs = day(0).count()
+        t0 = time.perf_counter()
+        d1 = sum(
+            b.num_rows for b in exact_dedup_incremental(
+                day(0), state, "day1", seen_filter=seen_filter
+            ).iter_batches(batch_format="pyarrow")
+        )
+        day1_s = round(time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
+        d2 = sum(
+            b.num_rows for b in exact_dedup_incremental(
+                day(10_000_000, novel_half=True), state, "day2",
+                seen_filter=seen_filter
+            ).iter_batches(batch_format="pyarrow")
+        )
+        day2_s = round(time.perf_counter() - t0, 2)
+        out.update(docs=n_docs, day1_survivors=d1, day1_sec=day1_s,
+                   day2_survivors=d2, day2_sec=day2_s)
+
     elif arm == "bpe_train":
         from ertransfer_ray.stages.bpe import train_bpe, word_counts
 
@@ -197,7 +254,8 @@ def main() -> None:
     build_corpora()
     cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     for arm in ("decontam_broadcast", "decontam_join", "decontam_bloom",
-                "topterms_exact", "topterms_mg", "bpe_train"):
+                "topterms_exact", "topterms_mg", "bpe_train",
+                "incexact_auto", "incexact_bloom"):
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--arm", arm, str(cpus)],
             capture_output=True, text=True, cwd=REPO, check=True,
