@@ -45,6 +45,17 @@ def token_count_batch(texts: pa.ChunkedArray | pa.Array) -> pa.Array:
     return pc.if_else(nonempty, pc.add(runs, 1), 0).combine_chunks()
 
 
+def batch_term_counts(texts: "pd.Series") -> "pd.Series":
+    """Exact term counts of one batch under the corpus-wide tokenization
+    convention (lowercase, whitespace split) — THE single implementation
+    behind every term-frequency partial (corpus_top_terms, Misra-Gries
+    heavy hitters, BPE word counts). Comparison contract with the SQL
+    regexp_split '\\s+' oracles is ASCII-whitespace corpora (pandas
+    .str.split also splits exotic Unicode whitespace)."""
+    ex = texts.fillna("").astype(str).str.lower().str.split().explode().dropna()
+    return ex.value_counts()
+
+
 def bpe_ish_token_count(texts: list[str]) -> np.ndarray:
     """Regex word+punct tokenization count — the 'BPE-ish' estimate.
     Vectorized: one C-level regex count over the batch (same matches as

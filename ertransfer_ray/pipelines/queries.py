@@ -898,10 +898,10 @@ def q_corpus_top_terms(sf_dir: str) -> pd.DataFrame:
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
 
+    from ..functions.textstats import batch_term_counts
+
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        ex = df["text"].fillna("").str.lower().str.split().explode().dropna()
-        out = ex.value_counts().rename_axis("term").reset_index(name="n")
-        return out
+        return batch_term_counts(df["text"]).rename_axis("term").reset_index(name="n")
 
     counts = grouped_aggregate(
         docs.map_batches(partial, batch_format="pandas"),
@@ -2482,57 +2482,7 @@ ORACLE_SQL: dict[str, str] = {
     # lowercase, whitespace-split (empty tokens filtered), shingles = word
     # 3-grams (whole string when ≤ 3 words), grams = distinct char 3-grams
     # of the space-rejoined string (whole string when < 3 chars).
-    "ngram_jaccard_pairs": """
-        WITH norm AS (
-            SELECT doc_id,
-                   list_filter(regexp_split_to_array(lower(text), '\\s+'),
-                               x -> x <> '') AS w
-            FROM documents
-        ), norm2 AS (
-            SELECT doc_id, w, array_to_string(w, ' ') AS s
-            FROM norm WHERE len(w) > 0
-        ), shingles AS (
-            SELECT DISTINCT doc_id, sh FROM (
-                SELECT doc_id,
-                       unnest(CASE WHEN len(w) <= 3 THEN [s]
-                              ELSE list_transform(range(1, len(w) - 1),
-                                                  i -> array_to_string(w[i:i+2], ' '))
-                              END) AS sh
-                FROM norm2
-            )
-        ), grams AS (
-            SELECT DISTINCT doc_id, g FROM (
-                SELECT doc_id,
-                       unnest(CASE WHEN length(s) < 3 THEN [s]
-                              ELSE list_transform(range(1, length(s) - 1),
-                                                  i -> substr(s, i, 3))
-                              END) AS g
-                FROM norm2
-            )
-        ), counts AS (
-            SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id
-        ), hot AS (
-            SELECT sh FROM shingles GROUP BY sh HAVING count(*) > 50
-        ), cand AS (
-            SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id
-            FROM shingles a
-            JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
-            WHERE a.sh NOT IN (SELECT sh FROM hot)
-        ), inter AS (
-            SELECT c.left_id, c.right_id, count(*) AS c
-            FROM cand c
-            JOIN grams g1 ON g1.doc_id = c.left_id
-            JOIN grams g2 ON g2.doc_id = c.right_id AND g2.g = g1.g
-            GROUP BY 1, 2
-        )
-        SELECT i.left_id, i.right_id,
-               round(CAST(i.c AS DOUBLE) / (ca.n + cb.n - i.c), 6) AS jaccard
-        FROM inter i
-        JOIN counts ca ON ca.doc_id = i.left_id
-        JOIN counts cb ON cb.doc_id = i.right_id
-        WHERE CAST(i.c AS DOUBLE) / (ca.n + cb.n - i.c) >= 0.5
-        ORDER BY left_id, right_id
-    """,
+
     # Flagship ER oracle — the semantic spec of the three-stage pipeline:
     # edges = pairs whose documents-config score exceeds θ=0.5, i.e.
     # -6 + 12·shingleJaccard(payload) + 2·lenRatio(payload) > 0 over the
@@ -3197,53 +3147,73 @@ ORACLE_SQL["doc_packed_sequences"] = """
     FROM tok GROUP BY 1 ORDER BY 1
 """
 
+# Shared n-gram-pair CTE chain (norm -> shingles/grams -> counts/hot ->
+# cand -> inter): the single source of truth for the ngram_jaccard_pairs
+# oracle AND the doc_pagerank edge set, so the two can never drift.
+_NGRAM_PAIR_CTES = """norm AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                               x -> x <> '') AS w
+            FROM documents
+        ), norm2 AS (
+            SELECT doc_id, w, array_to_string(w, ' ') AS s
+            FROM norm WHERE len(w) > 0
+        ), shingles AS (
+            SELECT DISTINCT doc_id, sh FROM (
+                SELECT doc_id,
+                       unnest(CASE WHEN len(w) <= 3 THEN [s]
+                              ELSE list_transform(range(1, len(w) - 1),
+                                                  i -> array_to_string(w[i:i+2], ' '))
+                              END) AS sh
+                FROM norm2
+            )
+        ), grams AS (
+            SELECT DISTINCT doc_id, g FROM (
+                SELECT doc_id,
+                       unnest(CASE WHEN length(s) < 3 THEN [s]
+                              ELSE list_transform(range(1, length(s) - 1),
+                                                  i -> substr(s, i, 3))
+                              END) AS g
+                FROM norm2
+            )
+        ), counts AS (
+            SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id
+        ), hot AS (
+            SELECT sh FROM shingles GROUP BY sh HAVING count(*) > 50
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id
+            FROM shingles a
+            JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            WHERE a.sh NOT IN (SELECT sh FROM hot)
+        ), inter AS (
+            SELECT c.left_id, c.right_id, count(*) AS c
+            FROM cand c
+            JOIN grams g1 ON g1.doc_id = c.left_id
+            JOIN grams g2 ON g2.doc_id = c.right_id AND g2.g = g1.g
+            GROUP BY 1, 2
+        )"""
+
+ORACLE_SQL["ngram_jaccard_pairs"] = (
+    "WITH " + _NGRAM_PAIR_CTES + """
+        SELECT i.left_id, i.right_id,
+               round(CAST(i.c AS DOUBLE) / (ca.n + cb.n - i.c), 6) AS jaccard
+        FROM inter i
+        JOIN counts ca ON ca.doc_id = i.left_id
+        JOIN counts cb ON cb.doc_id = i.right_id
+        WHERE CAST(i.c AS DOUBLE) / (ca.n + cb.n - i.c) >= 0.5
+        ORDER BY left_id, right_id
+    """
+)
+
 # PageRank: the edge set reuses ngram_jaccard_pairs' CTE arithmetic and the
 # 10 damped power iterations unroll as chained CTEs (standard SQL forbids
 # aggregation inside a recursive term), generated by the loop below so the
 # Ray op and the oracle share one iteration count / damping constant.
-_PR_EDGE_CTES = """
-    WITH norm AS (
-        SELECT doc_id,
-               list_filter(regexp_split_to_array(lower(text), '\\s+'),
-                           x -> x <> '') AS w
-        FROM documents
-    ), norm2 AS (
-        SELECT doc_id, w, array_to_string(w, ' ') AS s
-        FROM norm WHERE len(w) > 0
-    ), shingles AS (
-        SELECT DISTINCT doc_id, sh FROM (
-            SELECT doc_id,
-                   unnest(CASE WHEN len(w) <= 3 THEN [s]
-                          ELSE list_transform(range(1, len(w) - 1),
-                                              i -> array_to_string(w[i:i+2], ' '))
-                          END) AS sh
-            FROM norm2
-        )
-    ), grams AS (
-        SELECT DISTINCT doc_id, g FROM (
-            SELECT doc_id,
-                   unnest(CASE WHEN length(s) < 3 THEN [s]
-                          ELSE list_transform(range(1, length(s) - 1),
-                                              i -> substr(s, i, 3))
-                          END) AS g
-            FROM norm2
-        )
-    ), counts AS (
-        SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id
-    ), hot AS (
-        SELECT sh FROM shingles GROUP BY sh HAVING count(*) > 50
-    ), cand AS (
-        SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id
-        FROM shingles a
-        JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
-        WHERE a.sh NOT IN (SELECT sh FROM hot)
-    ), inter AS (
-        SELECT c.left_id, c.right_id, count(*) AS c
-        FROM cand c
-        JOIN grams g1 ON g1.doc_id = c.left_id
-        JOIN grams g2 ON g2.doc_id = c.right_id AND g2.g = g1.g
-        GROUP BY 1, 2
-    ), pairs AS MATERIALIZED (
+_PR_EDGE_CTES = (
+    """
+    WITH """
+    + _NGRAM_PAIR_CTES
+    + """, pairs AS MATERIALIZED (
         SELECT i.left_id, i.right_id
         FROM inter i
         JOIN counts ca ON ca.doc_id = i.left_id
@@ -3257,6 +3227,7 @@ _PR_EDGE_CTES = """
     params AS MATERIALIZED (SELECT count(*) AS n FROM pnodes),
     pr0 AS (SELECT id, 1.0 / (SELECT n FROM params) AS rank FROM pnodes)
 """
+)
 
 _PR_ITER_CTE = """
     , pr{next} AS (

@@ -35,9 +35,10 @@ def word_counts(ds, text_col: str = "text", num_buckets: int | None = None) -> d
     combine → driver dict. The collected table is vocabulary-bounded."""
     from .groupby import grouped_aggregate
 
+    from ..functions.textstats import batch_term_counts
+
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        ex = df[text_col].fillna("").astype(str).str.lower().str.split().explode().dropna()
-        vc = ex.value_counts()
+        vc = batch_term_counts(df[text_col])
         return pd.DataFrame({"word": vc.index.to_numpy(dtype=object),
                              "n": vc.to_numpy(np.int64)})
 

@@ -411,6 +411,32 @@ def _bloom_cfg(state_dir: str, capacity: int, fpp: float) -> dict:
     return cfg
 
 
+def _write_sidecar(state_dir: str, increment_dir: str, cfg: dict) -> str:
+    """Build this increment's Bloom from its persisted hashes (distributed
+    scan of that one increment only) and atomically persist the SPARSE
+    sidecar — the one implementation shared by registration and the
+    self-heal path, so the sidecar format can never fork."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from .bloom import bloom_from_keyed, bloom_sparse_table
+
+    side_dir = os.path.join(state_dir, "bloom_sidecars")
+    os.makedirs(side_dir, exist_ok=True)
+    side = os.path.join(side_dir, f"{os.path.basename(increment_dir)}.parquet")
+    if any(f.endswith(".parquet") for f in os.listdir(increment_dir)):
+        src = rd.read_parquet(increment_dir, file_extensions=["parquet"])
+    else:  # increment deduped to zero rows: empty sidecar
+        src = rd.from_arrow(pa.table({"content_hash": pa.array([], pa.int64())}))
+    bf = bloom_from_keyed(src, "content_hash", cfg["m_bits"], cfg["k"])
+    tmp = side + ".tmp"
+    pq.write_table(bloom_sparse_table(bf), tmp)
+    os.replace(tmp, side)
+    return side
+
+
 def _store_bloom(state_dir: str, prior_dirs: list[str], capacity: int, fpp: float):
     """Merged Bloom filter over every prior increment's content hashes,
     assembled from persisted SPARSE sidecars (state_dir/bloom_sidecars/
@@ -420,19 +446,11 @@ def _store_bloom(state_dir: str, prior_dirs: list[str], capacity: int, fpp: floa
     missing sidecar (increment ingested before bloom gating existed, or a
     crash between registration and sidecar write) self-heals: that one
     increment's hashes are scanned distributed and the sidecar persisted."""
-    import json
     import os
 
     import pyarrow.parquet as pq
-    import ray.data as rd
 
-    from .bloom import (
-        BloomFilter,
-        bloom_from_keyed,
-        bloom_params,
-        bloom_sparse_table,
-        merge_sparse_into,
-    )
+    from .bloom import BloomFilter, merge_sparse_into
 
     cfg = _bloom_cfg(state_dir, capacity, fpp)
     side_dir = os.path.join(state_dir, "bloom_sidecars")
@@ -440,16 +458,9 @@ def _store_bloom(state_dir: str, prior_dirs: list[str], capacity: int, fpp: floa
 
     bf = BloomFilter(cfg["m_bits"], cfg["k"])
     for p in prior_dirs:
-        name = os.path.basename(p)  # increment=<name>
-        side = os.path.join(side_dir, f"{name}.parquet")
+        side = os.path.join(side_dir, f"{os.path.basename(p)}.parquet")
         if not os.path.exists(side):
-            healed = bloom_from_keyed(
-                rd.read_parquet(p, file_extensions=["parquet"]),
-                "content_hash", cfg["m_bits"], cfg["k"],
-            )
-            tmp = side + ".tmp"
-            pq.write_table(bloom_sparse_table(healed), tmp)
-            os.replace(tmp, side)
+            side = _write_sidecar(state_dir, p, cfg)  # self-heal
         merge_sparse_into(bf, pq.read_table(side))
     return bf, cfg, side_dir
 
@@ -632,23 +643,8 @@ def exact_dedup_incremental(
     if seen_filter == "bloom" or os.path.exists(
         os.path.join(state_dir, "bloom_config.json")
     ):
-        import pyarrow.parquet as pq
-
-        from .bloom import bloom_from_keyed, bloom_sparse_table
-
-        cfg = _bloom_cfg(state_dir, bloom_capacity, bloom_fpp)
-        side_dir = os.path.join(state_dir, "bloom_sidecars")
-        os.makedirs(side_dir, exist_ok=True)
-        side = os.path.join(side_dir, f"increment={increment}.parquet")
-        inc_bf = bloom_from_keyed(
-            rd.read_parquet(inc_dir, file_extensions=["parquet"])
-            if any(f.endswith(".parquet") for f in os.listdir(inc_dir))
-            else rd.from_arrow(pa.table({"content_hash": pa.array([], pa.int64())})),
-            "content_hash", cfg["m_bits"], cfg["k"],
-        )
-        tmp = side + ".tmp"
-        pq.write_table(bloom_sparse_table(inc_bf), tmp)
-        os.replace(tmp, side)
+        _write_sidecar(state_dir, inc_dir,
+                       _bloom_cfg(state_dir, bloom_capacity, bloom_fpp))
 
     return hashed.drop_columns(["content_hash"])
 

@@ -88,9 +88,10 @@ def top_k_terms(
         raise ValueError(f"on_unprovable must be raise|exact, got {on_unprovable!r}")
     C = max(4 * k, 64) if candidates is None else candidates
 
+    from ..functions.textstats import batch_term_counts
+
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        ex = df[text_col].fillna("").astype(str).str.lower().str.split().explode().dropna()
-        vc = ex.value_counts()
+        vc = batch_term_counts(df[text_col])
         kept, delta = _mg_block_summary(vc, counters)
         out = pd.DataFrame(
             {
@@ -135,9 +136,9 @@ def top_k_terms(
     ref = ray.put(cand)
 
     def recount(df: pd.DataFrame) -> pd.DataFrame:
-        terms = ray.get(ref).to_pylist()
-        ex = df[text_col].fillna("").astype(str).str.lower().str.split().explode().dropna()
-        vc = ex[ex.isin(terms)].value_counts()
+        terms = set(ray.get(ref).to_pylist())
+        vc = batch_term_counts(df[text_col])
+        vc = vc[vc.index.isin(terms)]
         return pd.DataFrame({"term": vc.index.to_numpy(dtype=object), "n": vc.to_numpy(np.int64)})
 
     totals: dict[str, int] = {}
@@ -176,9 +177,10 @@ def _full_exchange_top_k(ds, text_col: str, k: int, num_buckets: int | None) -> 
     queries.q_corpus_top_terms shape) — correct on any distribution, pays
     one row per distinct (block, term) in the exchange."""
 
+    from ..functions.textstats import batch_term_counts
+
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        ex = df[text_col].fillna("").astype(str).str.lower().str.split().explode().dropna()
-        vc = ex.value_counts()
+        vc = batch_term_counts(df[text_col])
         return pd.DataFrame({"term": vc.index.to_numpy(dtype=object), "n": vc.to_numpy(np.int64)})
 
     counts = grouped_aggregate(

@@ -30,8 +30,50 @@ is only meaningful under a defined order, and the sort supplies it.
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pyarrow as pa
+
+#: pass-2 tokenizer matching token_count_batch's Arrow RE2 '\s+' exactly:
+#: RE2 \s is ASCII [ \t\n\f\r\v], so the Python side must use re.ASCII
+#: — plain str.split() also splits exotic Unicode whitespace (U+00A0,
+#: U+2003...) and would desynchronize pass-2 fragments from the pass-1
+#: block offsets (and from the SQL oracles, which use RE2 too)
+_ASCII_TOKEN = re.compile(r"[^ \t\n\f\r\v]+", re.ASCII)
+
+
+def _block_offsets(ordered, block_total, id_col: str):
+    """The prefix-scan preamble shared by pack_sequences and
+    packed_sequences: one (min_id, total) row per block to the driver
+    (O(blocks)), ordered by min_id (sort blocks are disjoint id ranges),
+    exclusive prefix sums broadcast back as {min_id: offset}."""
+    import ray
+    import pyarrow.compute as pc
+
+    def block_meta(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"min_id": pa.array([], pa.int64()),
+                             "total": pa.array([], pa.int64())})
+        return pa.table(
+            {
+                "min_id": pa.array([pc.min(t.column(id_col)).as_py()], pa.int64()),
+                "total": pa.array([int(block_total(t))], pa.int64()),
+            }
+        )
+
+    metas = []
+    for b in ordered.map_batches(
+        block_meta, batch_format="pyarrow", batch_size=None
+    ).iter_batches(batch_format="pyarrow", batch_size=None):
+        metas.extend(zip(b.column("min_id").to_pylist(), b.column("total").to_pylist()))
+    metas.sort()
+    offsets: dict[int, int] = {}
+    acc = 0
+    for mid, tot in metas:
+        offsets[mid] = acc
+        acc += tot
+    return ray.put(offsets)
 
 
 def pack_sequences(
@@ -61,32 +103,7 @@ def pack_sequences(
     cols = [id_col] + ([token_col] if token_col else [text_col])
     ordered = ds.select_columns(cols).sort(id_col).materialize()
 
-    def block_meta(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return pa.table({"min_id": pa.array([], pa.int64()),
-                             "total": pa.array([], pa.int64())})
-        import pyarrow.compute as pc
-
-        return pa.table(
-            {
-                "min_id": pa.array([pc.min(t.column(id_col)).as_py()], pa.int64()),
-                "total": pa.array([int(counts_of(t).sum())], pa.int64()),
-            }
-        )
-
-    metas = []
-    for b in ordered.map_batches(
-        block_meta, batch_format="pyarrow", batch_size=None
-    ).iter_batches(batch_format="pyarrow", batch_size=None):
-        for mid, tot in zip(b.column("min_id").to_pylist(), b.column("total").to_pylist()):
-            metas.append((mid, tot))
-    metas.sort()
-    offsets: dict[int, int] = {}
-    acc = 0
-    for mid, tot in metas:
-        offsets[mid] = acc
-        acc += tot
-    ref = ray.put(offsets)
+    ref = _block_offsets(ordered, lambda t: counts_of(t).sum(), id_col)
 
     def assign(t: pa.Table) -> pa.Table:
         empty = pa.table(
@@ -155,32 +172,12 @@ def packed_sequences(
 
     ordered = ds.select_columns([id_col, text_col]).sort(id_col).materialize()
 
-    def block_meta(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return pa.table({"min_id": pa.array([], pa.int64()),
-                             "total": pa.array([], pa.int64())})
-        import pyarrow.compute as pc
-
-        c = token_count_batch(t.column(text_col)).to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                "min_id": pa.array([pc.min(t.column(id_col)).as_py()], pa.int64()),
-                "total": pa.array([int(c.sum())], pa.int64()),
-            }
-        )
-
-    metas = []
-    for b in ordered.map_batches(
-        block_meta, batch_format="pyarrow", batch_size=None
-    ).iter_batches(batch_format="pyarrow", batch_size=None):
-        metas.extend(zip(b.column("min_id").to_pylist(), b.column("total").to_pylist()))
-    metas.sort()
-    offsets: dict[int, int] = {}
-    acc = 0
-    for mid, tot in metas:
-        offsets[mid] = acc
-        acc += tot
-    ref = ray.put(offsets)
+    ref = _block_offsets(
+        ordered,
+        lambda t: token_count_batch(t.column(text_col))
+        .to_numpy(zero_copy_only=False).sum(),
+        id_col,
+    )
 
     def fragments(t: pa.Table) -> pa.Table:
         """Per-chunk fragments: (seq_id, pos, frag) — frag is the doc's
@@ -204,7 +201,10 @@ def packed_sequences(
         rows_seq, rows_pos, rows_frag = [], [], []
         pos = base
         for txt in texts:
-            toks = (txt or "").lower().split()
+            # MUST match token_count_batch's ASCII-\s+ convention — a
+            # plain .split() would count Unicode whitespace differently
+            # and desynchronize from the pass-1 offsets
+            toks = _ASCII_TOKEN.findall((txt or "").lower())
             i = 0
             while i < len(toks):
                 room = seq_len - (pos % seq_len)
@@ -244,7 +244,10 @@ def packed_sequences(
             toks: list[str] = []
             for f in g["frag"]:
                 if f:
-                    toks.extend(f.split())
+                    # same ASCII tokenization as the emit side — a plain
+                    # .split() would re-split Unicode whitespace inside
+                    # tokens that RE2 \s+ kept whole
+                    toks.extend(_ASCII_TOKEN.findall(f))
             if not toks:
                 continue
             out.append(

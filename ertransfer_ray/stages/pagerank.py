@@ -130,11 +130,14 @@ def pagerank(
             {
                 "src": e["src"].astype(np.int64),
                 "dst": e["dst"].astype(np.int64),
-                "_w": (1.0 / deg).to_numpy(),
+                "_deg": deg.to_numpy(np.float64),
             }
         )
         m = e.merge(r[["src", "rank"]], on="src", how="inner")
-        m["contrib"] = m["rank"] * m["_w"]
+        # rank / deg, NOT rank * (1/deg): the SQL oracle divides, and the
+        # two differ by 1 ulp on ~20 % of operand pairs — compounded over
+        # 10 iterations that could cross a round(rank, 6) boundary
+        m["contrib"] = m["rank"] / m["_deg"]
         return m.groupby("dst", as_index=False)["contrib"].sum()
 
     for _ in range(iterations):

@@ -141,3 +141,27 @@ def test_packed_sequences_spanning_doc_and_tail():
     ]
     # doc 2 spans chunks 0 and 1: both count it
     assert list(got["n_docs"]) == [2, 1, 1]
+
+
+def test_packed_sequences_unicode_whitespace_convention():
+    """Pass-2 tokenization must match the ASCII-\\s+ pass-1 counts: a doc
+    containing U+00A0 (which Python str.split treats as a separator but
+    RE2 \\s does not) must NOT desynchronize the stream across blocks."""
+    from ertransfer_ray.stages.packing import pack_sequences, packed_sequences
+
+    texts = {1: "a b c", 2: "d e", 3: "f g h"}
+    # Arrow convention: doc 1 = 2 tokens ("a\xa0b", "c")
+    scan = (
+        pack_sequences(_ds(texts, 3), seq_len=4)
+        .to_pandas().sort_values("doc_id", ignore_index=True)
+    )
+    assert list(scan["token_count"]) == [2, 2, 3]
+    got = (
+        packed_sequences(_ds(texts, 3), seq_len=4)
+        .to_pandas().sort_values("seq_id", ignore_index=True)
+    )
+    # 7 tokens total -> chunks of 4 and 3; token streams stay aligned
+    assert list(got["n_tokens"]) == [4, 3]
+    assert [list(x) for x in got["tokens"]] == [
+        ["a b", "c", "d", "e"], ["f", "g", "h"],
+    ]
