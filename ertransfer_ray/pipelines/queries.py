@@ -708,6 +708,32 @@ def q_embedding_neardup_exact(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["left_id", "right_id"], ignore_index=True)
 
 
+def q_embedding_semantic_dedup(sf_dir: str) -> pd.DataFrame:
+    """SemDeDup (k-means partition → within-cluster cosine ≥ 0.35 →
+    per-group min-id label; stages/semdedup.semantic_dedup). The fitted
+    centroids persist as a parquet side-input, so the oracle re-derives
+    assignment (the kmeans argmax rule), within-cluster pairing, DuckDB
+    list_cosine_similarity verification, and the recursive-CTE closure."""
+    from ..functions.arrays import matrix_to_list_column
+    from ..stages.kmeans import fit_kmeans
+    from ..stages.semdedup import semantic_dedup
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    model = fit_kmeans(emb, "embedding", k=4, max_iter=15, seed=17)
+    cents = np.asarray(model.centroids, dtype=np.float64)
+    _write_oracle_side(
+        "semdedup_cents",
+        rd.from_arrow(pa.table({
+            "cluster": pa.array(np.arange(len(cents), dtype=np.int64)),
+            "cent": matrix_to_list_column(cents, pa.float64()),
+        })),
+    )
+    out = semantic_dedup(
+        emb, model=model, cos_threshold=0.35
+    ).to_pandas()
+    return out.sort_values("vec_id", ignore_index=True)
+
+
 def q_minhash_neardup_pairs(sf_dir: str) -> pd.DataFrame:
     """MinHash-LSH near-dup pairs at Jaccard ≥ 0.5, VALUE-LEVEL oracled
     since round 5: the SipHash MinHash banding itself is not
@@ -1703,19 +1729,19 @@ def build_queries() -> dict:
     # er_documents (the flagship) and kmeans_embeddings lead the dict: the
     # driver's CORRECTNESS harness checks only the first 50 entries, and in
     # round 4 these two silently fell off the end (VERDICT.md "What's wrong" #1).
-    # ALL 69 entries carry value-level SQL oracles. Nineteen must
-    # overflow the 50-entry driver window; the late-round-5 additions
-    # (host_stats / host_filtered_docs / doc_span_dup_stats /
-    # doc_dedup_spans / documents_jsonl_roundtrip / event_user_ndv_approx /
+    # ALL 70 entries carry value-level SQL oracles. Twenty must overflow
+    # the 50-entry driver window; the late-round-5 additions (host_stats /
+    # host_filtered_docs / doc_span_dup_stats / doc_dedup_spans /
+    # documents_jsonl_roundtrip / event_user_ndv_approx /
     # doc_decontam_bloom / corpus_top_terms_mg / doc_temperature_mixture /
     # doc_pack_sequences / doc_packed_sequences / doc_pagerank /
     # doc_weighted_sample / doc_neardup_groups /
     # event_type_quantiles_approx / lang_top_terms /
-    # local_supplier_revenue — brand-new operator families with no driver
-    # history) sit right after the flagship so they get their first
-    # hard-signal rows, and the overflow slots go to queries with
-    # multi-round hash-green driver history whose operators other
-    # in-window queries evidence redundantly:
+    # local_supplier_revenue / embedding_semantic_dedup — brand-new
+    # operator families with no driver history) sit right after the
+    # flagship so they get their first hard-signal rows, and the overflow
+    # slots go to queries with multi-round hash-green driver history
+    # whose operators other in-window queries evidence redundantly:
     # sliding_user_windows (windowed aggregates: user_sessions +
     # event_value_quantiles stay in-window),
     # region_customer_count + customer_order_counts (grouped counts:
@@ -1744,6 +1770,9 @@ def build_queries() -> dict:
     # customer_order_stats (grouped stats over a broadcast join: the
     # in-window local_supplier_revenue composes the same join family
     # three levels deep; top1_order_per_customer in-window),
+    # user_sessions (sessionization: hourly_event_stats overflow sibling;
+    # event_order_asof + sliding-window family rep event_type_quantiles_
+    # approx in-window),
     # distinct_event_types (distinct: union_distinct_custkeys),
     # filter_clicks (threshold filter: doc_token_p90_filter),
     # hourly_event_stats (time bucketing: user_sessions / event_order_asof),
@@ -1772,11 +1801,11 @@ def build_queries() -> dict:
         "event_type_quantiles_approx": q_event_type_quantiles_approx,
         "lang_top_terms": q_lang_top_terms,
         "local_supplier_revenue": q_local_supplier_revenue,
+        "embedding_semantic_dedup": q_embedding_semantic_dedup,
         "pricing_summary": q_pricing_summary,
         "top_orders": q_top_orders,
         "top1_order_per_customer": q_top1_order_per_customer,
         "union_distinct_custkeys": q_union_distinct_custkeys,
-        "user_sessions": q_user_sessions,
         "transfer_kl_scores": q_transfer_kl_scores,
         "exact_dedup_docs": q_exact_dedup_docs,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
@@ -1815,6 +1844,7 @@ def build_queries() -> dict:
         "event_value_quantiles": q_event_value_quantiles,
         "corpus_top_terms": q_corpus_top_terms,
         "customer_order_stats": q_customer_order_stats,
+        "user_sessions": q_user_sessions,
         "distinct_event_types": q_distinct_event_types,
         "filter_clicks": q_filter_clicks,
         "hourly_event_stats": q_hourly_event_stats,
@@ -3348,4 +3378,47 @@ ORACLE_SQL["local_supplier_revenue"] = """
       AND o.o_orderdate <  TIMESTAMP '1997-01-01'
     GROUP BY n.n_name
     ORDER BY revenue DESC
+"""
+
+# SemDeDup: assignment = the kmeans argmax rule over the persisted
+# centroids; pairing within cluster; DuckDB list_cosine_similarity
+# verification; recursive-CTE closure; singletons label themselves.
+ORACLE_SQL["embedding_semantic_dedup"] = f"""
+    WITH RECURSIVE c AS (
+        SELECT cluster, cent
+        FROM read_parquet('{_ORACLE_SIDE_DIR}/semdedup_cents/*.parquet')
+    ), s AS (
+        SELECT e.vec_id, c.cluster,
+               list_dot_product(
+                   list_transform(e.embedding, x -> CAST(x AS DOUBLE)), c.cent
+               ) - 0.5 * list_dot_product(c.cent, c.cent) AS score
+        FROM embeddings e CROSS JOIN c
+    ), assigned AS (
+        SELECT vec_id, cluster FROM (
+            SELECT vec_id, cluster, row_number() OVER (
+                PARTITION BY vec_id ORDER BY score DESC, cluster ASC
+            ) AS rn FROM s
+        ) WHERE rn = 1
+    ), pr AS (
+        SELECT aa.vec_id AS l, bb.vec_id AS r
+        FROM assigned aa
+        JOIN assigned bb ON aa.cluster = bb.cluster AND aa.vec_id < bb.vec_id
+        JOIN embeddings ea ON ea.vec_id = aa.vec_id
+        JOIN embeddings eb ON eb.vec_id = bb.vec_id
+        WHERE list_cosine_similarity(
+                  CAST(ea.embedding AS DOUBLE[]),
+                  CAST(eb.embedding AS DOUBLE[])
+              ) >= 0.35
+    ), bi AS (SELECT l AS a, r AS b FROM pr UNION SELECT r, l FROM pr),
+    reach(a, b) AS (
+        SELECT a, b FROM bi
+        UNION
+        SELECT rch.a, e.b FROM reach rch JOIN bi e ON e.a = rch.b
+    ), grp AS (
+        SELECT a AS vec_id, least(a, min(b)) AS group_id
+        FROM reach GROUP BY a
+    )
+    SELECT e.vec_id, coalesce(g.group_id, e.vec_id) AS group_id
+    FROM embeddings e LEFT JOIN grp g ON g.vec_id = e.vec_id
+    ORDER BY e.vec_id
 """
